@@ -1,0 +1,189 @@
+"""Lightweight DOM-node array builder.
+
+The reference segments a document into an ordered grid of views with explicit
+layout/separator structure (crates/infer-deepseek/src/vision/preprocess.rs:
+113-137, model/mod.rs:590-709).  The analog for HTML payloads is a flat,
+document-ordered array of *block nodes* — one per block-level element — each
+carrying the features the boilerplate classifier needs: tag, depth,
+character count, link-character count, and whether it sits inside a
+drop-subtree (nav/header/footer/aside/script/style).
+
+Only a bounded HTML subset matters (FIXTURES.md §2): block containers
+``html body div section article main ul ol table``, block leaves
+``p h1..h6 li pre blockquote tr`` (cells joined with `` | ``), inline
+``a b i em strong span code br``; everything else is treated as inline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, List
+
+from deepseek_ocr_rs_spark.functions.normalize import normalize_text
+from deepseek_ocr_rs_spark.functions.tokenizer import Event
+
+# subtrees whose entire content is structural boilerplate
+DROP_SUBTREE_TAGS = frozenset(
+    {"nav", "header", "footer", "aside", "script", "style", "noscript",
+     "template", "head", "title", "form", "button", "iframe", "svg"}
+)
+
+# block leaf tags: opening one starts a node, closing flushes it
+BLOCK_LEAF_TAGS = frozenset(
+    {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre", "blockquote", "tr"}
+)
+
+# block containers: flush any implicit text run at their boundary
+BLOCK_CONTAINER_TAGS = frozenset(
+    {"html", "body", "div", "section", "article", "main", "ul", "ol",
+     "table", "thead", "tbody", "figure"}
+)
+
+_CELL_TAGS = frozenset({"td", "th"})
+
+
+@dataclass
+class Block:
+    """One block-level node with classifier features."""
+
+    tag: str
+    depth: int
+    block_idx: int
+    text: str  # normalized (CRLF/sentinel/trim) flat text
+    n_chars: int = 0
+    n_link_chars: int = 0
+    in_drop_subtree: bool = False
+
+    def __post_init__(self) -> None:
+        self.n_chars = len(self.text)
+
+
+class _Builder:
+    __slots__ = ("blocks", "stack", "drop_depth", "link_depth", "buf",
+                 "link_buf", "cur_tag", "cur_depth", "cells", "in_cell")
+
+    def __init__(self) -> None:
+        self.blocks: List[Block] = []
+        self.stack: List[str] = []
+        self.drop_depth = 0   # >0 while inside any DROP_SUBTREE tag
+        self.link_depth = 0   # >0 while inside <a>
+        self.buf: List[str] = []
+        self.link_buf: List[str] = []  # chars contributed while inside <a>
+        self.cur_tag: str = ""         # open block leaf tag, "" if none
+        self.cur_depth = 0
+        self.cells: List[str] = []     # td/th cell texts for current tr
+        self.in_cell = False
+
+    # ---- flushing ----------------------------------------------------
+
+    def _flush(self) -> None:
+        tag = self.cur_tag
+        if tag == "tr":
+            # join completed cells with ' | ' (grid -> row-major sequence,
+            # mirroring tile row order preprocess.rs:119-127)
+            self._end_cell()
+            cells = [normalize_text(c) for c in self.cells]
+            cells = [c for c in cells if c != ""]
+            text = " | ".join(cells)
+            self.cells = []
+        else:
+            text = normalize_text("".join(self.buf))
+        link_chars = len(normalize_text("".join(self.link_buf)))
+        self.buf = []
+        self.link_buf = []
+        eff_tag = tag if tag else "p"  # implicit text run -> paragraph
+        self.cur_tag = ""
+        if text == "":
+            return
+        blk = Block(
+            tag=eff_tag,
+            depth=self.cur_depth,
+            block_idx=len(self.blocks),
+            text=text,
+            in_drop_subtree=self.drop_depth > 0,
+        )
+        blk.n_link_chars = min(link_chars, blk.n_chars)
+        self.blocks.append(blk)
+
+    def _end_cell(self) -> None:
+        if self.in_cell or self.buf:
+            self.cells.append("".join(self.buf))
+            self.buf = []
+            self.in_cell = False
+
+    # ---- event handling ------------------------------------------------
+
+    def open(self, tag: str, attrs: dict) -> None:
+        if tag in DROP_SUBTREE_TAGS:
+            self._flush()
+            self.drop_depth += 1
+            self.stack.append(tag)
+            return
+        if tag in BLOCK_LEAF_TAGS:
+            self._flush()
+            self.cur_tag = tag
+            self.cur_depth = len(self.stack)
+            self.stack.append(tag)
+            return
+        if tag in BLOCK_CONTAINER_TAGS:
+            self._flush()
+            self.stack.append(tag)
+            return
+        if tag in _CELL_TAGS:
+            self._end_cell()
+            self.in_cell = True
+            self.stack.append(tag)
+            return
+        if tag == "a":
+            self.link_depth += 1
+            self.stack.append(tag)
+            return
+        if tag == "br":
+            self.buf.append("\n")
+            return
+        self.stack.append(tag)  # generic inline
+
+    def close(self, tag: str) -> None:
+        if tag == "br":
+            return
+        # pop to the matching open if present (tolerates mild malformation)
+        if tag in self.stack:
+            while self.stack:
+                popped = self.stack.pop()
+                if popped in DROP_SUBTREE_TAGS:
+                    self.drop_depth = max(0, self.drop_depth - 1)
+                if popped == "a":
+                    self.link_depth = max(0, self.link_depth - 1)
+                if popped in BLOCK_LEAF_TAGS and popped == tag:
+                    self._flush()
+                    return
+                if popped in _CELL_TAGS and popped == tag:
+                    self._end_cell()
+                    return
+                if popped == tag:
+                    if popped in BLOCK_CONTAINER_TAGS:
+                        self._flush()
+                    return
+
+    def text(self, s: str) -> None:
+        self.buf.append(s)
+        if self.link_depth > 0:
+            self.link_buf.append(s)
+
+    def finish(self) -> List[Block]:
+        self._flush()
+        return self.blocks
+
+
+def build_blocks(events: Iterable[Event]) -> List[Block]:
+    """Fold a tokenizer event stream into a document-ordered Block array."""
+    b = _Builder()
+    for ev in events:
+        kind = ev[0]
+        if kind == "text":
+            b.text(ev[1])
+        elif kind == "open":
+            b.open(ev[1], ev[2])
+        else:
+            b.close(ev[1])
+    return b.finish()

@@ -1,0 +1,268 @@
+"""Streaming byte-level HTML tokenizer.
+
+The reference streams decoded text UTF-8-safely, suppressing partial
+codepoints at chunk boundaries (crates/core/src/streaming.rs:4-68) and feeds
+documents through a deterministic segmentation (vision/preprocess.rs).  The
+analog here is a byte-level HTML scanner that can be fed arbitrary byte
+chunks — a multibyte character or a tag may span a chunk boundary — and emits
+a deterministic event stream regardless of how the input was chunked.
+
+Events (tuples):
+  ("open",  tag, attrs)   attrs: dict, only ``href`` retained
+  ("close", tag)
+  ("text",  decoded_str)  entity-decoded text run
+
+Determinism notes:
+  * Text runs are buffered as *bytes* and only decoded when a complete run is
+    flushed (at '<' or EOF).  ``0x3C`` never occurs inside a UTF-8
+    continuation sequence, so splitting at '<' is always codepoint-safe; any
+    genuinely malformed UTF-8 is replaced deterministically (errors=replace).
+  * ``<script>``/``<style>`` bodies are consumed in raw-text mode (no entity
+    decoding, no nested tags) until the matching close tag, mirroring how
+    the reference drops non-content streams.
+  * HTML comments ``<!-- -->`` are skipped.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterator, List, Optional, Tuple
+
+Event = Tuple  # ("open", tag, attrs) | ("close", tag) | ("text", str)
+
+_NAMED_ENTITIES = {
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+    "nbsp": " ",
+    "mdash": "—",
+    "ndash": "–",
+    "hellip": "…",
+    "copy": "©",
+    "reg": "®",
+    "trade": "™",
+    "laquo": "«",
+    "raquo": "»",
+    "rsquo": "’",
+    "lsquo": "‘",
+    "rdquo": "”",
+    "ldquo": "“",
+}
+
+_ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z][a-zA-Z0-9]{1,31});")
+
+_RAWTEXT_TAGS = frozenset({"script", "style"})
+
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s"'>]+))?"""
+)
+
+
+def decode_entities(s: str) -> str:
+    """Deterministic entity decode for the supported named + numeric forms."""
+    if "&" not in s:
+        return s
+
+    def _sub(m: "re.Match[str]") -> str:
+        body = m.group(1)
+        if body.startswith("#x") or body.startswith("#X"):
+            try:
+                cp = int(body[2:], 16)
+            except ValueError:
+                return m.group(0)
+            return chr(cp) if 0 < cp <= 0x10FFFF else m.group(0)
+        if body.startswith("#"):
+            try:
+                cp = int(body[1:], 10)
+            except ValueError:
+                return m.group(0)
+            return chr(cp) if 0 < cp <= 0x10FFFF else m.group(0)
+        return _NAMED_ENTITIES.get(body.lower(), m.group(0))
+
+    return _ENTITY_RE.sub(_sub, s)
+
+
+def _parse_tag(raw: str) -> Optional[Tuple[str, str, Dict[str, str], bool]]:
+    """Parse the inside of ``<...>``.
+
+    Returns (kind, tag, attrs, self_closing) with kind in {open, close},
+    or None for markup we skip (comments, doctype, processing instructions).
+    """
+    raw = raw.strip()
+    if not raw:
+        return None
+    if raw.startswith("!") or raw.startswith("?"):
+        return None  # doctype / comment remnant / PI
+    closing = raw.startswith("/")
+    if closing:
+        raw = raw[1:]
+    self_closing = raw.endswith("/")
+    if self_closing:
+        raw = raw[:-1]
+    m = re.match(r"[a-zA-Z][-a-zA-Z0-9:]*", raw)
+    if not m:
+        return None
+    tag = m.group(0).lower()
+    attrs: Dict[str, str] = {}
+    if not closing:
+        for am in _ATTR_RE.finditer(raw[m.end():]):
+            name = am.group(1).lower()
+            if name != "href":
+                continue  # only href is semantically relevant (SURVEY §2, FIXTURES §2)
+            val = am.group(2) or ""
+            if len(val) >= 2 and val[0] in "\"'" and val[-1] == val[0]:
+                val = val[1:-1]
+            attrs[name] = val
+    if closing:
+        return ("close", tag, {}, False)
+    return ("open", tag, attrs, self_closing)
+
+
+# self-closing by HTML spec; emitted as open (no matching close expected)
+VOID_TAGS = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+
+
+class HtmlTokenizer:
+    """Incremental byte-fed HTML tokenizer.
+
+    Usage::
+
+        tok = HtmlTokenizer()
+        for chunk in byte_chunks:
+            events.extend(tok.feed(chunk))
+        events.extend(tok.finish())
+
+    The concatenated event stream is identical for any chunking of the same
+    byte string (the X5 invariant of SURVEY.md §2.9).
+    """
+
+    __slots__ = ("_buf", "_events", "_in_tag", "_rawtext_until")
+
+    def __init__(self) -> None:
+        self._buf = bytearray()  # unconsumed bytes
+        self._in_tag = False
+        self._rawtext_until: Optional[bytes] = None  # e.g. b"</script"
+
+    def feed(self, chunk: bytes) -> List[Event]:
+        if isinstance(chunk, str):  # convenience
+            chunk = chunk.encode("utf-8")
+        self._buf.extend(chunk)
+        return self._drain(final=False)
+
+    def finish(self) -> List[Event]:
+        return self._drain(final=True)
+
+    # -- internals ---------------------------------------------------------
+
+    def _drain(self, final: bool) -> List[Event]:
+        out: List[Event] = []
+        buf = self._buf
+        while True:
+            if self._rawtext_until is not None:
+                idx = bytes(buf).lower().find(self._rawtext_until)
+                if idx < 0:
+                    if final:
+                        # unterminated rawtext: drop it (boilerplate anyway)
+                        buf.clear()
+                    else:
+                        # keep a tail so a split close-tag can still match
+                        keep = len(self._rawtext_until) - 1
+                        if len(buf) > keep:
+                            del buf[: len(buf) - keep]
+                    break
+                tag = self._rawtext_until[2:].decode("ascii")
+                # rawtext body is dropped entirely (script/style is never content)
+                gt = bytes(buf).find(b">", idx)
+                if gt < 0:
+                    if final:
+                        buf.clear()
+                        out.append(("close", tag))
+                        self._rawtext_until = None
+                    break
+                del buf[: gt + 1]
+                out.append(("close", tag))
+                self._rawtext_until = None
+                continue
+
+            if self._in_tag:
+                gt = buf.find(b">")
+                if gt < 0:
+                    if final:
+                        buf.clear()
+                        self._in_tag = False
+                    break
+                raw = bytes(buf[:gt]).decode("utf-8", errors="replace")
+                del buf[: gt + 1]
+                self._in_tag = False
+                if raw.startswith("!--"):
+                    # comment: _enter_comment handled below via re-scan;
+                    # a '>' inside the comment body ended it only if '-->'
+                    if not raw.endswith("--"):
+                        # '>' was inside the comment; push back a comment marker
+                        self._swallow_comment(buf, raw, final)
+                        continue
+                    continue
+                parsed = _parse_tag(raw)
+                if parsed is None:
+                    continue
+                kind, tag, attrs, self_closing = parsed
+                if kind == "open":
+                    out.append(("open", tag, attrs))
+                    if tag in VOID_TAGS or self_closing:
+                        out.append(("close", tag))
+                    elif tag in _RAWTEXT_TAGS:
+                        self._rawtext_until = b"</" + tag.encode("ascii")
+                else:
+                    out.append(("close", tag))
+                continue
+
+            lt = buf.find(b"<")
+            if lt < 0:
+                if final:
+                    if buf:
+                        out.append(("text", decode_entities(
+                            bytes(buf).decode("utf-8", errors="replace"))))
+                        buf.clear()
+                break
+            if lt > 0:
+                out.append(("text", decode_entities(
+                    bytes(buf[:lt]).decode("utf-8", errors="replace"))))
+            del buf[: lt + 1]
+            self._in_tag = True
+        # drop empty text events for determinism
+        return [e for e in out if not (e[0] == "text" and e[1] == "")]
+
+    def _swallow_comment(self, buf: bytearray, consumed: str, final: bool) -> None:
+        """We hit '>' inside a '<!--' comment; skip until '-->'."""
+        end = bytes(buf).find(b"-->")
+        if end >= 0:
+            del buf[: end + 3]
+        else:
+            if final:
+                buf.clear()
+            else:
+                # keep tail to catch a split '-->' and stay in comment mode by
+                # re-prepending the comment opener
+                keep = min(len(buf), 2)
+                tail = bytes(buf[len(buf) - keep:]) if keep else b""
+                buf.clear()
+                buf.extend(b"<!--" + tail)
+
+
+def tokenize_html(payload: str, chunk_size: int = 0) -> List[Event]:
+    """Tokenize a full payload; chunk_size>0 exercises the streaming path."""
+    data = payload.encode("utf-8")
+    tok = HtmlTokenizer()
+    events: List[Event] = []
+    if chunk_size and chunk_size > 0:
+        for i in range(0, len(data), chunk_size):
+            events.extend(tok.feed(data[i : i + chunk_size]))
+    else:
+        events.extend(tok.feed(data))
+    events.extend(tok.finish())
+    return events

@@ -1,0 +1,177 @@
+"""Pure-function tests for the extraction kernel (no Spark).
+
+Mirrors the reference's unit layer (SURVEY.md §5.1): single-operator tests on
+normalization, tokenizer streaming invariance, DOM building, classification,
+PDF reading order, and span invariants.
+"""
+
+import json
+
+from deepseek_ocr_rs_spark.functions import (
+    SENTINEL,
+    build_blocks,
+    classify_blocks,
+    earliest_divergence,
+    extract_payload,
+    normalize_text,
+    parse_pdf_payload,
+    render_blocks,
+    sniff_payload_kind,
+    tokenize_html,
+)
+from deepseek_ocr_rs_spark.functions.tokenizer import HtmlTokenizer, decode_entities
+
+
+# ---------------------------------------------------------------- normalize
+
+def test_normalize_crlf_sentinel_trim():
+    assert normalize_text("  a\r\nb  ") == "a\nb"
+    assert normalize_text(f"x{SENTINEL}y") == "xy"
+    assert normalize_text(None) == ""
+    assert normalize_text("   \r\n  ") == ""
+
+
+def test_earliest_divergence():
+    assert earliest_divergence("abc", "abc") is None
+    assert earliest_divergence("abc", "abd") == 2
+    assert earliest_divergence("abc", "abcd") == 3
+    assert earliest_divergence([1, 2], [1, 3]) == 1
+
+
+# ---------------------------------------------------------------- tokenizer
+
+HTML = (
+    "<html><head><title>T</title><style>p{color:red}</style></head><body>"
+    "<h1>Header &amp; more</h1><p>Hello <b>world</b> &#x1F600;</p>"
+    "<!-- a comment with > inside --><p>after</p>"
+    "<script>var x = '<p>not text</p>';</script>"
+    "<ul><li>one</li><li>two</li></ul></body></html>"
+)
+
+
+def test_tokenizer_chunking_invariance():
+    base = tokenize_html(HTML)
+    for cs in (1, 2, 3, 7, 16, 1000):
+        assert tokenize_html(HTML, chunk_size=cs) == base, f"chunk {cs}"
+
+
+def test_tokenizer_multibyte_boundary():
+    s = "<p>naïve 日本語 🙂 café</p>"
+    base = tokenize_html(s)
+    for cs in (1, 2, 3, 5):
+        assert tokenize_html(s, chunk_size=cs) == base
+    texts = [e[1] for e in base if e[0] == "text"]
+    assert texts == ["naïve 日本語 🙂 café"]
+
+
+def test_tokenizer_entities():
+    assert decode_entities("a &amp; b &lt;c&gt; &#65; &#x42; &nbsp;") == "a & b <c> A B  "
+    assert decode_entities("&bogus; &unknown123;") == "&bogus; &unknown123;"
+
+
+def test_tokenizer_rawtext_and_comment():
+    evs = tokenize_html(HTML)
+    texts = [e[1] for e in evs if e[0] == "text"]
+    assert "var x = '" not in "".join(texts)
+    assert not any("not text" in t for t in texts)
+    assert not any("comment" in t for t in texts)
+
+
+def test_tokenizer_href_only_attr():
+    evs = tokenize_html('<a href="http://x" class="z" id="q">link</a>')
+    opens = [e for e in evs if e[0] == "open"]
+    assert opens[0] == ("open", "a", {"href": "http://x"})
+
+
+# ---------------------------------------------------------------- DOM + classify
+
+def test_dom_blocks_and_classification():
+    html = (
+        "<html><body><header><h1>Site</h1></header>"
+        "<nav><ul><li><a href='/'>Home</a></li></ul></nav>"
+        "<div><h1>Title</h1><p>Real content paragraph here.</p>"
+        "<p><a href='/a'>spam</a> <a href='/b'>spam</a> <a href='/c'>spamspam</a></p>"
+        "<ul><li>alpha</li><li>beta</li></ul>"
+        "<table><tr><td>c1</td><td>c2</td></tr></table></div>"
+        "<footer><p>copyright</p></footer></body></html>"
+    )
+    blocks = build_blocks(tokenize_html(html))
+    kept = classify_blocks(blocks)
+    kept_texts = [b.text for b in kept]
+    assert "Site" not in kept_texts           # header subtree dropped
+    assert "Home" not in kept_texts           # nav subtree dropped
+    assert "copyright" not in kept_texts      # footer subtree dropped
+    assert "Title" in kept_texts
+    assert "Real content paragraph here." in kept_texts
+    assert "alpha" in kept_texts and "beta" in kept_texts
+    assert "c1 | c2" in kept_texts            # tr cells joined
+    assert not any("spam" in t for t in kept_texts)  # link farm dropped
+
+
+def test_render_blocks_spans_invariants():
+    html = ("<html><body><h2>H</h2><p>para one</p><ul><li>x1</li></ul>"
+            "</body></html>")
+    kept = classify_blocks(build_blocks(tokenize_html(html)))
+    text_md, text_plain, spans, n_blocks, n_chars = render_blocks(kept)
+    assert text_md == "## H\n\npara one\n\n- x1"
+    assert text_plain == "H\npara one\nx1"
+    assert n_blocks == 3 and n_chars == len(text_md)
+    # FIXTURES §3 invariants
+    prev_end = -1
+    for s in spans:
+        assert 0 <= s["start"] < s["end"] <= len(text_md)
+        assert s["start"] > prev_end
+        prev_end = s["end"]
+    assert [text_md[s["start"]:s["end"]] for s in spans] == ["## H", "para one", "- x1"]
+    assert [s["kind"] for s in spans] == ["heading", "content", "list"]
+
+
+# ---------------------------------------------------------------- PDF layout
+
+def test_pdf_reading_order_and_furniture():
+    payload = json.dumps({
+        "kind": "pdf",
+        "pages": [
+            {"page": 2, "blocks": [
+                {"x": 0, "y": 10, "w": 100, "h": 10, "font": 10, "text": "p2 body"},
+            ]},
+            {"page": 1, "blocks": [
+                {"x": 50, "y": 5, "w": 10, "h": 5, "font": 10, "text": "right"},
+                {"x": 0, "y": 5, "w": 10, "h": 5, "font": 10, "text": "left"},
+                {"x": 0, "y": 0, "w": 100, "h": 20, "font": 24, "text": "Big Title"},
+                {"x": 40, "y": 90, "w": 5, "h": 3, "font": 10, "text": "17"},
+                {"x": 40, "y": 95, "w": 5, "h": 3, "font": 6, "text": "running footer"},
+            ]},
+        ],
+    })
+    blocks = parse_pdf_payload(payload)
+    assert [b.text for b in blocks] == ["Big Title", "left", "right", "p2 body"]
+    assert blocks[0].tag == "h1"
+    assert parse_pdf_payload("{not json") is None
+
+
+# ---------------------------------------------------------------- end-to-end kernel
+
+def test_sniff():
+    assert sniff_payload_kind("<html><body></body></html>") == "html"
+    assert sniff_payload_kind("  <!DOCTYPE html><html></html>") == "html"
+    assert sniff_payload_kind('{"kind":"pdf","pages":[]}') == "pdf"
+    assert sniff_payload_kind("just words") == "plain"
+    assert sniff_payload_kind(None) == "plain"
+
+
+def test_extract_payload_plain_and_edge():
+    r = extract_payload("hello\r\nworld" + SENTINEL)
+    assert r["text_md"] == "hello\nworld"
+    assert r["spans"] == [{"start": 0, "end": 11, "kind": "content", "block_idx": 0}]
+    assert extract_payload("")["text_md"] == ""
+    assert extract_payload("   ")["n_blocks"] == 0
+    assert extract_payload(None)["ok"] is True
+
+
+def test_extract_payload_chunk_size_invariance():
+    html = ("<html><body><h1>Tïtle 🙂</h1><p>body &amp; text with 日本語 chars"
+            "</p></body></html>")
+    results = [extract_payload(html, chunk_bytes=cb) for cb in (1, 3, 7, 4096)]
+    assert all(r == results[0] for r in results)
+    assert results[0]["text_md"] == "# Tïtle 🙂\n\nbody & text with 日本語 chars"
