@@ -51,14 +51,16 @@ def render_blocks(blocks: Sequence[Block]) -> Tuple[str, str, List[Dict], int, i
     plain_parts: List[str] = []
     spans: List[Dict] = []
     pos = 0
-    for b in blocks:
+    for out_idx, b in enumerate(blocks):
         rendered, kind = render_block_md(b.tag, b.text)
         if md_parts:
             pos += len(BLOCK_SEP)
         start = pos
         pos += len(rendered)
+        # block_idx indexes the *kept* (content) sequence — the document-order
+        # position in the final extraction, not the raw DOM array
         spans.append(
-            {"start": start, "end": pos, "kind": kind, "block_idx": b.block_idx}
+            {"start": start, "end": pos, "kind": kind, "block_idx": out_idx}
         )
         md_parts.append(rendered)
         plain_parts.append(b.text)

@@ -1,0 +1,108 @@
+"""MERGE-based checkpointing: killed runs resume at partition granularity.
+
+The reference's restart-safety primitive is cache-if-absent
+(crates/assets/src/lib.rs:248-254: skip the download when the target already
+exists) plus the out-of-order/duplicate guard on emission
+(crates/server/src/stream.rs:277-280).  At table scale that composes into
+idempotent MERGE: re-executed work inserts only keys not already present, so
+a rerun after a kill is a no-op for completed partitions.
+
+Two sinks:
+
+* ``IcebergMergeSink`` — the production path: a real ``MERGE INTO ... WHEN
+  NOT MATCHED THEN INSERT`` against an Iceberg table (requires an Iceberg
+  catalog on the cluster; at 100 TB this is the only sane option because
+  Iceberg gives snapshot isolation + file-level pruning on the merge key).
+
+* ``ParquetMergeSink`` — a catalog-free emulation with the same contract for
+  this sandbox: target is a parquet directory bucketed by
+  ``pmod(hash(conv_id), n_buckets)``; merge = left-anti join of the batch
+  against existing keys, then append.  The anti-join is bucket-pruned in
+  spirit (both sides partitioned by the same key hash); at cluster scale the
+  Iceberg sink replaces it.
+
+Both are idempotent because the extraction itself is deterministic: a
+re-inserted key would carry identical values, and WHEN NOT MATCHED skips it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetMergeSink:
+    """Parquet-directory MERGE emulation (sandbox stand-in for Iceberg)."""
+
+    def __init__(self, path: str, keys: List[str], n_buckets: int = 64):
+        self.path = path
+        self.keys = keys
+        self.n_buckets = n_buckets
+
+    def exists(self, spark: SparkSession) -> bool:
+        # _SUCCESS-independent: any parquet part counts as committed state
+        return os.path.isdir(self.path) and any(
+            name.endswith(".parquet") or name.startswith("bucket=")
+            for name in os.listdir(self.path)
+        )
+
+    def read(self, spark: SparkSession) -> Optional[DataFrame]:
+        if not self.exists(spark):
+            return None
+        return spark.read.parquet(self.path).drop("bucket")
+
+    def existing_keys(self, spark: SparkSession) -> Optional[DataFrame]:
+        cur = self.read(spark)
+        if cur is None:
+            return None
+        return cur.select(*self.keys)
+
+    def merge(self, df: DataFrame) -> int:
+        """MERGE ... WHEN NOT MATCHED THEN INSERT. Returns rows appended."""
+        spark = df.sparkSession
+        existing = self.existing_keys(spark)
+        batch = df
+        if existing is not None:
+            # left-anti on the merge key = WHEN NOT MATCHED THEN INSERT
+            batch = df.join(existing, on=self.keys, how="left_anti")
+        out = batch.withColumn(
+            "bucket", F.pmod(F.hash(*[F.col(k) for k in self.keys[:1]]),
+                             F.lit(self.n_buckets))
+        )
+        # count once, write once (cache the tiny anti-joined remainder)
+        out = out.persist()
+        n = out.count()
+        if n > 0:
+            out.write.mode("append").partitionBy("bucket").parquet(self.path)
+        out.unpersist()
+        return n
+
+
+class IcebergMergeSink:
+    """Real Iceberg MERGE (production path; requires a configured catalog).
+
+    Usage expects ``table`` like ``catalog.db.extracted`` and an input view;
+    generated SQL::
+
+        MERGE INTO <table> t
+        USING <batch_view> s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN NOT MATCHED THEN INSERT *
+    """
+
+    def __init__(self, table: str, keys: List[str]):
+        self.table = table
+        self.keys = keys
+
+    def merge(self, df: DataFrame) -> None:
+        spark = df.sparkSession
+        view = "merge_batch_src"
+        df.createOrReplaceTempView(view)
+        on = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
+        spark.sql(
+            f"MERGE INTO {self.table} t USING {view} s ON {on} "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
