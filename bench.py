@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line to stdout.
+
+Headline metric (BASELINE.json): turns/sec extraction throughput over a
+synthetic transcript corpus scaled to the SF dir, plus per-query wall times
+for the representative operator set at $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] (default 32)
+  BENCH_TURNS          override transcript turn count (approx)
+
+The two-cluster-size scaling evidence (N vs 4N) lives in
+scripts/scaling_run.py -> BENCH/BASELINE.md; this file is the single-config
+per-round bench the driver records as BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("deepseek-ocr-rs-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+
+
+def materialize(df) -> None:
+    """Full materialization (noop sink) — count() could prune work."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+    from deepseek_ocr_rs_spark.operators.extract import extract_turns, reassemble
+    from deepseek_ocr_rs_spark.sources.transcripts import generate_transcripts_df
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: extraction turns/sec over a generated transcript corpus
+    target_turns = int(os.environ.get("BENCH_TURNS", str(int(10_000_000 * sf))))
+    n_convs = max(200, target_turns // 13)  # ~13 turns/conv incl. skew tail
+    corpus = generate_transcripts_df(
+        spark, n_convs, seed=42, partitions=cpus * 3
+    ).persist()
+    n_turns = corpus.count()  # materialize generation OUTSIDE the timed span
+
+    t0 = time.perf_counter()
+    extracted = reassemble(
+        extract_turns(corpus, run_id="bench", chunk_bytes=65536), cpus * 2
+    )
+    materialize(extracted)
+    extract_sec = time.perf_counter() - t0
+    timings["extract_transcripts"] = round(extract_sec, 3)
+    turns_per_sec = n_turns / extract_sec
+    corpus.unpersist()
+
+    # ---- representative operator queries at the SF dir
+    qset = entry_mod.queries()
+    bench_queries = [
+        "extract_docs_plain",
+        "extract_html_wrapped",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q10_returned_items",
+        "w_latest_event_per_user",
+        "w_sessionize",
+        "doc_exact_dedup",
+        "doc_token_counts",
+        "doc_quality",
+        "dedup_minhash_pairs",
+        "ann_brute_force",
+        "ann_lsh",
+    ]
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        materialize(qset[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "wall seconds to extract the synthetic transcript "
+                          "corpus (salted mapInPandas + ordered reassembly); "
+                          "turns_per_sec is the BASELINE.json headline",
+                "value": round(extract_sec, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "turns_per_sec": round(turns_per_sec, 1),
+                "n_turns": n_turns,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -166,6 +166,11 @@ class _Builder:
                     return
 
     def text(self, s: str) -> None:
+        if self.drop_depth > 0:
+            # content inside nav/header/footer/title/... never reaches a
+            # block — otherwise text directly under a drop tag would leak
+            # into the next flushed block once the subtree closes
+            return
         self.buf.append(s)
         if self.link_depth > 0:
             self.link_buf.append(s)

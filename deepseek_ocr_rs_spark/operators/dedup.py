@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Iterator, List
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -92,7 +93,7 @@ def with_minhash(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", k: int = 64,
                  shingle_n: int = 3) -> DataFrame:
     @F.pandas_udf(ArrayType(LongType()))
-    def _sig(batch: "pd.Series") -> "pd.Series":  # noqa: F821
+    def _sig(batch: pd.Series) -> pd.Series:
         return batch.map(lambda t: minhash_signature(t, k, shingle_n))
 
     return df.select(F.col(id_col), _sig(F.col(text_col)).alias("minhash"))
@@ -185,7 +186,7 @@ def simhash64(text: str, shingle_n: int = 2) -> int:
 def with_simhash(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     @F.pandas_udf(LongType())
-    def _sh(batch: "pd.Series") -> "pd.Series":  # noqa: F821
+    def _sh(batch: pd.Series) -> pd.Series:
         return batch.map(simhash64)
 
     return df.select(F.col(id_col), _sh(F.col(text_col)).alias("simhash"))

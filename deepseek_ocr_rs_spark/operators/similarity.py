@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -99,7 +100,7 @@ def with_lsh_signature(
     from pyspark.sql.types import LongType
 
     @F.pandas_udf(LongType())
-    def _sig(batch: "pd.Series") -> "pd.Series":  # noqa: F821
+    def _sig(batch: pd.Series) -> pd.Series:
         import pandas as pd
 
         if len(batch) == 0:
@@ -168,7 +169,7 @@ def ivf_topk(
     from pyspark.sql.types import IntegerType
 
     @F.pandas_udf(IntegerType())
-    def _cell(batch: "pd.Series") -> "pd.Series":  # noqa: F821
+    def _cell(batch: pd.Series) -> pd.Series:
         import pandas as pd
 
         if len(batch) == 0:

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -96,7 +97,7 @@ def lang_id_udf():
     stopword-marker voting, deterministic tie-break by language code."""
 
     @F.pandas_udf(StringType())
-    def _lang(batch: "pd.Series") -> "pd.Series":  # noqa: F821
+    def _lang(batch: pd.Series) -> pd.Series:
         import pandas as pd
 
         def classify(t):
@@ -157,7 +158,7 @@ def fingerprint_udf():
     """Arrow-batched rolling-hash fingerprint; int64 (63-bit) output."""
 
     @F.pandas_udf(LongType())
-    def _fp(batch: "pd.Series") -> "pd.Series":  # noqa: F821
+    def _fp(batch: pd.Series) -> pd.Series:
         return batch.map(rolling_fingerprint)
 
     return _fp

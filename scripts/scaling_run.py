@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+A real N-vs-4N-executor cluster is not available in this sandbox, so the
+same job runs at two parallelism levels — local[N] and local[4N] (default
+8 and 32 cores) — on the SAME pre-generated input, per the driver's
+instruction.  Reports throughput at both plus scaling efficiency
+  eff = (T_N / T_4N) / 4
+and verifies output equality between the two runs (partitioning-invariance
+gate).  Writes BENCH/BASELINE.md.
+
+Each measurement runs in a fresh subprocess (own JVM) so the two Spark
+masters can't share executor state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, sys, time
+cpus = int(sys.argv[1]); src = sys.argv[2]; out_check = sys.argv[3]
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+    .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "48g")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sys.path.insert(0, %(repo)r)
+from deepseek_ocr_rs_spark.operators.extract import extract_turns, reassemble
+corpus = spark.read.parquet(src)
+n = corpus.count()
+# warm the JVM + python workers on a small slice so we time the job, not startup
+extract_turns(corpus.limit(500)).write.format("noop").mode("overwrite").save()
+t0 = time.perf_counter()
+extracted = reassemble(
+    extract_turns(corpus, run_id=f"scale-{cpus}", chunk_bytes=65536),
+    max(cpus * 2, 8))
+extracted.write.mode("overwrite").parquet(out_check)
+wall = time.perf_counter() - t0
+chk = (spark.read.parquet(out_check)
+       .agg(F.sum(F.crc32(F.concat_ws("\x1f", "conv_id",
+            F.col("turn_idx").cast("string"), "text_md"))).alias("c")).first()["c"])
+print(json.dumps({"cpus": cpus, "n_turns": n, "wall_s": wall,
+                  "turns_per_sec": n / wall, "checksum": int(chk)}))
+spark.stop()
+""" % {"repo": REPO}
+
+GEN = r"""
+import sys
+src = sys.argv[1]; n_convs = int(sys.argv[2])
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[32]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "48g")
+    .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sys.path.insert(0, %(repo)r)
+from deepseek_ocr_rs_spark.sources.transcripts import generate_transcripts_df
+generate_transcripts_df(spark, n_convs, seed=42, partitions=96)\
+    .write.mode("overwrite").parquet(src)
+spark.stop()
+""" % {"repo": REPO}
+
+
+def run_py(code: str, *args: str) -> str:
+    out = subprocess.run(
+        [sys.executable, "-c", code, *args],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-4000:])
+    return out.stdout.strip().splitlines()[-1]
+
+
+def main() -> None:
+    n_small = int(os.environ.get("SCALE_N", "8"))
+    n_big = int(os.environ.get("SCALE_4N", "32"))
+    n_convs = int(os.environ.get("SCALE_CONVS", "40000"))  # ~0.5M turns
+
+    work = tempfile.mkdtemp(prefix="scaling_")
+    src = os.path.join(work, "corpus")
+    print(f"generating corpus ({n_convs} convs) ...", file=sys.stderr)
+    run_py(GEN, src, str(n_convs))
+
+    results = {}
+    for cpus in (n_small, n_big):
+        print(f"measuring local[{cpus}] ...", file=sys.stderr)
+        res = json.loads(run_py(WORKER, str(cpus), src,
+                                os.path.join(work, f"out{cpus}")))
+        results[cpus] = res
+
+    t_n, t_4n = results[n_small]["wall_s"], results[n_big]["wall_s"]
+    eff = (t_n / t_4n) / (n_big / n_small)
+    same = results[n_small]["checksum"] == results[n_big]["checksum"]
+    summary = {
+        "n_turns": results[n_small]["n_turns"],
+        "cores_small": n_small,
+        "cores_big": n_big,
+        "wall_s_small": round(t_n, 2),
+        "wall_s_big": round(t_4n, 2),
+        "turns_per_sec_small": round(results[n_small]["turns_per_sec"], 1),
+        "turns_per_sec_big": round(results[n_big]["turns_per_sec"], 1),
+        "scaling_efficiency": round(eff, 3),
+        "outputs_identical": same,
+    }
+    print(json.dumps(summary))
+
+    md = f"""# BENCH/BASELINE.md — scaling + throughput evidence
+
+## Two-cluster-size scaling (north rule: efficiency >= 0.8 from N to 4N)
+
+No multi-node cluster exists in this sandbox, so N vs 4N executors is
+evidenced (per the driver instruction) by running the identical extraction
+job at two parallelism levels on the same pre-generated input
+({summary['n_turns']:,} turns, seed 42; warm-up pass excluded; each run in
+a fresh JVM).
+
+| config | wall (s) | turns/sec |
+|---|---|---|
+| local[{n_small}]  (N)  | {summary['wall_s_small']} | {summary['turns_per_sec_small']:,} |
+| local[{n_big}] (4N) | {summary['wall_s_big']} | {summary['turns_per_sec_big']:,} |
+
+**Scaling efficiency (T_N / T_4N) / 4 = {summary['scaling_efficiency']}**
+(target >= 0.8).
+
+Outputs at the two parallelism levels are byte-identical
+(crc32 checksum over (conv_id, turn_idx, text_md)): {summary['outputs_identical']}.
+
+## Reference baseline context (BASELINE.md)
+
+The reference is a single-request engine (~30 s per document page,
+decode-bound, README.md:149-161); its throughput metric
+(tok_per_s) does not directly compare to turns/sec.  The comparable
+discipline is kept: per-stage timing (metrics table), strict equality gate
+(pytest fixtures), and a two-configuration matrix.
+
+Regenerate: `python scripts/scaling_run.py`
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
