@@ -32,7 +32,7 @@ def build_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(cpus * 2))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
@@ -64,18 +64,23 @@ def main() -> None:
     target_turns = int(os.environ.get("BENCH_TURNS", str(int(10_000_000 * sf))))
     n_convs = max(200, target_turns // 13)  # ~13 turns/conv incl. skew tail
     corpus = generate_transcripts_df(
-        spark, n_convs, seed=42, partitions=cpus * 3
+        spark, n_convs, seed=42, partitions=cpus * 2
     ).persist()
     n_turns = corpus.count()  # materialize generation OUTSIDE the timed span
+    # warm python workers/JVM codegen so the timed span measures the job
+    materialize(extract_turns(corpus.limit(2000), run_id="warmup"))
 
     t0 = time.perf_counter()
-    extracted = reassemble(
-        extract_turns(corpus, run_id="bench", chunk_bytes=65536), cpus * 2
-    )
-    materialize(extracted)
+    from pyspark import StorageLevel
+
+    extracted = extract_turns(
+        corpus, run_id="bench", chunk_bytes=65536
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # pre-sort persist: range sampler
+    materialize(reassemble(extracted, cpus * 2))  # would otherwise run it 2x
     extract_sec = time.perf_counter() - t0
     timings["extract_transcripts"] = round(extract_sec, 3)
     turns_per_sec = n_turns / extract_sec
+    extracted.unpersist()
     corpus.unpersist()
 
     # ---- representative operator queries at the SF dir

@@ -51,21 +51,27 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _hash_shingles(words: List[str], n: int = 3) -> np.ndarray:
-    """Deterministic uint64 ids for word n-gram shingles (FNV-1a over the
-    joined shingle bytes, vectorized per doc)."""
+    """Deterministic uint64 ids for word n-gram shingles.
+
+    blake2b (8-byte digest, C implementation) per shingle — deterministic
+    across processes/platforms (unlike Python ``hash()``) and ~100x faster
+    than a per-byte Python loop."""
+    from hashlib import blake2b
+
     if len(words) < n:
         shingles = [" ".join(words)] if words else []
     else:
         shingles = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        h = np.uint64(14695981039346656037)
-        with np.errstate(over="ignore"):
-            for b in np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(
-                np.uint64
-            ):
-                h = (h ^ b) * np.uint64(1099511628211)
-        out[i] = h
+    out = np.fromiter(
+        (
+            int.from_bytes(
+                blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+            for s in shingles
+        ),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
     return np.unique(out)
 
 

@@ -44,13 +44,43 @@ def extract_turns(
 
     ``metrics_acc`` / ``lineage_acc`` are optional Spark accumulators (see
     plans/pipeline.py) fed per task partition.
+
+    Implementation detail: mapInArrow (not mapInPandas), and spans leave the
+    Python worker as four FLAT primitive list columns (start/end/kind/
+    block_idx) — primitive Arrow buffers are ~4x cheaper to build and to
+    convert JVM-side than array<struct>.  The public ``spans`` array<struct>
+    column is assembled lazily with JVM-side arrays_zip/transform, so any
+    downstream plan that never touches spans also never pays for them
+    (Catalyst prunes the flat columns away).
     """
-    import pandas as pd  # worker-side import
+    import pyarrow as pa  # worker-side import
 
-    cols = [f.name for f in EXTRACTED_SCHEMA.fields]
     rid = run_id
+    out_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string(), nullable=False),
+            pa.field("turn_idx", pa.int32(), nullable=False),
+            pa.field("payload_kind", pa.string(), nullable=False),
+            pa.field("text_md", pa.string(), nullable=False),
+            pa.field("text_plain", pa.string(), nullable=False),
+            pa.field("_s_start", pa.list_(pa.int32()), nullable=False),
+            pa.field("_s_end", pa.list_(pa.int32()), nullable=False),
+            pa.field("_s_kind", pa.list_(pa.string()), nullable=False),
+            pa.field("_s_bidx", pa.list_(pa.int32()), nullable=False),
+            pa.field("n_blocks", pa.int32(), nullable=False),
+            pa.field("n_chars", pa.int32(), nullable=False),
+            pa.field("ok", pa.bool_(), nullable=False),
+            pa.field("run_id", pa.string(), nullable=True),
+        ]
+    )
+    flat_spark_schema = (
+        "conv_id string, turn_idx int, payload_kind string, text_md string, "
+        "text_plain string, _s_start array<int>, _s_end array<int>, "
+        "_s_kind array<string>, _s_bidx array<int>, n_blocks int, "
+        "n_chars int, ok boolean, run_id string"
+    )
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
@@ -58,35 +88,67 @@ def extract_turns(
         n_turns = 0
         conv_min: Optional[str] = None
         conv_max: Optional[str] = None
-        for pdf in batches:
+        for batch in batches:
             t0 = time.perf_counter()
-            conv_ids = pdf["conv_id"].tolist()
-            turn_idxs = pdf["turn_idx"].tolist()
-            texts = pdf["text"].tolist()
-            out = {c: [] for c in cols}
+            conv_ids = batch.column("conv_id").to_pylist()
+            turn_idxs = batch.column("turn_idx")
+            texts = batch.column("text").to_pylist()
+            kinds = []
+            mds = []
+            plains = []
+            n_blocks = []
+            n_chars = []
+            oks = []
+            # flat span buffers
+            s_start: list = []
+            s_end: list = []
+            s_kind: list = []
+            s_bidx: list = []
+            s_offsets = [0]
             html_s = 0.0
             pdf_s = 0.0
-            for cid, tix, txt in zip(conv_ids, turn_idxs, texts):
-                if txt is not None and not isinstance(txt, str):
-                    txt = str(txt)
+            for txt in texts:
                 t1 = time.perf_counter()
                 r = extract_payload(txt, chunk_bytes=chunk_bytes)
                 dt = time.perf_counter() - t1
-                if r["payload_kind"] == "html":
+                k = r["payload_kind"]
+                if k == "html":
                     html_s += dt
-                elif r["payload_kind"] == "pdf":
+                elif k == "pdf":
                     pdf_s += dt
-                out["conv_id"].append(cid)
-                out["turn_idx"].append(tix)
-                out["payload_kind"].append(r["payload_kind"])
-                out["text_md"].append(r["text_md"])
-                out["text_plain"].append(r["text_plain"])
-                out["spans"].append(r["spans"])
-                out["n_blocks"].append(r["n_blocks"])
-                out["n_chars"].append(r["n_chars"])
-                out["ok"].append(r["ok"])
-                out["run_id"].append(rid)
-            n_turns += len(conv_ids)
+                kinds.append(k)
+                mds.append(r["text_md"])
+                plains.append(r["text_plain"])
+                n_blocks.append(r["n_blocks"])
+                n_chars.append(r["n_chars"])
+                oks.append(r["ok"])
+                for sp in r["spans"]:
+                    s_start.append(sp["start"])
+                    s_end.append(sp["end"])
+                    s_kind.append(sp["kind"])
+                    s_bidx.append(sp["block_idx"])
+                s_offsets.append(len(s_start))
+            offsets = pa.array(s_offsets, pa.int32())
+            n = len(texts)
+            out = pa.RecordBatch.from_arrays(
+                [
+                    batch.column("conv_id"),
+                    turn_idxs.cast(pa.int32()),
+                    pa.array(kinds, pa.string()),
+                    pa.array(mds, pa.string()),
+                    pa.array(plains, pa.string()),
+                    pa.ListArray.from_arrays(offsets, pa.array(s_start, pa.int32())),
+                    pa.ListArray.from_arrays(offsets, pa.array(s_end, pa.int32())),
+                    pa.ListArray.from_arrays(offsets, pa.array(s_kind, pa.string())),
+                    pa.ListArray.from_arrays(offsets, pa.array(s_bidx, pa.int32())),
+                    pa.array(n_blocks, pa.int32()),
+                    pa.array(n_chars, pa.int32()),
+                    pa.array(oks, pa.bool_()),
+                    pa.array([rid] * n, pa.string()),
+                ],
+                schema=out_schema,
+            )
+            n_turns += n
             if conv_ids:
                 lo, hi = min(conv_ids), max(conv_ids)
                 conv_min = lo if conv_min is None else min(conv_min, lo)
@@ -94,7 +156,7 @@ def extract_turns(
             stage_ms["extract"] += (time.perf_counter() - t0) * 1000.0
             stage_ms["tokenize"] += html_s * 1000.0
             stage_ms["parse"] += pdf_s * 1000.0
-            yield pd.DataFrame(out, columns=cols)
+            yield out
         if metrics_acc is not None:
             metrics_acc.add(
                 [(rid or "", pid, stage, n_turns, ms)
@@ -106,7 +168,29 @@ def extract_turns(
             )
 
     pruned = df.select("conv_id", "turn_idx", "text")
-    return pruned.mapInPandas(run, schema=EXTRACTED_SCHEMA)
+    flat = pruned.mapInArrow(run, schema=flat_spark_schema)
+    # lazy JVM-side struct assembly; pruned away when spans go unused
+    spans_col = F.transform(
+        F.arrays_zip("_s_start", "_s_end", "_s_kind", "_s_bidx"),
+        lambda s: F.struct(
+            s["_s_start"].alias("start"),
+            s["_s_end"].alias("end"),
+            s["_s_kind"].alias("kind"),
+            s["_s_bidx"].alias("block_idx"),
+        ),
+    )
+    return flat.select(
+        "conv_id",
+        "turn_idx",
+        "payload_kind",
+        "text_md",
+        "text_plain",
+        spans_col.alias("spans"),
+        "n_blocks",
+        "n_chars",
+        "ok",
+        "run_id",
+    )
 
 
 def reassemble(extracted: DataFrame, num_partitions: Optional[int] = None) -> DataFrame:

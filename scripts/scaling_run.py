@@ -32,7 +32,7 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
     .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.driver.memory", "48g")
@@ -45,9 +45,10 @@ n = corpus.count()
 # warm the JVM + python workers on a small slice so we time the job, not startup
 extract_turns(corpus.limit(500)).write.format("noop").mode("overwrite").save()
 t0 = time.perf_counter()
-extracted = reassemble(
-    extract_turns(corpus, run_id=f"scale-{cpus}", chunk_bytes=65536),
-    max(cpus * 2, 8))
+from pyspark import StorageLevel
+ex = extract_turns(corpus, run_id=f"scale-{cpus}", chunk_bytes=65536)\
+    .persist(StorageLevel.MEMORY_AND_DISK)  # range sampler would run it 2x
+extracted = reassemble(ex, max(cpus * 2, 8))
 extracted.write.mode("overwrite").parquet(out_check)
 wall = time.perf_counter() - t0
 chk = (spark.read.parquet(out_check)

@@ -1,0 +1,129 @@
+"""Semantic tests: planted near-duplicates must be found; ANN must agree
+with brute force on recall; multimodal plumbing round-trips."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_rs_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard,
+    simhash64,
+    simhash_candidates,
+)
+from deepseek_ocr_rs_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while spark shuffles "
+        "partitions across the cluster and merges sorted runs of data " * 3)
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    rows = []
+    for i in range(40):
+        rows.append((i, f"unique document number {i} " +
+                     " ".join(f"tok{i}_{j}" for j in range(30))))
+    rows.append((100, BASE))
+    rows.append((101, BASE))  # exact dup of 100
+    rows.append((102, BASE.replace("lazy", "sleepy")))  # near dup
+    rows.append((103, BASE + " extra trailing words here"))  # near dup
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_finds_planted(spark, doc_df):
+    out = exact_dedup(doc_df).where(F.col("n_copies") > 1).collect()
+    assert len(out) == 1
+    assert out[0]["keeper_id"] == 100 and out[0]["n_copies"] == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark, doc_df):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(doc_df, threshold=0.5).collect()}
+    assert (100, 101) in pairs and pairs[(100, 101)] == 1.0
+    assert (100, 102) in pairs or (101, 102) in pairs
+    assert (100, 103) in pairs or (101, 103) in pairs
+    # unrelated docs must NOT pair
+    assert not any(a < 100 and b < 100 for a, b in pairs)
+
+
+def test_minhash_estimates_jaccard():
+    a = minhash_signature(BASE)
+    b = minhash_signature(BASE.replace("lazy", "sleepy"))
+    est = sum(1 for x, y in zip(a, b) if x == y) / len(a)
+    true = ngram_jaccard(BASE, BASE.replace("lazy", "sleepy"))
+    assert abs(est - true) < 0.25
+    assert minhash_signature(BASE) == a  # deterministic
+
+
+def test_simhash_properties(spark, doc_df):
+    assert simhash64(BASE) == simhash64(BASE)
+    ham_near = bin(
+        (simhash64(BASE) ^ simhash64(BASE.replace("lazy", "sleepy")))
+        & 0xFFFFFFFFFFFFFFFF
+    ).count("1")
+    assert ham_near <= 12
+    cands = {(r["id_a"], r["id_b"]) for r in
+             simhash_candidates(doc_df).where(F.col("hamming") <= 8).collect()}
+    assert (100, 101) in cands
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(200):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    # planted neighbors of the query
+    for j, eps in [(500, 0.01), (501, 0.05), (502, 0.1)]:
+        rows.append((j, [float(x) for x in base + eps * rng.standard_normal(16)]))
+    rows.append((999, [float(x) for x in base]))  # the query itself
+    return (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+            .cache(), [float(x) for x in base])
+
+
+def test_brute_force_topk_finds_planted(spark, emb_df):
+    df, q = emb_df
+    top = [r["vec_id"] for r in brute_force_topk(df, q, k=4).collect()]
+    assert top[0] == 999
+    assert set(top[1:]) == {500, 501, 502}
+
+
+def test_lsh_and_ivf_recall(spark, emb_df):
+    df, q = emb_df
+    exact = [r["vec_id"] for r in brute_force_topk(df, q, k=4).collect()]
+    lsh = [r["vec_id"] for r in lsh_bucket_topk(df, q, k=4, bits=6).collect()]
+    ivf = [r["vec_id"] for r in ivf_topk(df, q, k=4, n_cells=8, nprobe=4).collect()]
+    # ANN tiers must recover most of the exact top-k (recall >= 3/4)
+    assert len(set(exact) & set(lsh)) >= 3
+    assert len(set(exact) & set(ivf)) >= 3
+
+
+def test_multimodal_plumbing(spark):
+    from deepseek_ocr_rs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        frame_sample_plan,
+    )
+
+    rows = [
+        ("m1", "image", bytearray(b"\x89PNGfakebytes"), "image/png", 8, 8, None),
+        ("m2", "video", bytearray(b"fakemp4"), "video/mp4", 64, 64, 3500),
+        ("m3", "image", None, "image/png", 1, 1, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_media_features(df, 8).collect()}
+    assert feats["m1"]["n_bytes"] == 13
+    assert len(feats["m1"]["features"]) == 8
+    # deterministic: same payload -> same features
+    again = {r["media_id"]: r for r in extract_media_features(df, 8).collect()}
+    assert feats["m1"]["features"] == again["m1"]["features"]
+    frames = frame_sample_plan(df, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
