@@ -227,6 +227,142 @@ def q10_returned_items(spark, sf_dir):
     )
 
 
+def q4_order_priority_exists(spark, sf_dir):
+    """Semi-join EXISTS (P-family predicate + join pruning): orders having
+    at least one lineitem, counted per priority."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    """Aggregation + HAVING + re-join (T8 budget-cap analog at query level)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .select(
+            "o_custkey",
+            "l_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+def t_topk_events_per_user(spark, sf_dir):
+    """T1 top-k per group: top-3 events by value (ties by event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.round("value", 2).alias("value_r"),
+                "rnk")
+    )
+
+
+def t_top_p_cutoff(spark, sf_dir):
+    """A6/T2 nucleus (top-p) cutoff: per user, keep highest-value events
+    until 90% of total value is covered (sort desc + running share), exactly
+    the reference's apply_top_p shape (crates/core/src/sampling.rs:176-223)."""
+    ev = _t(spark, sf_dir, "events")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("user_id")
+    withshare = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value"),
+        (F.sum("value").over(w_cum) - F.col("value")).alias("mass_before"),
+        F.sum("value").over(w_all).alias("total"),
+    )
+    return withshare.where(
+        F.col("mass_before") / F.col("total") < 0.9
+    ).select("user_id", "event_id", F.round("value", 2).alias("value_r"))
+
+
+def t_best_supplier_per_nation(spark, sf_dir):
+    """T4 argmin with deterministic tie-break: cheapest-acctbal supplier."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.asc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("n_name", "s_suppkey", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+def w_repeated_ngrams(spark, sf_dir):
+    """W3 banned-ngram window analog: word trigrams repeated >= 3 times
+    within a document (sliding window over token arrays, JVM-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.split(F.trim("text"), r"\s+")
+    docs = docs.select("doc_id", arr.alias("w")).where(F.size("w") >= 3)
+    tg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2), i -> "
+                "concat_ws(' ', element_at(w, i), element_at(w, i + 1), "
+                "element_at(w, i + 2)))"
+            )
+        ).alias("trigram"),
+    )
+    return (
+        tg.groupBy("doc_id", "trigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 3)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_repeated_trigrams"))
+    )
+
+
+def u_distinct_types_per_user(spark, sf_dir):
+    """A8 distinct-context aggregation: exact distinct count per group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def conv_render_plain(spark, sf_dir):
+    """F2/F3 template render: events-as-turns -> one prompt per conversation
+    (ordered collect + fold; string_agg oracle)."""
+    from deepseek_ocr_rs_spark.operators.compaction import render_conversation
+
+    ev = _t(spark, sf_dir, "events")
+    turns = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "click", "user")
+        .when(F.col("event_type") == "view", "system")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("event_type").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+    return render_conversation(turns, "plain")
+
+
 def w_latest_event_per_user(spark, sf_dir):
     """P1/W1: latest-turn selection via row_number over a desc window
     (crates/server/src/generation.rs:200-244 re-expressed)."""
@@ -455,6 +591,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_items": q10_returned_items,
+        "q4_order_priority_exists": q4_order_priority_exists,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "t_topk_events_per_user": t_topk_events_per_user,
+        "t_top_p_cutoff": t_top_p_cutoff,
+        "t_best_supplier_per_nation": t_best_supplier_per_nation,
+        "w_repeated_ngrams": w_repeated_ngrams,
+        "u_distinct_types_per_user": u_distinct_types_per_user,
+        "conv_render_plain": conv_render_plain,
         "w_latest_event_per_user": w_latest_event_per_user,
         "w_running_value": w_running_value,
         "w_sessionize": w_sessionize,
@@ -563,6 +707,84 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "q4_order_priority_exists": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            GROUP BY o_orderpriority
+        """,
+        "q18_large_volume_customers": """
+            SELECT o_custkey, l_orderkey,
+                   round(o_totalprice, 2) AS totalprice, total_qty
+            FROM (
+              SELECT l_orderkey, round(SUM(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(SUM(l_quantity), 2) > 250
+            ) JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "t_topk_events_per_user": """
+            SELECT user_id, event_id, round(value, 2) AS value_r, rnk
+            FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id ASC) AS rnk
+              FROM events
+            ) WHERE rnk <= 3
+        """,
+        "t_top_p_cutoff": """
+            SELECT user_id, event_id, round(value, 2) AS value_r
+            FROM (
+              SELECT user_id, event_id, value,
+                     SUM(value) OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - value AS mass_before,
+                     SUM(value) OVER (PARTITION BY user_id) AS total
+              FROM events
+            ) WHERE mass_before / total < 0.9
+        """,
+        "t_best_supplier_per_nation": """
+            SELECT n_name, s_suppkey, round(s_acctbal, 2) AS acctbal
+            FROM (
+              SELECT s_nationkey, s_suppkey, s_acctbal,
+                     row_number() OVER (PARTITION BY s_nationkey
+                       ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+              FROM supplier
+            ) JOIN nation ON s_nationkey = n_nationkey
+            WHERE rn = 1
+        """,
+        "w_repeated_ngrams": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+              FROM documents
+              WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+            ), tg AS (
+              SELECT doc_id,
+                     arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]
+                       AS trigram
+              FROM w, LATERAL UNNEST(generate_series(1, len(arr) - 2)) AS t(i)
+            ), rep AS (
+              SELECT doc_id, trigram, COUNT(*) AS cnt
+              FROM tg GROUP BY doc_id, trigram HAVING COUNT(*) >= 3
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_repeated_trigrams
+            FROM rep GROUP BY doc_id
+        """,
+        "u_distinct_types_per_user": """
+            SELECT user_id,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "conv_render_plain": """
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   string_agg(
+                     CASE WHEN event_type = 'view'
+                          THEN 'System: ' || event_type
+                          ELSE event_type END,
+                     chr(10) ORDER BY event_id) AS rendered_prompt
+            FROM events GROUP BY user_id
         """,
         "w_latest_event_per_user": """
             SELECT user_id, event_id, event_type,

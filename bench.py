@@ -67,8 +67,10 @@ def main() -> None:
         spark, n_convs, seed=42, partitions=cpus * 2
     ).persist()
     n_turns = corpus.count()  # materialize generation OUTSIDE the timed span
-    # warm python workers/JVM codegen so the timed span measures the job
-    materialize(extract_turns(corpus.limit(2000), run_id="warmup"))
+    # Warm python workers AND the JVM arrow-serialization JIT: a too-small
+    # warm-up leaves the C2 compiler cold and the first timed run measures
+    # compilation, not the job (observed 6x).  ~5% of the corpus suffices.
+    materialize(extract_turns(corpus.sample(0.05, seed=1), run_id="warmup"))
 
     t0 = time.perf_counter()
     from pyspark import StorageLevel

@@ -347,20 +347,27 @@ def generate_transcripts_df(spark, n_convs: int, seed: int = 42,
 
     parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
 
+    cols = [f.name for f in TRANSCRIPTS_SCHEMA.fields]
+
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # yield in bounded chunks (~CHUNK_CONVS convs ≈ 6.5k turns ≈ 20 MB):
+        # one giant DataFrame per partition would stall the Arrow stream and
+        # balloon worker memory at scale
+        CHUNK_CONVS = 500
         for pdf in batches:
-            rows: List[Dict] = []
-            for i in pdf["id"].tolist():
-                conv_id = f"conv-{seed}-{i:08d}"
-                if skew_every and i % skew_every == skew_every - 1:
-                    n_turns = skew_turns
-                else:
-                    n_turns = int(
-                        _rng_for(seed, conv_id + ":plan").integers(2, 21))
-                t, _ = gen_conversation(conv_id, n_turns, seed)
-                rows.extend(t)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in TRANSCRIPTS_SCHEMA.fields])
+            ids = pdf["id"].tolist()
+            for lo in range(0, len(ids), CHUNK_CONVS):
+                rows: List[Dict] = []
+                for i in ids[lo : lo + CHUNK_CONVS]:
+                    conv_id = f"conv-{seed}-{i:08d}"
+                    if skew_every and i % skew_every == skew_every - 1:
+                        n_turns = skew_turns
+                    else:
+                        n_turns = int(
+                            _rng_for(seed, conv_id + ":plan").integers(2, 21))
+                    t, _ = gen_conversation(conv_id, n_turns, seed)
+                    rows.extend(t)
+                yield pd.DataFrame(rows, columns=cols)
 
     return (
         spark.range(0, n_convs, 1, parts)

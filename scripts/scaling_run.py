@@ -42,8 +42,9 @@ sys.path.insert(0, %(repo)r)
 from deepseek_ocr_rs_spark.operators.extract import extract_turns, reassemble
 corpus = spark.read.parquet(src)
 n = corpus.count()
-# warm the JVM + python workers on a small slice so we time the job, not startup
-extract_turns(corpus.limit(500)).write.format("noop").mode("overwrite").save()
+# warm the python workers AND the JVM arrow JIT (a tiny warm-up leaves C2
+# cold and the timed run measures compilation): ~5%% of the corpus
+extract_turns(corpus.sample(0.05, seed=1)).write.format("noop").mode("overwrite").save()
 t0 = time.perf_counter()
 from pyspark import StorageLevel
 ex = extract_turns(corpus, run_id=f"scale-{cpus}", chunk_bytes=65536)\
@@ -70,7 +71,7 @@ spark = (SparkSession.builder.master("local[32]")
 spark.sparkContext.setLogLevel("ERROR")
 sys.path.insert(0, %(repo)r)
 from deepseek_ocr_rs_spark.sources.transcripts import generate_transcripts_df
-generate_transcripts_df(spark, n_convs, seed=42, partitions=96)\
+generate_transcripts_df(spark, n_convs, seed=42, partitions=256)\
     .write.mode("overwrite").parquet(src)
 spark.stop()
 """ % {"repo": REPO}
