@@ -334,6 +334,20 @@ def w_repeated_ngrams(spark, sf_dir):
     )
 
 
+def f_json_props(spark, sf_dir):
+    """F16 JSON ser/de: parse the events.props JSON column with an explicit
+    schema (from_json) and aggregate the extracted field."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k")).cast("long").alias("sum_k"),
+        F.count(F.when(F.col("p.k").isNotNull(), 1)).alias("n_with_k"),
+    )
+
+
 def u_distinct_types_per_user(spark, sf_dir):
     """A8 distinct-context aggregation: exact distinct count per group."""
     ev = _t(spark, sf_dir, "events")
@@ -598,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_best_supplier_per_nation": t_best_supplier_per_nation,
         "w_repeated_ngrams": w_repeated_ngrams,
         "u_distinct_types_per_user": u_distinct_types_per_user,
+        "f_json_props": f_json_props,
         "conv_render_plain": conv_render_plain,
         "w_latest_event_per_user": w_latest_event_per_user,
         "w_running_value": w_running_value,
@@ -770,6 +785,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_repeated_trigrams
             FROM rep GROUP BY doc_id
+        """,
+        "f_json_props": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER))
+                        AS BIGINT) AS sum_k,
+                   CAST(COUNT(json_extract(props, '$.k')) AS BIGINT)
+                     AS n_with_k
+            FROM events GROUP BY event_type
         """,
         "u_distinct_types_per_user": """
             SELECT user_id,

@@ -44,23 +44,35 @@ def sniff_payload_kind(text: Optional[str]) -> str:
     return KIND_PLAIN
 
 
-def extract_payload(text: Optional[str], chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> Dict:
+def extract_payload(
+    text: Optional[str],
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    max_blocks: Optional[int] = None,
+) -> Dict:
     """Extract one turn's payload.
 
     Returns dict with keys: payload_kind, text_md, text_plain, spans (list of
     {start,end,kind,block_idx}), n_blocks, n_chars, ok (bool; False routes
     the row to quarantine, C4 analog).
+
+    ``max_blocks`` caps the per-turn output (T8 — the max_new_tokens budget
+    analog, model/mod.rs:1977-2034): blocks beyond the cap are truncated
+    deterministically in document order.
     """
     kind = sniff_payload_kind(text)
     if kind == KIND_HTML:
         events = tokenize_html(text, chunk_size=chunk_bytes)
         blocks = classify_blocks(build_blocks(events))
+        if max_blocks is not None:
+            blocks = blocks[:max_blocks]
         text_md, text_plain, spans, n_blocks, n_chars = render_blocks(blocks)
         return _result(kind, text_md, text_plain, spans, n_blocks, n_chars, True)
     if kind == KIND_PDF:
         blocks = parse_pdf_payload(text)
         if blocks is None:  # malformed JSON -> quarantine, don't fail the job
             return _result(kind, "", "", [], 0, 0, False)
+        if max_blocks is not None:
+            blocks = blocks[:max_blocks]
         text_md, text_plain, spans, n_blocks, n_chars = render_blocks(blocks)
         return _result(kind, text_md, text_plain, spans, n_blocks, n_chars, True)
     # plain path (small-payload short-circuit: no segmentation at all)

@@ -25,6 +25,20 @@ TEMPLATES: Dict[str, Dict] = {
 }
 
 
+def flatten_parts(df: DataFrame, parts_col: str = "parts",
+                  out_col: str = "text") -> DataFrame:
+    """P3 content flatten: multi-part message -> one text, parts iterated in
+    REVERSE order and joined with newlines, exactly ``flatten_content``
+    (crates/server/src/generation.rs:246-268).  Pure JVM expressions."""
+    flat = F.array_join(
+        F.reverse(
+            F.filter(F.col(parts_col), lambda p: F.trim(p) != F.lit(""))
+        ),
+        "\n",
+    )
+    return df.withColumn(out_col, flat)
+
+
 def compact_latest_user(df: DataFrame) -> DataFrame:
     """Keep, per conversation: the latest user turn + system turns before it.
 

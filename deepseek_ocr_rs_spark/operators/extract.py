@@ -193,6 +193,22 @@ def extract_turns(
     )
 
 
+def salted_repartition(df: DataFrame, num_partitions: int,
+                       *key_cols: str) -> DataFrame:
+    """Skew-defusing repartition: pmod(hash(keys), n) spreads hot keys.
+
+    Used when a downstream op must co-process rows of one hot key (the
+    reference's MoE expert-dispatch pattern, block.rs:1215-1301).  The
+    extraction pipeline itself no longer needs it — range partitioning the
+    input achieves balance and ordering in one shuffle (plans/pipeline.py).
+    """
+    cols = list(key_cols) or ["conv_id", "turn_idx"]
+    return df.repartition(
+        num_partitions,
+        F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(num_partitions)),
+    )
+
+
 def reassemble(extracted: DataFrame, num_partitions: Optional[int] = None) -> DataFrame:
     """Restore the stable (conv_id, turn_idx) global order (W5 contract).
 

@@ -2,26 +2,32 @@
 
     read transcripts
       -> quarantine split (malformed payloads never fail the job; C4)
-      -> salted repartition on (conv_id, turn_idx)   [skew defusal]
-      -> mapInPandas extraction                      [the only custom stage]
-      -> MERGE into the extracted sink               [checkpoint/resume; C1]
-      -> metrics + lineage rows                      [A1/A5/A10 analogs]
+      -> range-partition INPUT on (conv_id, turn_idx)  [skew + order, 1 shuffle]
+      -> mapInArrow extraction                         [the only custom stage]
+      -> local sortWithinPartitions                    [global order, 0 shuffle]
+      -> MERGE into the extracted sink                 [checkpoint/resume; C1]
+      -> metrics + lineage rows                        [A1/A5/A10 analogs]
 
 Scale reasoning (explicitly, for the 100 TB case):
-  * Salting: hash(conv_id, turn_idx) mod n_partitions spreads a 10^6-turn
-    conversation over the whole cluster; turns are independent so no
-    groupBy-per-conv is ever needed before extraction.  Without this, one
-    hot conv_id pins a single task (the reference's MoE dispatch J5 is the
-    same pattern: route by key, process, reassemble).
-  * The extraction stage itself induces NO shuffle; the only shuffles in the
-    job are (a) the explicit repartition (bounded by input size, one pass)
-    and (b) the final range sort for output ordering — both linear, both
-    AQE-coalesced.
+  * ONE shuffle total, and it moves the *input*, not the (post-extraction)
+    output.  Range partitioning the input on (conv_id, turn_idx):
+      - spreads a 10^6-turn conversation across range boundaries (turns are
+        independent, so no per-conv grouping is needed — the salting goal,
+        achieved without a separate salt column);
+      - re-balances pathological input file packing (tiny files);
+      - buys the output's global total order with a LOCAL sort, because the
+        partitions themselves are range-ordered.  No second shuffle, no
+        persist, and the range sampler scans only the two pruned key
+        columns of the input — never the extraction.
+  * Extraction itself induces NO shuffle and is embarrassingly parallel.
   * Resume: re-running the job against an existing sink anti-joins on the
     merge key, so only missing (conv_id, turn_idx) keys are re-extracted —
     partition-granularity resume falls out of key-granularity MERGE.
   * Metrics/lineage travel via accumulators (bytes per task, not per row) —
     no second pass over the data and no extra action.
+  * When the source table is ALREADY clustered by (conv_id, turn_idx)
+    (Iceberg sort order), set sort_output=False and skip even that shuffle:
+    scan splits preserve clustering and a local sort suffices.
 """
 
 from __future__ import annotations
@@ -122,29 +128,33 @@ def run_extraction(
     )
     good = src.where(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
 
-    # ---- salted repartition (skew defusal): RoundRobin would also balance
-    # but breaks co-location determinism for metrics; hashing the full key
-    # spreads long conversations evenly while keeping the op deterministic.
-    salted = good.repartition(
-        cfg.n_partitions,
-        F.pmod(F.hash("conv_id", "turn_idx"), F.lit(cfg.salt_buckets)),
-    )
+    # ---- partitioning BEFORE extraction (the load-bearing topology call):
+    # range-partition the INPUT on (conv_id, turn_idx).  This simultaneously
+    #   (1) defuses long-conversation skew (a 10^6-turn conv splits across
+    #       range boundaries — same effect as salting, since turns are
+    #       independent),
+    #   (2) fixes file-packing under-parallelism (tiny/packed input files),
+    #   (3) makes the final global order free: partitions are ordered by
+    #       range, so a LOCAL sort after extraction yields a total order —
+    #       no shuffle of the (larger) extracted output, no persist, and no
+    #       double-computed extraction from the range sampler (the sampler
+    #       scans only the two pruned key columns of the INPUT).
+    if cfg.sort_output:
+        src_parts = good.repartitionByRange(
+            cfg.n_partitions, "conv_id", "turn_idx"
+        )
+    else:
+        # source already clustered/partitioned how the caller wants it:
+        # zero-shuffle path (scan splits carry the parallelism)
+        src_parts = good
 
     extracted = extract_turns(
-        salted,
+        src_parts,
         run_id=cfg.run_id,
         chunk_bytes=cfg.chunk_bytes,
         metrics_acc=metrics_acc,
         lineage_acc=lineage_acc,
     )
-    # Persist BEFORE the range sort: repartitionByRange samples its child to
-    # pick boundaries, which would otherwise execute the extraction stage
-    # twice (2x compute + double-fired accumulators).  With the persist, the
-    # sampling pass materializes the cache and the shuffle pass reads it.
-    if cfg.sort_output or sink is not None:
-        from pyspark import StorageLevel
-
-        extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
     # payload-level failures (malformed PDF JSON) also route to quarantine
     payload_bad = extracted.where(~F.col("ok")).select(
         "conv_id", "turn_idx", "payload_kind",
@@ -154,7 +164,9 @@ def run_extraction(
     extracted_ok = extracted.where(F.col("ok"))
 
     if cfg.sort_output:
-        extracted_ok = reassemble(extracted_ok, cfg.output_partitions)
+        # local sort only — global order follows from the input range
+        # partitioning above (no second shuffle)
+        extracted_ok = extracted_ok.sortWithinPartitions("conv_id", "turn_idx")
 
     rows_written: Optional[int] = None
     if sink is not None:
