@@ -33,6 +33,8 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
@@ -73,16 +75,16 @@ def main() -> None:
     materialize(extract_turns(corpus.sample(0.05, seed=1), run_id="warmup"))
 
     t0 = time.perf_counter()
-    from pyspark import StorageLevel
-
+    # production topology: range-partition the INPUT, extract, local sort —
+    # one shuffle total, globally ordered output (plans/pipeline.py)
+    ranged = corpus.repartitionByRange(cpus * 2, "conv_id", "turn_idx")
     extracted = extract_turns(
-        corpus, run_id="bench", chunk_bytes=65536
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # pre-sort persist: range sampler
-    materialize(reassemble(extracted, cpus * 2))  # would otherwise run it 2x
+        ranged, run_id="bench", chunk_bytes=65536
+    ).sortWithinPartitions("conv_id", "turn_idx")
+    materialize(extracted)
     extract_sec = time.perf_counter() - t0
     timings["extract_transcripts"] = round(extract_sec, 3)
     turns_per_sec = n_turns / extract_sec
-    extracted.unpersist()
     corpus.unpersist()
 
     # ---- representative operator queries at the SF dir
@@ -113,8 +115,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "wall seconds to extract the synthetic transcript "
-                          "corpus (salted mapInPandas + ordered reassembly); "
-                          "turns_per_sec is the BASELINE.json headline",
+                          "corpus (range-partitioned input -> mapInArrow "
+                          "extraction -> ordered output); turns_per_sec is "
+                          "the BASELINE.json headline",
                 "value": round(extract_sec, 3),
                 "unit": "sec",
                 "queries": timings,

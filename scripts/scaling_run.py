@@ -25,16 +25,23 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
-import json, sys, time
+import json, os, sys, time
 cpus = int(sys.argv[1]); src = sys.argv[2]
 from pyspark.sql import SparkSession, functions as F
 from pyspark import StorageLevel
+# size scan splits so split count ~= 2 waves of 32 (and a whole number of
+# waves at 8): avoids wave-quantization bias in the scaling comparison
+total = sum(os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(src) for f in fs)
+split = max(4 * 1024 * 1024, int(total / 64) + (1 << 20))
 spark = (SparkSession.builder.master(f"local[{cpus}]")
     .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-    .config("spark.sql.files.maxPartitionBytes", "16m")
+    .config("spark.sql.files.maxPartitionBytes", str(split))
+    .config("spark.sql.files.openCostInBytes", "0")
+    .config("spark.local.dir", "/dev/shm/spark-local")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.driver.memory", "48g")
