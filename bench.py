@@ -57,7 +57,7 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
-    from deepseek_ocr_rs_spark.operators.extract import extract_turns, reassemble
+    from deepseek_ocr_rs_spark.operators.extract import extract_turns
     from deepseek_ocr_rs_spark.sources.transcripts import generate_transcripts_df
 
     timings: dict[str, float] = {}
