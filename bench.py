@@ -65,10 +65,18 @@ def main() -> None:
     # ---- headline: extraction turns/sec over a generated transcript corpus
     target_turns = int(os.environ.get("BENCH_TURNS", str(int(10_000_000 * sf))))
     n_convs = max(200, target_turns // 13)  # ~13 turns/conv incl. skew tail
-    corpus = generate_transcripts_df(
-        spark, n_convs, seed=42, partitions=cpus * 2
-    ).persist()
-    n_turns = corpus.count()  # materialize generation OUTSIDE the timed span
+    # Stage the corpus to parquet and read back: a columnar scan feeds
+    # mapInArrow vectorized; an in-memory object-row cache would pay a
+    # per-row JVM->Arrow conversion + GC of the cached objects (~6x slower
+    # at 1M rows).  Generation/staging is OUTSIDE the timed span.
+    import tempfile
+
+    stage_dir = os.path.join(tempfile.gettempdir(), f"bench_corpus_sf{sf}")
+    generate_transcripts_df(
+        spark, n_convs, seed=42, partitions=cpus * 4
+    ).write.mode("overwrite").parquet(stage_dir)
+    corpus = spark.read.parquet(stage_dir)
+    n_turns = corpus.count()
     # Warm python workers AND the JVM arrow-serialization JIT: a too-small
     # warm-up leaves the C2 compiler cold and the first timed run measures
     # compilation, not the job (observed 6x).  ~5% of the corpus suffices.
@@ -85,7 +93,6 @@ def main() -> None:
     extract_sec = time.perf_counter() - t0
     timings["extract_transcripts"] = round(extract_sec, 3)
     turns_per_sec = n_turns / extract_sec
-    corpus.unpersist()
 
     # ---- representative operator queries at the SF dir
     qset = entry_mod.queries()
