@@ -377,6 +377,39 @@ def conv_render_plain(spark, sf_dir):
     return render_conversation(turns, "plain")
 
 
+def q14_promo_revenue(spark, sf_dir):
+    """Conditional aggregation ratio (TPC-H Q14 shape): join + CASE inside
+    SUM; the broadcast side is the part dim."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def set_suppliers_only_nations(spark, sf_dir):
+    """EXCEPT set op: nations having suppliers but no customers."""
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    n = _t(spark, sf_dir, "nation")
+    only = s.distinct().subtract(c.distinct())  # EXCEPT (set semantics)
+    return only.join(F.broadcast(n), only.nk == n.n_nationkey).select(
+        "n_name", F.col("nk").alias("nationkey")
+    )
+
+
 def w_latest_event_per_user(spark, sf_dir):
     """P1/W1: latest-turn selection via row_number over a desc window
     (crates/server/src/generation.rs:200-244 re-expressed)."""
@@ -607,6 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q4_order_priority_exists": q4_order_priority_exists,
         "q18_large_volume_customers": q18_large_volume_customers,
+        "q14_promo_revenue": q14_promo_revenue,
+        "set_suppliers_only_nations": set_suppliers_only_nations,
         "t_topk_events_per_user": t_topk_events_per_user,
         "t_top_p_cutoff": t_top_p_cutoff,
         "t_best_supplier_per_nation": t_best_supplier_per_nation,
@@ -722,6 +757,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "q14_promo_revenue": """
+            SELECT round(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0.0 END)
+                   / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "set_suppliers_only_nations": """
+            SELECT n_name, nk AS nationkey
+            FROM (
+              SELECT s_nationkey AS nk FROM supplier
+              EXCEPT
+              SELECT c_nationkey AS nk FROM customer
+            ) JOIN nation ON nk = n_nationkey
         """,
         "q4_order_priority_exists": """
             SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
