@@ -168,10 +168,6 @@ def run_extraction(
         # partitioning above (no second shuffle)
         extracted_ok = extracted_ok.sortWithinPartitions("conv_id", "turn_idx")
 
-    rows_written: Optional[int] = None
-    if sink is not None:
-        rows_written = sink.merge(extracted_ok)
-
     # accumulators are populated only after an action; build the DataFrames
     # lazily from their current contents at call time.  Spark accumulators
     # are at-least-once under task retry / cache miss, so entries are deduped
@@ -191,6 +187,15 @@ def run_extraction(
     def _lineage_df() -> DataFrame:
         return spark.createDataFrame(
             _dedupe(lineage_acc.value or [], 2), LINEAGE_SCHEMA)
+
+    rows_written: Optional[int] = None
+    if sink is not None:
+        rows_written = sink.merge(extracted_ok)
+        # north rule: per-partition lineage + metrics rows are persisted
+        # alongside the extracted table (the merge action just populated
+        # the accumulators)
+        _metrics_df().write.mode("append").parquet(sink.path + "_metrics")
+        _lineage_df().write.mode("append").parquet(sink.path + "_lineage")
 
     # metrics/lineage are zero-arg builders: call them AFTER an action has
     # materialized `extracted` (the accumulators fill as tasks finish)
