@@ -75,6 +75,10 @@ def _hash_shingles(words: List[str], n: int = 3) -> np.ndarray:
     return np.unique(out)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
 def _minhash_params(k: int) -> tuple:
     rng = np.random.default_rng(0xD5EE)  # fixed seed: same family everywhere
     a = rng.integers(1, (1 << 61) - 1, size=k, dtype=np.uint64)
