@@ -501,6 +501,37 @@ def a_order_priority_summary(spark, sf_dir):
     )
 
 
+def a_median_value(spark, sf_dir):
+    """Exact interpolated median per group (percentile agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def a_rollup_orders(spark, sf_dir):
+    """ROLLUP grouping over (priority, status) with subtotal rows."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+def w_events_per_day(spark, sf_dir):
+    """Time bucketing: events per (day, type) — the tumbling-window batch
+    analog (UTC-pinned)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("day_value"),
+    )
+
+
 def doc_exact_dedup(spark, sf_dir):
     from deepseek_ocr_rs_spark.operators.dedup import exact_dedup
 
@@ -656,6 +687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_nations_with_both": set_nations_with_both,
         "a_event_type_totals": a_event_type_totals,
         "a_order_priority_summary": a_order_priority_summary,
+        "a_median_value": a_median_value,
+        "a_rollup_orders": a_rollup_orders,
+        "w_events_per_day": w_events_per_day,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_token_counts": doc_token_counts,
         "doc_quality": doc_quality,
@@ -923,6 +957,24 @@ def oracle_sql() -> dict[str, str]:
                      AS all_finished,
                    round(SUM(o_totalprice), 2) AS total_price
             FROM orders GROUP BY o_orderpriority
+        """,
+        "a_median_value": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS median_value,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        """,
+        "a_rollup_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   round(SUM(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "w_events_per_day": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   round(SUM(value), 2) AS day_value
+            FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_md5,
