@@ -26,6 +26,7 @@ import time
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("deepseek-ocr-rs-spark-bench")
