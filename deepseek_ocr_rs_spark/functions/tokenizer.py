@@ -84,6 +84,10 @@ def decode_entities(s: str) -> str:
     return _ENTITY_RE.sub(_sub, s)
 
 
+_TAG_NAME_RE = re.compile(r"[a-zA-Z][-a-zA-Z0-9:]*")
+_EMPTY_ATTRS: Dict[str, str] = {}
+
+
 def _parse_tag(raw: str) -> Optional[Tuple[str, str, Dict[str, str], bool]]:
     """Parse the inside of ``<...>``.
 
@@ -93,30 +97,32 @@ def _parse_tag(raw: str) -> Optional[Tuple[str, str, Dict[str, str], bool]]:
     raw = raw.strip()
     if not raw:
         return None
-    if raw.startswith("!") or raw.startswith("?"):
+    if raw[0] in "!?":
         return None  # doctype / comment remnant / PI
-    closing = raw.startswith("/")
+    closing = raw[0] == "/"
     if closing:
         raw = raw[1:]
     self_closing = raw.endswith("/")
     if self_closing:
         raw = raw[:-1]
-    m = re.match(r"[a-zA-Z][-a-zA-Z0-9:]*", raw)
+    m = _TAG_NAME_RE.match(raw)
     if not m:
         return None
     tag = m.group(0).lower()
-    attrs: Dict[str, str] = {}
-    if not closing:
-        for am in _ATTR_RE.finditer(raw[m.end():]):
-            name = am.group(1).lower()
-            if name != "href":
-                continue  # only href is semantically relevant (SURVEY §2, FIXTURES §2)
-            val = am.group(2) or ""
-            if len(val) >= 2 and val[0] in "\"'" and val[-1] == val[0]:
-                val = val[1:-1]
-            attrs[name] = val
     if closing:
-        return ("close", tag, {}, False)
+        return ("close", tag, _EMPTY_ATTRS, False)
+    # only href is semantically relevant (SURVEY §2, FIXTURES §2): skip the
+    # attribute scan entirely when it can't be present (the hot path)
+    if "href" not in raw:
+        return ("open", tag, _EMPTY_ATTRS, self_closing)
+    attrs: Dict[str, str] = {}
+    for am in _ATTR_RE.finditer(raw[m.end():]):
+        if am.group(1).lower() != "href":
+            continue
+        val = am.group(2) or ""
+        if len(val) >= 2 and val[0] in "\"'" and val[-1] == val[0]:
+            val = val[1:-1]
+        attrs["href"] = val
     return ("open", tag, attrs, self_closing)
 
 
