@@ -1,65 +1,78 @@
 """Streaming delta extraction (W4/F4/X5 analogs).
 
-Re-expresses crates/core/src/streaming.rs:4-68: given successive snapshots
-of a growing text, emit only the new suffix — longest-common-prefix diff —
-while suppressing a trailing U+FFFD replacement char until the final flush
-(a partial multibyte sequence at a chunk boundary must not leak).
+Re-expresses crates/core/src/streaming.rs:4-68 exactly: given successive
+snapshots of a growing text, emit only the new suffix — longest-common-prefix
+diff — while suppressing U+FFFD replacement chars mid-stream (a partial
+multibyte sequence at a chunk boundary must not leak) until the final flush.
+
+Contract parity with the reference:
+  * ``extract_delta`` on divergence returns ``current[lcp:]`` (only the
+    suffix after the longest common prefix — streaming.rs:10-18), never the
+    whole of ``current``.
+  * ``DeltaTracker.advance`` truncates the delta at the FIRST replacement
+    char anywhere in it (streaming.rs:52-58), emitting the clean prefix; a
+    delta that STARTS with U+FFFD emits nothing and leaves state untouched.
+  * On the final call (``is_final`` / ``finish``) the full delta passes
+    through, including genuine replacement chars.
 """
 
 from __future__ import annotations
-
-from typing import Tuple
 
 REPLACEMENT = "�"
 
 
 def extract_delta(previous: str, current: str) -> str:
-    """Longest-common-prefix diff: the new suffix of ``current``.
-
-    If ``current`` no longer starts with the common prefix the stream was
-    reset — return all of ``current`` (streaming.rs:10-14 behavior).
-    """
+    """The suffix of ``current`` after its longest common prefix with
+    ``previous`` (streaming.rs:4-18).  If ``current`` extends ``previous``
+    this is exactly the newly-appended text; on divergence it is everything
+    from the first differing character on."""
+    if current.startswith(previous):
+        return current[len(previous):]
     n = min(len(previous), len(current))
     i = 0
     while i < n and previous[i] == current[i]:
         i += 1
-    if i < len(previous):  # regression/rewrite -> treat as reset
-        return current
     return current[i:]
 
 
 class DeltaTracker:
     """Stateful tracker: feed snapshots, get printable deltas.
 
-    Mirrors DeltaTracker::advance + flush_remaining (streaming.rs:20-68):
-    * monotone guard: a snapshot shorter than what was emitted resets state
-      (the X4 out-of-order/duplicate drop);
-    * a trailing U+FFFD is held back until ``finish`` in case the next
-      snapshot completes the codepoint.
+    Mirrors DeltaTracker::advance (streaming.rs:20-68):
+    * ``advance(current)`` emits the new clean text, holding back anything
+      from the first U+FFFD on (the next snapshot may complete the
+      codepoint, replacing it with real text);
+    * ``advance(current, is_final=True)`` / ``finish(current)`` flushes
+      everything, including genuinely-malformed replacement chars.
     """
 
-    __slots__ = ("_emitted",)
+    __slots__ = ("_previous",)
 
     def __init__(self) -> None:
-        self._emitted = ""
+        self._previous = ""
 
-    def advance(self, snapshot: str) -> str:
-        delta = extract_delta(self._emitted, snapshot)
-        if delta == snapshot and self._emitted and not snapshot.startswith(
-            self._emitted
-        ):
-            self._emitted = ""  # reset
-        hold = ""
-        if delta.endswith(REPLACEMENT):
-            delta, hold = delta[: -len(REPLACEMENT)], REPLACEMENT
-        self._emitted += delta
-        # the held replacement char is NOT recorded: if the next snapshot
-        # completes the codepoint the clean text replaces it
-        return delta
+    @property
+    def snapshot(self) -> str:
+        """Full text recorded so far (streaming.rs snapshot())."""
+        return self._previous
 
-    def finish(self, snapshot: str) -> str:
+    def advance(self, current: str, is_final: bool = False) -> str:
+        raw = extract_delta(self._previous, current)
+        if not raw:
+            self._previous = current
+            return raw
+        if not is_final:
+            idx = raw.find(REPLACEMENT)
+            if idx == 0:
+                return ""  # delta is pure incomplete-codepoint; hold it all
+            if idx > 0:
+                raw = raw[:idx]
+                self._previous += raw
+                return raw
+        self._previous = current
+        return raw
+
+    def finish(self, current: str) -> str:
         """Final flush: emit everything outstanding, including a real
         trailing U+FFFD if the input was genuinely malformed."""
-        delta = extract_delta(self._emitted, snapshot)
-        self._emitted = snapshot
-        return delta
+        return self.advance(current, is_final=True)

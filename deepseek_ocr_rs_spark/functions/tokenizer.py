@@ -112,8 +112,10 @@ def _parse_tag(raw: str) -> Optional[Tuple[str, str, Dict[str, str], bool]]:
     if closing:
         return ("close", tag, _EMPTY_ATTRS, False)
     # only href is semantically relevant (SURVEY §2, FIXTURES §2): skip the
-    # attribute scan entirely when it can't be present (the hot path)
-    if "href" not in raw:
+    # attribute scan entirely when it can't be present (the hot path).
+    # case-insensitive probe: the attr matcher below lowercases names, so
+    # <a HREF="..."> must not take the fast path
+    if "href" not in raw and "HREF" not in raw and "href" not in raw.lower():
         return ("open", tag, _EMPTY_ATTRS, self_closing)
     attrs: Dict[str, str] = {}
     for am in _ATTR_RE.finditer(raw[m.end():]):

@@ -38,7 +38,16 @@ class ParquetMergeSink:
     """Parquet-directory MERGE emulation (sandbox stand-in for Iceberg)."""
 
     def __init__(self, path: str, keys: List[str], n_buckets: int = 64):
-        self.path = path
+        # exists() probes the LOCAL filesystem; on a remote URI it would
+        # always say "absent" and merge() would silently append duplicate
+        # keys — fail fast instead and point at the Iceberg sink.
+        scheme = path.split("://", 1)[0] if "://" in path else "file"
+        if scheme not in ("file",):
+            raise ValueError(
+                f"ParquetMergeSink only supports local file paths, got "
+                f"{scheme}:// — use IcebergMergeSink for cluster storage"
+            )
+        self.path = path[len("file://"):] if path.startswith("file://") else path
         self.keys = keys
         self.n_buckets = n_buckets
 

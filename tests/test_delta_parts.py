@@ -8,7 +8,10 @@ def test_extract_delta():
     assert extract_delta("", "hello") == "hello"
     assert extract_delta("hel", "hello") == "lo"
     assert extract_delta("hello", "hello") == ""
-    assert extract_delta("hello", "help") == "help"  # reset on divergence
+    # divergence: only the suffix after the longest common prefix
+    # (streaming.rs:10-18 — NOT all of current)
+    assert extract_delta("hello", "help") == "p"
+    assert extract_delta("abc", "xyz") == "xyz"
 
 
 def test_delta_tracker_stream():
@@ -29,6 +32,17 @@ def test_delta_tracker_suppresses_partial_codepoint():
     t2 = DeltaTracker()
     t2.advance("bad�")
     assert t2.finish("bad�") == "�"
+
+
+def test_delta_tracker_mid_delta_replacement():
+    # a replacement char ANYWHERE in the delta cuts it there
+    # (streaming.rs:52-58), not just a trailing one
+    t = DeltaTracker()
+    assert t.advance("ab�cd") == "ab"
+    # delta now STARTS with the replacement char: emit nothing, hold state
+    assert t.advance("ab�cd") == ""
+    assert t.finish("ab�cd") == "�cd"
+    assert t.snapshot == "ab�cd"
 
 
 def test_flatten_parts(spark):

@@ -81,6 +81,14 @@ def test_tokenizer_href_only_attr():
     evs = tokenize_html('<a href="http://x" class="z" id="q">link</a>')
     opens = [e for e in evs if e[0] == "open"]
     assert opens[0] == ("open", "a", {"href": "http://x"})
+    # attribute names are case-insensitive per HTML: the no-href fast path
+    # must not swallow <a HREF=...>
+    evs = tokenize_html('<a HREF="/x">link</a>')
+    opens = [e for e in evs if e[0] == "open"]
+    assert opens[0] == ("open", "a", {"href": "/x"})
+    evs = tokenize_html('<a Href="/y">link</a>')
+    opens = [e for e in evs if e[0] == "open"]
+    assert opens[0] == ("open", "a", {"href": "/y"})
 
 
 # ---------------------------------------------------------------- DOM + classify
