@@ -580,7 +580,10 @@ def doc_lang_id(spark, sf_dir):
 
 
 def dedup_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs (rows-only check)."""
+    """MinHash+LSH near-dup pairs, oracle-checked EXACTLY: the DuckDB oracle
+    (dedup.minhash_oracle_sql) evaluates the identical fixed-seed hash
+    family — same shingles, permutations, banding predicate, and estimate —
+    in pure SQL, all-pairs form (viable at oracle scale)."""
     from deepseek_ocr_rs_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -588,7 +591,9 @@ def dedup_minhash_pairs(spark, sf_dir):
 
 
 def dedup_simhash_candidates(spark, sf_dir):
-    """SimHash banded near-dup candidates with hamming distance (rows-only)."""
+    """SimHash banded near-dup candidates with hamming distance; the DuckDB
+    oracle (dedup.simhash_oracle_sql) replicates the 64 sign-hash bits, the
+    4x16 band predicate, and the hamming filter exactly."""
     from deepseek_ocr_rs_spark.operators.dedup import simhash_candidates
 
     docs = _t(spark, sf_dir, "documents")
@@ -713,6 +718,11 @@ _NORM_SQL = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from deepseek_ocr_rs_spark.operators.dedup import (
+        minhash_oracle_sql,
+        simhash_oracle_sql,
+    )
+
     return {
         "extract_docs_plain": f"""
             SELECT CAST(doc_id AS VARCHAR) AS conv_id,
@@ -1035,6 +1045,8 @@ def oracle_sql() -> dict[str, str]:
                    label
             FROM embeddings
         """,
+        "dedup_minhash_pairs": minhash_oracle_sql(threshold=0.5),
+        "dedup_simhash_candidates": simhash_oracle_sql(max_hamming=8),
         "conv_compaction": """
             WITH turns AS (
               SELECT CAST(user_id AS VARCHAR) AS conv_id,

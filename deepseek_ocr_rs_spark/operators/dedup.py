@@ -4,22 +4,46 @@ Four tiers, each with a different cost/recall point at 100 TB:
 
   exact_dedup        md5(text) groupBy — one shuffle on a 16-byte key.
   minhash_lsh_pairs  shingle -> minhash (k permutations) -> band buckets ->
-                     self-join within bucket -> exact-jaccard verify.
-                     The self-join shuffles only (band, bucket_hash) keys, so
-                     the candidate set (not the corpus²) bounds the work.
-  simhash_buckets    64-bit simhash; near-dup candidates = equal 16-bit
+                     self-join within bucket -> signature-estimate verify.
+                     The self-join shuffles only (id, band_idx, band_hash)
+                     keys — the k-long signature arrays never ride the
+                     candidate shuffle (they are joined back onto the tiny
+                     candidate pair set afterwards).
+  simhash_candidates 64-bit simhash; near-dup candidates = equal 16-bit
                      bands (hamming<=k search by band equality).
   ngram_jaccard      exact n-gram Jaccard for a candidate pair set (the
                      verify stage; never run corpus² at scale).
 
-Determinism: all hash families are fixed-seed polynomial/xor mixes of
-md5/crc-free arithmetic in numpy uint64 — no Python ``hash()`` (which is
-salted per process) anywhere.
+Mega-bucket skew (the 100 TB scale-killer: millions of identical boilerplate
+docs collapsing into one LSH bucket -> a quadratic within-bucket join in one
+task) is defused by ``bucket_cap``: buckets over the cap skip the pairwise
+join and instead emit a LINEAR star of (keeper, other) pairs per identical
+signature group — which is what a mega-bucket is made of.
+
+Hash-family design (determinism + oracle parity): every hash is exact
+integer arithmetic mod the Mersenne prime P31 = 2^31 - 1:
+
+  word hash      Horner polynomial over unicode CODEPOINTS, base 131
+  shingle id     Horner over the n word hashes, base 1000003
+  minhash perm   (a_k * x + b_k) mod P31     (universal family, fixed seed)
+  simhash bit j  sign( sum over shingles of +-1[ (c_j*x+d_j) mod P31 > P31/2 ] )
+
+All products stay under 2^62, so the family evaluates EXACTLY in uint64
+numpy (one vectorized pass per Arrow batch, no per-shingle Python — see
+``_batch_word_hashes``), in int64 JVM arithmetic, and in DuckDB BIGINT SQL —
+the ``minhash_oracle_sql`` / ``simhash_oracle_sql`` generators below emit a
+pure-SQL replica used as the driver's correctness oracle.  No Python
+``hash()`` (salted per process) anywhere.
+
+Reference seat: the reference engine dedups nothing (single-request OCR);
+these operators are the training-data-pipeline companions mandated by the
+build brief, designed Spark-first.
 """
 
 from __future__ import annotations
 
-from typing import Iterator, List
+from functools import lru_cache
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -45,58 +69,197 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-# ---------------------------------------------------------------- minhash
+# ------------------------------------------------------- the hash family
 
-_MERSENNE = np.uint64((1 << 61) - 1)
+P31 = 2147483647                  # 2^31 - 1 (Mersenne)
+_HALF = P31 // 2                  # simhash sign threshold
+WORD_BASE = 131                   # word-hash Horner base (over codepoints)
+SHINGLE_BASE = 1000003            # shingle-id Horner base (over word hashes)
+# whitespace class shared with the SQL oracle (explicit, NOT \s, so python
+# and RE2 agree): space, \t, \n, \r, \f, \v
+_WS_CODEPOINTS = (32, 9, 10, 13, 12, 11)
+WS_CLASS_SQL = "[ \\t\\n\\r\\f" + chr(11) + "]"
+# same class for Spark's Java-regex functions
+WS_CLASS_JAVA = "[ \\t\\n\\r\\f\\x0B]"
 
 
-def _hash_shingles(words: List[str], n: int = 3) -> np.ndarray:
-    """Deterministic uint64 ids for word n-gram shingles.
-
-    blake2b (8-byte digest, C implementation) per shingle — deterministic
-    across processes/platforms (unlike Python ``hash()``) and ~100x faster
-    than a per-byte Python loop."""
-    from hashlib import blake2b
-
-    if len(words) < n:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    out = np.fromiter(
-        (
-            int.from_bytes(
-                blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
-            )
-            for s in shingles
-        ),
-        dtype=np.uint64,
-        count=len(shingles),
+def _drop_wordless(df: DataFrame, text_col: str) -> DataFrame:
+    """Exclude docs with no words: a wordless doc has the all-zero
+    signature, so two of them would otherwise 'near-dup match' vacuously.
+    The SQL oracle applies the identical predicate."""
+    return df.where(
+        F.regexp_replace(F.col(text_col), WS_CLASS_JAVA + "+", "") != ""
     )
-    return np.unique(out)
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=8)
-def _minhash_params(k: int) -> tuple:
-    rng = np.random.default_rng(0xD5EE)  # fixed seed: same family everywhere
-    a = rng.integers(1, (1 << 61) - 1, size=k, dtype=np.uint64)
-    b = rng.integers(0, (1 << 61) - 1, size=k, dtype=np.uint64)
+def _affine_params(k: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    """k fixed-seed (a, b) pairs for the (a*x+b) mod P31 universal family."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, P31, size=k, dtype=np.uint64)
+    b = rng.integers(0, P31, size=k, dtype=np.uint64)
     return a, b
 
 
-def minhash_signature(text: str, k: int = 64, shingle_n: int = 3) -> List[int]:
-    """k-permutation minhash over word shingles; empty doc -> all zeros."""
-    a, b = _minhash_params(k)
-    words = (text or "").lower().split()
-    sh = _hash_shingles(words, shingle_n)
+_MINHASH_SEED = 0xD5EE
+_SIMHASH_SEED = 0x51A5
+
+_powers = np.array([1], dtype=np.uint64)  # WORD_BASE^i mod P31, grown on use
+
+
+def _grow_powers(n: int) -> np.ndarray:
+    global _powers
+    if _powers.size <= n:
+        ext = np.empty(n + 1, dtype=np.uint64)
+        ext[: _powers.size] = _powers
+        for i in range(_powers.size, n + 1):
+            ext[i] = (ext[i - 1] * np.uint64(WORD_BASE)) % np.uint64(P31)
+        _powers = ext
+    return _powers
+
+
+def _batch_word_hashes(texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized word hashing for a whole Arrow batch of documents.
+
+    ONE utf-32 encode of the joined batch, then pure-numpy word boundary
+    detection and a segmented polynomial reduction — zero per-word (let
+    alone per-shingle) Python.  Returns (word_hashes mod P31: uint64[W],
+    doc_index: int64[W]) with words in document order.
+    """
+    lowered = [(t or "").lower() for t in texts]
+    joined = "\n".join(lowered)
+    if not joined:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64))
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32
+                        ).astype(np.uint64)
+    ws = np.isin(cps, np.array(_WS_CODEPOINTS, dtype=np.uint64))
+    inw = ~ws
+    if not inw.any():
+        return (np.empty(0, np.uint64), np.empty(0, np.int64))
+    prev = np.empty_like(inw)
+    prev[0] = False
+    prev[1:] = inw[:-1]
+    starts = np.flatnonzero(inw & ~prev)
+    nxt = np.empty_like(inw)
+    nxt[-1] = False
+    nxt[:-1] = inw[1:]
+    ends = np.flatnonzero(inw & ~nxt) + 1
+    lens = (ends - starts).astype(np.int64)
+
+    # doc index per word: cumulative char extents (each doc + 1 sep char)
+    doc_ends = np.cumsum(np.fromiter((len(t) + 1 for t in lowered),
+                                     dtype=np.int64, count=len(lowered)))
+    wdoc = np.searchsorted(doc_ends, starts, side="right")
+
+    # segmented Horner: hash(word) = sum cp_i * BASE^(L-1-i) mod P31
+    wchars = cps[inw]
+    word_start_off = np.cumsum(lens) - lens
+    off = np.arange(wchars.size, dtype=np.int64) - np.repeat(word_start_off, lens)
+    exp = np.repeat(lens, lens) - 1 - off
+    pw = _grow_powers(int(lens.max()))
+    terms = (wchars * pw[exp]) % np.uint64(P31)       # each < 2^31
+    bounds = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    wh = np.add.reduceat(terms, bounds) % np.uint64(P31)
+    return wh, wdoc
+
+
+def _batch_shingles(texts: List[str], n: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Distinct shingle ids per doc for a batch.
+
+    Returns (shingle_ids uint64[S], doc_index int64[S]) sorted by
+    (doc, shingle).  Docs with 0 < words < n contribute ONE shingle (the
+    Horner over all their words); wordless docs contribute none.
+    """
+    wh, wdoc = _batch_word_hashes(texts)
+    C = np.uint64(SHINGLE_BASE)
+    P = np.uint64(P31)
+    outs = []
+    outd = []
+    if wh.size >= n:
+        m = wh.size - n + 1
+        valid = wdoc[:m] == wdoc[n - 1:]
+        x = wh[:m].copy()
+        for j in range(1, n):
+            x = ((x * C) % P + wh[j:m + j]) % P
+        outs.append(x[valid])
+        outd.append(wdoc[:m][valid])
+    # short docs: one shingle over all (< n) words, vectorized per length
+    nw = np.bincount(wdoc, minlength=len(texts)) if wh.size else \
+        np.zeros(len(texts), dtype=np.int64)
+    ws_off = np.concatenate(([0], np.cumsum(nw)))
+    for L in range(1, n):
+        ds = np.flatnonzero(nw == L)
+        if ds.size:
+            x = wh[ws_off[ds]].copy()
+            for j in range(1, L):
+                x = ((x * C) % P + wh[ws_off[ds] + j]) % P
+            outs.append(x)
+            outd.append(ds.astype(np.int64))
+    if not outs:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64))
+    sh = np.concatenate(outs)
+    sd = np.concatenate(outd)
+    # distinct per doc: pack (doc, shingle) into one uint64 key and unique it
+    key = (sd.astype(np.uint64) << np.uint64(32)) | sh
+    key = np.unique(key)
+    return key & np.uint64(0xFFFFFFFF), (key >> np.uint64(32)).astype(np.int64)
+
+
+def minhash_batch(texts: List[str], k: int = 64, shingle_n: int = 3
+                  ) -> np.ndarray:
+    """[n_docs, k] int64 minhash signatures; wordless docs -> all zeros."""
+    sh, sd = _batch_shingles(texts, shingle_n)
+    out = np.zeros((len(texts), k), dtype=np.int64)
     if sh.size == 0:
-        return [0] * k
-    with np.errstate(over="ignore"):
-        # (a*x + b) mod M per permutation; broadcast k x n
-        vals = (sh[None, :] * a[:, None] + b[:, None]) % _MERSENNE
-    return [int(v) for v in vals.min(axis=1)]
+        return out
+    a, b = _affine_params(k, _MINHASH_SEED)
+    counts = np.bincount(sd, minlength=len(texts))
+    present = np.flatnonzero(counts)
+    bounds = np.concatenate(([0], np.cumsum(counts[present])[:-1]))
+    P = np.uint64(P31)
+    for k0 in range(0, k, 16):   # chunk perms to bound peak memory
+        k1 = min(k0 + 16, k)
+        vals = (sh[None, :] * a[k0:k1, None] + b[k0:k1, None]) % P
+        mins = np.minimum.reduceat(vals, bounds, axis=1)
+        out[present, k0:k1] = mins.T.astype(np.int64)
+    return out
+
+
+def simhash_batch(texts: List[str], shingle_n: int = 2) -> np.ndarray:
+    """int64[n_docs] simhash values.  Bit j of doc = sign of the sum over
+    the doc's shingle set of +-1[ h_j(shingle) > P31/2 ] for 64 independent
+    universal hashes h_j — a codepoint-exact, SQL-replicable simhash."""
+    sh, sd = _batch_shingles(texts, shingle_n)
+    out = np.zeros(len(texts), dtype=np.int64)
+    if sh.size == 0:
+        return out
+    c, d = _affine_params(64, _SIMHASH_SEED)
+    counts = np.bincount(sd, minlength=len(texts))
+    present = np.flatnonzero(counts)
+    bounds = np.concatenate(([0], np.cumsum(counts[present])[:-1]))
+    P = np.uint64(P31)
+    acc = np.zeros((64, present.size), dtype=np.int64)
+    for k0 in range(0, 64, 16):
+        vals = (sh[None, :] * c[k0:k0 + 16, None] + d[k0:k0 + 16, None]) % P
+        signs = np.where(vals > np.uint64(_HALF), 1, -1).astype(np.int64)
+        acc[k0:k0 + 16] = np.add.reduceat(signs, bounds, axis=1)
+    bits = (acc > 0).astype(np.uint64)
+    v = np.zeros(present.size, dtype=np.uint64)
+    for j in range(64):
+        v |= bits[j] << np.uint64(j)
+    out[present] = v.astype(np.int64)
+    return out
+
+
+def minhash_signature(text: str, k: int = 64, shingle_n: int = 3) -> List[int]:
+    """Single-doc convenience wrapper over the batch kernel."""
+    return [int(x) for x in minhash_batch([text], k, shingle_n)[0]]
+
+
+def simhash64(text: str, shingle_n: int = 2) -> int:
+    """Single-doc convenience wrapper over the batch kernel."""
+    return int(simhash_batch([text], shingle_n)[0])
 
 
 def with_minhash(df: DataFrame, id_col: str = "doc_id",
@@ -104,28 +267,80 @@ def with_minhash(df: DataFrame, id_col: str = "doc_id",
                  shingle_n: int = 3) -> DataFrame:
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(batch: pd.Series) -> pd.Series:
-        return batch.map(lambda t: minhash_signature(t, k, shingle_n))
+        mat = minhash_batch(batch.tolist(), k, shingle_n)
+        return pd.Series(list(mat))
 
     return df.select(F.col(id_col), _sig(F.col(text_col)).alias("minhash"))
 
 
+def with_simhash(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", shingle_n: int = 2) -> DataFrame:
+    @F.pandas_udf(LongType())
+    def _sh(batch: pd.Series) -> pd.Series:
+        return pd.Series(simhash_batch(batch.tolist(), shingle_n))
+
+    return df.select(F.col(id_col), _sh(F.col(text_col)).alias("simhash"))
+
+
+# ---------------------------------------------------------------- minhash
+
+def _capped_band_join(banded: DataFrame, id_col: str,
+                      bucket_cap: Optional[int]
+                      ) -> Tuple[DataFrame, Optional[DataFrame]]:
+    """Self-join banded rows within (band_idx, band_hash) buckets.
+
+    Returns (pair candidates, over-cap bucket members or None).  The window
+    count and the self-join share the same partitioning key, so the size
+    filter adds no extra exchange."""
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_hash")
+        sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        in_cap = sized.where(F.col("_bsz") <= bucket_cap).drop("_bsz")
+        over = sized.where(F.col("_bsz") > bucket_cap).drop("_bsz")
+    else:
+        in_cap, over = banded, None
+    l, r = in_cap.alias("l"), in_cap.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand, over
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 64, bands: int = 16,
-                      threshold: float = 0.7, shingle_n: int = 3) -> DataFrame:
-    """Near-duplicate pairs via banded LSH + exact-jaccard verify.
+                      threshold: float = 0.5, shingle_n: int = 3,
+                      bucket_cap: Optional[int] = None) -> DataFrame:
+    """Near-duplicate pairs via banded LSH + signature-estimate verify.
 
-    Plan shape at scale: signatures are computed map-side; posexplode into
-    ``bands`` rows/doc; the shuffle key is (band_idx, band_hash) whose
-    cardinality ~ corpus size; the within-bucket self-join emits only
-    colliding pairs.  The final verify recomputes true jaccard on the pair
-    set only.
+    Plan shape at scale: signatures are computed map-side ONCE; posexplode
+    into ``bands`` rows/doc carrying only (id, band_idx, band_hash) — the
+    shuffle payload is 3 scalars/row, never the k-long signature; the
+    within-bucket self-join emits only colliding (id_a, id_b) pairs; the
+    signatures are joined back onto that (tiny) pair set for the estimate.
+
+    ``bucket_cap``: buckets larger than the cap (identical-boilerplate
+    mega-buckets) skip the quadratic join; their members are grouped by
+    FULL signature and emitted as linear (keeper, other) pairs with
+    est_jaccard 1.0 — exactly the exact-duplicate representation.
     """
     rows_per_band = k // bands
-    sigs = with_minhash(df, id_col, text_col, k, shingle_n)
+    sigs = with_minhash(_drop_wordless(df, text_col), id_col, text_col,
+                        k, shingle_n)
 
     banded = sigs.select(
         F.col(id_col),
-        F.col("minhash"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -136,77 +351,68 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         ).alias("band_idx", "band_sig"),
     ).select(
         F.col(id_col),
-        "minhash",
         "band_idx",
         F.xxhash64(F.col("band_idx"), F.col("band_sig")).alias("band_hash"),
     )
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+    cand, over = _capped_band_join(banded, id_col, bucket_cap)
+
+    sig_a = sigs.select(F.col(id_col).alias("id_a"),
+                        F.col("minhash").alias("mh_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"),
+                        F.col("minhash").alias("mh_b"))
+    est = (
+        cand.join(sig_a, "id_a").join(sig_b, "id_b")
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.minhash").alias("mh_a"),
-            F.col("r.minhash").alias("mh_b"),
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("mh_a", "mh_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("est_jaccard") >= threshold)
     )
 
-    est = cand.select(
-        "id_a",
-        "id_b",
-        (
-            F.size(
-                F.filter(
-                    F.zip_with("mh_a", "mh_b", lambda x, y: x == y),
-                    lambda eq: eq,
-                )
-            ).cast("double")
-            / F.lit(float(k))
-        ).alias("est_jaccard"),
-    )
-    return est.where(F.col("est_jaccard") >= threshold)
+    if over is not None:
+        # mega-bucket path: linear star per identical full signature
+        grp = (
+            over.select(id_col).distinct()
+            .join(sigs, id_col)
+            .withColumn("_sig_key", F.md5(F.to_json(F.struct("minhash"))))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_sig_key")
+        keeper = grp.withColumn("_keep", F.min(id_col).over(w))
+        star = (
+            keeper.where(F.col(id_col) != F.col("_keep"))
+            .select(
+                F.col("_keep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(1.0).alias("est_jaccard"),
+            )
+        )
+        est = est.unionByName(star).dropDuplicates(["id_a", "id_b"])
+    return est
 
 
 # ---------------------------------------------------------------- simhash
 
-def simhash64(text: str, shingle_n: int = 2) -> int:
-    """64-bit simhash over word shingles (signed int64 wrap for Spark)."""
-    words = (text or "").lower().split()
-    sh = _hash_shingles(words, shingle_n)
-    if sh.size == 0:
-        return 0
-    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int64)
-    acc = (bits * 2 - 1).sum(axis=0)
-    v = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            v |= np.uint64(1) << np.uint64(i)
-    return int(v.astype(np.int64))
-
-
-def with_simhash(df: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
-    @F.pandas_udf(LongType())
-    def _sh(batch: pd.Series) -> pd.Series:
-        return batch.map(simhash64)
-
-    return df.select(F.col(id_col), _sh(F.col(text_col)).alias("simhash"))
-
-
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text", shingle_n: int = 2,
+                       bucket_cap: Optional[int] = None) -> DataFrame:
     """Candidate near-dup pairs: any equal 16-bit band of the simhash
-    (guarantees recall for hamming distance <= 3)."""
-    sh = with_simhash(df, id_col, text_col)
+    (guarantees recall for hamming distance <= 3).  The simhash itself (one
+    int64) rides the band shuffle so hamming needs no second join."""
+    sh = with_simhash(_drop_wordless(df, text_col), id_col, text_col,
+                      shingle_n)
     banded = sh.select(
         F.col(id_col),
         "simhash",
@@ -217,19 +423,29 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
                         F.lit(i).alias("band_idx"),
                         F.shiftrightunsigned(F.col("simhash"), i * 16)
                         .bitwiseAND(F.lit(0xFFFF))
-                        .alias("band_val"),
+                        .alias("band_hash"),
                     )
                     for i in range(4)
                 ]
             )
         ).alias("band"),
-    ).select(F.col(id_col), "simhash", "band.band_idx", "band.band_val")
+    ).select(F.col(id_col), "simhash", "band.band_idx", "band.band_hash")
+
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("_bsz") <= bucket_cap)
+            .drop("_bsz")
+        )
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
             r,
             (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
@@ -245,11 +461,128 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
 
 # ----------------------------------------------------------- exact jaccard
 
+def _shingle_set(text: str, n: int = 3) -> set:
+    sh, _ = _batch_shingles([text], n)
+    return set(int(x) for x in sh)
+
+
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
-    sa = set(map(int, _hash_shingles((a or "").lower().split(), n)))
-    sb = set(map(int, _hash_shingles((b or "").lower().split(), n)))
+    """Exact shingle-set Jaccard for a PAIR (the verify stage; never run
+    corpus-squared at scale)."""
+    sa, sb = _shingle_set(a, n), _shingle_set(b, n)
     if not sa and not sb:
         return 1.0
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+# ------------------------------------------------------------- SQL oracle
+
+def _sql_shingles_cte(table: str, id_col: str, text_col: str,
+                      shingle_n: int) -> str:
+    """WITH-clause prefix computing each doc's distinct shingle-id list with
+    EXACTLY the arithmetic of ``_batch_shingles`` (DuckDB dialect)."""
+    ws = WS_CLASS_SQL
+    return f"""
+        docs AS (
+          SELECT {id_col} AS _id, lower({text_col}) AS _t FROM {table}
+          WHERE regexp_replace({text_col}, '{ws}+', '', 'g') <> ''
+        ), words AS (
+          SELECT _id,
+                 list_filter(regexp_split_to_array(_t, '{ws}+'),
+                             w -> w <> '') AS ws
+          FROM docs
+        ), wh AS (
+          SELECT _id, list_transform(ws, w ->
+            list_reduce(
+              list_transform(range(1, length(w) + 1),
+                             i -> CAST(unicode(substr(w, CAST(i AS INT), 1))
+                                       AS BIGINT)),
+              (acc, cp) -> (acc * {WORD_BASE} + cp) % {P31})) AS hs
+          FROM words
+        ), shingles AS (
+          SELECT _id, list_distinct(CASE WHEN len(hs) >= {shingle_n}
+            THEN list_transform(range(len(hs) - {shingle_n - 1}), i ->
+                 list_reduce(hs[CAST(i + 1 AS INT):CAST(i + {shingle_n} AS INT)],
+                             (acc, h) -> (acc * {SHINGLE_BASE} + h) % {P31}))
+            ELSE [list_reduce(hs,
+                              (acc, h) -> (acc * {SHINGLE_BASE} + h) % {P31})]
+            END) AS sh
+          FROM wh
+        )"""
+
+
+def minhash_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 64, bands: int = 16,
+                       threshold: float = 0.5, shingle_n: int = 3) -> str:
+    """DuckDB SQL replicating ``minhash_lsh_pairs`` exactly (all-pairs form,
+    viable at oracle scale): same shingles, same fixed-seed affine family,
+    same banding predicate, same estimate and threshold."""
+    a, b = _affine_params(k, _MINHASH_SEED)
+    params = ", ".join(f"[{int(x)}, {int(y)}]" for x, y in zip(a, b))
+    rpb = k // bands
+    return f"""
+        WITH {_sql_shingles_cte(table, id_col, text_col, shingle_n)},
+        sigs AS (
+          SELECT _id, list_transform([{params}], p ->
+                 list_min(list_transform(sh, x -> (p[1] * x + p[2]) % {P31}))
+                 ) AS mh
+          FROM shingles
+        ),
+        pairs AS (
+          SELECT l._id AS id_a, r._id AS id_b, l.mh AS ml, r.mh AS mr
+          FROM sigs l JOIN sigs r ON l._id < r._id
+        )
+        SELECT id_a, id_b,
+               round(len(list_filter(range({k}),
+                     i -> ml[CAST(i + 1 AS INT)] = mr[CAST(i + 1 AS INT)]))
+                     / {float(k)}, 6) AS est_jaccard
+        FROM pairs
+        WHERE len(list_filter(range({bands}), b ->
+                ml[CAST(b * {rpb} + 1 AS INT):CAST(b * {rpb} + {rpb} AS INT)]
+                = mr[CAST(b * {rpb} + 1 AS INT):CAST(b * {rpb} + {rpb} AS INT)]
+              )) > 0
+          AND len(list_filter(range({k}),
+                i -> ml[CAST(i + 1 AS INT)] = mr[CAST(i + 1 AS INT)]))
+              / {float(k)} >= {threshold}
+    """
+
+
+def simhash_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text", shingle_n: int = 2,
+                       max_hamming: int = 8) -> str:
+    """DuckDB SQL replicating ``simhash_candidates`` (+ hamming filter)
+    exactly: 64 sign-hash bits per doc, 4x16-bit band equality as the
+    candidate predicate, hamming = differing-bit count."""
+    c, d = _affine_params(64, _SIMHASH_SEED)
+    params = ", ".join(f"[{int(x)}, {int(y)}]" for x, y in zip(c, d))
+    return f"""
+        WITH {_sql_shingles_cte(table, id_col, text_col, shingle_n)},
+        bits AS (
+          SELECT _id, list_transform([{params}], p ->
+            CASE WHEN list_sum(list_transform(sh, x ->
+                   CASE WHEN (p[1] * x + p[2]) % {P31} > {_HALF}
+                        THEN 1 ELSE -1 END)) > 0
+                 THEN 1 ELSE 0 END) AS bl
+          FROM shingles
+        ),
+        sims AS (
+          SELECT _id, bl, list_transform(range(4), b ->
+                 list_reduce(list_transform(range(16), j ->
+                     bl[CAST(b * 16 + j + 1 AS INT)]
+                     * (CAST(1 AS BIGINT) << CAST(j AS INT))),
+                   (x, y) -> x + y)) AS bands
+          FROM bits
+        )
+        SELECT l._id AS id_a, r._id AS id_b,
+               CAST(len(list_filter(range(64),
+                    j -> l.bl[CAST(j + 1 AS INT)] <> r.bl[CAST(j + 1 AS INT)]))
+                    AS INT) AS hamming
+        FROM sims l JOIN sims r ON l._id < r._id
+        WHERE len(list_filter(range(4), b ->
+                l.bands[CAST(b + 1 AS INT)] = r.bands[CAST(b + 1 AS INT)])) > 0
+          AND len(list_filter(range(64),
+                j -> l.bl[CAST(j + 1 AS INT)] <> r.bl[CAST(j + 1 AS INT)]))
+              <= {max_hamming}
+    """

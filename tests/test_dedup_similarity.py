@@ -73,6 +73,61 @@ def test_simhash_properties(spark, doc_df):
     assert (100, 101) in cands
 
 
+def test_minhash_mega_bucket_cap(spark):
+    """A duplicate-heavy corpus (identical boilerplate) must NOT produce a
+    quadratic within-bucket join: with bucket_cap, over-cap buckets emit a
+    LINEAR (keeper, other) star instead of m*(m-1)/2 pairs."""
+    boiler = "subscribe to our newsletter for updates " * 10
+    rows = [(i, boiler) for i in range(60)]
+    rows += [(200 + i, f"unique doc {i} " +
+              " ".join(f"w{i}_{j}" for j in range(25))) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_pairs(df, threshold=0.5, bucket_cap=16).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # linear star: exactly 59 pairs (keeper 0 -> each of 1..59), not 1770
+    assert pairs == {(0, i) for i in range(1, 60)}
+    assert all(r["est_jaccard"] == 1.0 for r in out)
+    # without the cap the same corpus yields the quadratic pair set
+    full = minhash_lsh_pairs(df, threshold=0.5).count()
+    assert full == 60 * 59 // 2
+
+
+def test_minhash_simhash_match_sql_oracle(spark):
+    """The Spark operators and the generated DuckDB oracle SQL are the SAME
+    function: identical pair sets, estimates, and hamming distances on a
+    corpus with planted near/exact dups."""
+    import duckdb
+
+    rows = [(100, BASE), (101, BASE),
+            (102, BASE.replace("lazy", "sleepy")),
+            (103, BASE + " extra trailing words here"),
+            (104, "Tab\tseparated  and\nnewline separated words"),
+            (105, "tiny"), (106, "two words"), (107, "")]
+    rows += [(i, f"unique document number {i} " +
+              " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text"]))
+
+    from deepseek_ocr_rs_spark.operators.dedup import (
+        minhash_oracle_sql, simhash_oracle_sql)
+
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in minhash_lsh_pairs(df, threshold=0.5).collect()}
+    want = {(r[0], r[1]): float(r[2])
+            for r in con.sql(minhash_oracle_sql()).fetchall()}
+    assert got == want and (100, 101) in got
+
+    got_sh = {(r["id_a"], r["id_b"]): r["hamming"]
+              for r in simhash_candidates(df)
+              .where(F.col("hamming") <= 8).collect()}
+    want_sh = {(r[0], r[1]): r[2]
+               for r in con.sql(simhash_oracle_sql()).fetchall()}
+    assert got_sh == want_sh and got_sh[(100, 101)] == 0
+
+
 @pytest.fixture(scope="module")
 def emb_df(spark):
     rng = np.random.default_rng(11)
