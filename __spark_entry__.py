@@ -564,19 +564,47 @@ def doc_content_hash(spark, sf_dir):
 
 
 def doc_fingerprint(spark, sf_dir):
-    """Rolling polynomial hash (rows-only check: not SQL-expressible)."""
+    """Rolling polynomial hash, oracle-checked exactly: the DuckDB oracle
+    (textstats.fingerprint_oracle_sql) evaluates the identical codepoint
+    polynomial mod 2^64 in HUGEINT SQL."""
     from deepseek_ocr_rs_spark.operators.textstats import fingerprint_udf
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint_udf()(F.col("text")).alias("fingerprint"))
 
 
+# planted-marker corpus for the language-ID gate: the synthetic documents
+# table is English-ish word soup regardless of its `lang` label, so the
+# classifier is exercised on texts CONSTRUCTED from doc_id — identically in
+# Spark and in the oracle SQL — with a known expected language each.
+_LANG_PLANTS = [
+    ("the and of is " * 30, "en"),
+    ("der und die ist " * 30, "de"),
+    ("le la et est " * 30, "fr"),
+    ("el que es de la " * 30, "es"),
+    ("中文测试文档" * 40, "zh"),
+    ("これはテストです", "ja"),
+    ("한국어 테스트", "ko"),
+    ("русский текст " * 30, "ru"),
+    ("xyzq wvut qpmz", "und"),
+]
+
+
 def doc_lang_id(spark, sf_dir):
-    """n-gram/charclass language ID heuristic (rows-only check)."""
+    """Language-ID over planted marker texts: each doc gets a deterministic
+    text by doc_id % 9 covering every classifier branch (4 char-class
+    scripts, 4 stopword-marker languages, und); the REAL Arrow-batched
+    classifier runs on it, the oracle is the expected-label CASE."""
     from deepseek_ocr_rs_spark.operators.textstats import lang_id_udf
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id_udf()(F.col("text")).alias("lang_pred"))
+    planted = F.element_at(
+        F.array(*[F.lit(t) for t, _ in _LANG_PLANTS]),
+        (F.pmod(F.col("doc_id"), F.lit(len(_LANG_PLANTS))) + 1).cast("int"),
+    )
+    return docs.select(
+        "doc_id", lang_id_udf()(planted).alias("lang_pred")
+    )
 
 
 def dedup_minhash_pairs(spark, sf_dir):
@@ -721,6 +749,13 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.dedup import (
         minhash_oracle_sql,
         simhash_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.textstats import (
+        fingerprint_oracle_sql,
+    )
+
+    lang_case = " ".join(
+        f"WHEN {i} THEN '{lang}'" for i, (_, lang) in enumerate(_LANG_PLANTS)
     )
 
     return {
@@ -1044,6 +1079,13 @@ def oracle_sql() -> dict[str, str]:
                      AS l2_norm,
                    label
             FROM embeddings
+        """,
+        "doc_fingerprint": fingerprint_oracle_sql(),
+        "doc_lang_id": f"""
+            SELECT doc_id,
+                   CASE (doc_id % {len(_LANG_PLANTS)}) {lang_case} END
+                     AS lang_pred
+            FROM documents
         """,
         "dedup_minhash_pairs": minhash_oracle_sql(threshold=0.5),
         "dedup_simhash_candidates": simhash_oracle_sql(max_hamming=8),

@@ -92,39 +92,76 @@ _LANG_MARKERS = {
 }
 
 
+# char-class ranges for the script-detection stage (codepoint intervals)
+_CJK = (0x4E00, 0x9FFF)       # 一 .. 鿿
+_KANA = (0x3040, 0x30FF)      # ぀ .. ヿ
+_HANGUL = (0xAC00, 0xD7AF)    # 가 .. 힯
+_CYRILLIC = (0x0400, 0x04FF)  # Ѐ .. ӿ
+
+
+def classify_language_batch(texts) -> list:
+    """Batch language-ID with zero per-character Python.
+
+    Stage 1 (script detection) runs as ONE numpy pass over the utf-32 view
+    of the batch's 400-char prefixes (vectorized range masks + segmented
+    counts); stage 2 (stopword-marker voting) uses C-level ``str.count``
+    per marker.  Deterministic tie-break by language code."""
+    n_docs = len(texts)
+    prefixes = [(t or "")[:400] for t in texts]
+    joined = "\x00".join(prefixes)
+    langs = [""] * n_docs
+    if joined:
+        cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        lens = np.fromiter((len(p) for p in prefixes), dtype=np.int64,
+                           count=n_docs)
+        bounds = np.concatenate(([0], np.cumsum(lens + 1)[:-1]))
+
+        def seg_count(lo: int, hi: int) -> np.ndarray:
+            # prefix-sum trick: count-in-range per segment in O(total)
+            mask = ((cps >= lo) & (cps <= hi)).astype(np.int64)
+            cs = np.concatenate(([0], np.cumsum(mask)))
+            return cs[bounds + lens] - cs[bounds]
+
+        cjk = seg_count(*_CJK)
+        kana = seg_count(*_KANA)
+        hangul = seg_count(*_HANGUL)
+        cyr = seg_count(*_CYRILLIC)
+        for i in range(n_docs):
+            L = lens[i]
+            if L == 0:
+                langs[i] = "und"
+            elif cjk[i] > L * 0.2:
+                langs[i] = "zh"
+            elif kana[i] > 0:
+                langs[i] = "ja"
+            elif hangul[i] > 0:
+                langs[i] = "ko"
+            elif cyr[i] > L * 0.2:
+                langs[i] = "ru"
+    else:
+        langs = ["und"] * n_docs
+
+    marker_langs = sorted(_LANG_MARKERS)
+    for i in range(n_docs):
+        if langs[i]:
+            continue
+        padded = " " + (texts[i] or "")[:4000].lower() + " "
+        best, best_n = "und", 0
+        for lang in marker_langs:
+            n = sum(padded.count(m) for m in _LANG_MARKERS[lang])
+            if n > best_n:
+                best, best_n = lang, n
+        langs[i] = best
+    return langs
+
+
 def lang_id_udf():
     """Arrow-batched language-ID: CJK/Cyrillic char classes first, then
     stopword-marker voting, deterministic tie-break by language code."""
 
     @F.pandas_udf(StringType())
     def _lang(batch: pd.Series) -> pd.Series:
-        import pandas as pd
-
-        def classify(t):
-            if not t:
-                return "und"
-            sample = t[:4000]
-            cjk = sum(1 for c in sample[:400] if "一" <= c <= "鿿")
-            if cjk > len(sample[:400]) * 0.2:
-                return "zh"
-            kana = sum(1 for c in sample[:400] if "぀" <= c <= "ヿ")
-            if kana > 0:
-                return "ja"
-            hangul = sum(1 for c in sample[:400] if "가" <= c <= "힯")
-            if hangul > 0:
-                return "ko"
-            cyr = sum(1 for c in sample[:400] if "Ѐ" <= c <= "ӿ")
-            if cyr > len(sample[:400]) * 0.2:
-                return "ru"
-            padded = " " + sample.lower() + " "
-            best, best_n = "und", 0
-            for lang in sorted(_LANG_MARKERS):
-                n = sum(padded.count(m) for m in _LANG_MARKERS[lang])
-                if n > best_n:
-                    best, best_n = lang, n
-            return best
-
-        return batch.map(classify)
+        return pd.Series(classify_language_batch(batch.tolist()))
 
     return _lang
 
@@ -136,13 +173,15 @@ _FP_OFFSET = np.uint64(14695981039346656037)
 
 
 def rolling_fingerprint(t) -> int:
-    """fp(t) = (sum_i byte_i * BASE^(n-1-i)) mod 2^64, masked to 63 bits.
+    """fp(t) = ((sum_i cp_i * BASE^(n-1-i)) mod 2^64 + OFFSET) mod 2^63.
 
-    Additive polynomial rolling hash — fully vectorized (one numpy cumprod +
-    dot per document, uint64 wrap-around gives the mod for free)."""
+    Additive polynomial rolling hash over unicode CODEPOINTS — fully
+    vectorized (one numpy cumprod + dot per document; uint64 wrap-around
+    gives the mod-2^64 for free) and exactly replicable in DuckDB HUGEINT
+    SQL (``fingerprint_oracle_sql``), which is the driver's oracle."""
     if t is None:
         return 0
-    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    b = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     n = b.size
     if n == 0:
         return 0
@@ -152,6 +191,39 @@ def rolling_fingerprint(t) -> int:
         powers = np.cumprod(p)  # BASE^0..BASE^(n-1), wrapping mod 2^64
         h = np.sum(b * powers[::-1], dtype=np.uint64) + _FP_OFFSET
     return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+
+_TWO64 = 1 << 64
+
+
+def fingerprint_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """DuckDB SQL computing ``rolling_fingerprint`` exactly: a recursive CTE
+    materializes BASE^i mod 2^64; per-char terms reduce in HUGEINT.  Viable
+    at oracle scale (chars x docs ops), never meant for the cluster path."""
+    return f"""
+        WITH RECURSIVE pw(i, v) AS (
+          SELECT 0, CAST(1 AS HUGEINT)
+          UNION ALL
+          SELECT i + 1, (v * {int(_FP_BASE)}) % {_TWO64}::HUGEINT FROM pw
+          WHERE i < (SELECT coalesce(max(length({text_col})), 1) FROM {table})
+        ), pl AS (
+          SELECT list(v ORDER BY i) AS l FROM pw
+        )
+        SELECT {id_col} AS doc_id,
+               CAST(CASE WHEN {text_col} IS NULL OR length({text_col}) = 0
+                 THEN 0
+                 ELSE (list_sum(list_transform(range(length({text_col})), i ->
+                          (CAST(unicode(substr({text_col},
+                                 CAST(i + 1 AS INT), 1)) AS HUGEINT)
+                           * pl.l[CAST(length({text_col}) - i AS INT)])
+                          % {_TWO64}::HUGEINT))
+                        % {_TWO64}::HUGEINT
+                        + {int(_FP_OFFSET)}::HUGEINT)
+                       % {_TWO64}::HUGEINT % {1 << 63}::HUGEINT
+                 END AS BIGINT) AS fingerprint
+        FROM {table}, pl
+    """
 
 
 def fingerprint_udf():
