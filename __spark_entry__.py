@@ -638,16 +638,27 @@ def ann_brute_force(spark, sf_dir):
 
 
 def ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN top-10 (rows-only: bucketing not SQL-expressible)."""
-    from deepseek_ocr_rs_spark.operators.similarity import lsh_bucket_topk
+    """LSH-bucketed ANN top-10, oracle-checked EXACTLY: the pruning is
+    deterministic arithmetic over fixed hyperplane constants, so the DuckDB
+    oracle (similarity.lsh_oracle_sql) replicates signature computation,
+    multiprobe bucket filter, and the 6dp cosine rerank in SQL."""
+    from deepseek_ocr_rs_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_query,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    return lsh_bucket_topk(emb, [float(x) for x in q], k=10, bits=8)
+    qd = [float(x) for x in q]
+    indexed = build_lsh_index(emb, dim=len(qd), bits=8)
+    return lsh_query(indexed, qd, k=10, bits=8)
 
 
 def ann_ivf(spark, sf_dir):
-    """IVF-cell ANN top-10 (rows-only)."""
+    """IVF-cell ANN top-10, oracle-checked EXACTLY: centroids are the first
+    n_cells rows in md5(vec_id) order (an engine-independent sample), so
+    the DuckDB oracle (similarity.ivf_oracle_sql) replicates assignment,
+    probing, and rerank in SQL."""
     from deepseek_ocr_rs_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -749,6 +760,10 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.dedup import (
         minhash_oracle_sql,
         simhash_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.similarity import (
+        ivf_oracle_sql,
+        lsh_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.textstats import (
         fingerprint_oracle_sql,
@@ -1060,6 +1075,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_content_hash": """
             SELECT doc_id, sha256(text) AS content_sha256 FROM documents
         """,
+        "ann_lsh": lsh_oracle_sql(dim=64, bits=8, k=10),
+        "ann_ivf": ivf_oracle_sql(dim=64, n_cells=8, nprobe=4, k=10),
         "ann_brute_force": """
             WITH q AS (
               SELECT CAST(embedding AS DOUBLE[]) AS qe

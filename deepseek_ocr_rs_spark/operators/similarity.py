@@ -1,26 +1,37 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
-Two tiers:
+Three tiers:
 
   brute_force_topk   exact cosine top-k against a broadcast query vector —
                      JVM-side only (zip_with/aggregate), one pass, no
                      shuffle except the final top-k (TakeOrderedAndProject).
                      The correct baseline and the verify oracle for ANN.
 
-  lsh_bucket_topk    random-hyperplane LSH (signed projections -> bit
-                     signature -> bucket); candidates = query's bucket
-                     (multi-probe: hamming-1 neighbors), exact rerank inside.
-                     At 100 TB the bucket join prunes the scan to
-                     ~corpus/2^bits per probe; signatures are computed once
-                     and stored columnar.
+  LSH                random-hyperplane LSH (signed projections -> bit
+                     signature -> bucket).  Split API: ``build_lsh_index``
+                     computes the signature column ONCE (persist it /
+                     cluster the table by it); ``lsh_query`` prunes to the
+                     query's bucket (+ hamming-1 multiprobe) using the
+                     STORED column — its plan contains no Python stage.
+                     At 100 TB the bucket predicate is an IN-list literal,
+                     so partition/row-group pruning applies when the table
+                     is clustered by lsh_bucket.
 
-  ivf_topk           IVF-style: k-means-free variant using deterministic
-                     seed centroids (hash-sampled rows) — assign each vector
-                     to nearest centroid (map-side, broadcast centroids),
-                     search only the query's nprobe nearest cells.
+  IVF                ``assign_ivf_cells`` + ``ivf_query``: deterministic
+                     seed centroids (md5-ordered corpus rows — an order
+                     both Spark and the SQL oracle can reproduce), map-side
+                     cell assignment with broadcast centroids, search only
+                     the query's nprobe nearest cells.  At cluster scale
+                     the cell id becomes a partition column.
 
-All float math is float64 and sums run in index order (F.aggregate /
-numpy) so results are deterministic and reproducible across partitionings.
+Oracle parity: the pruning itself is deterministic arithmetic over fixed
+constants (hyperplanes from a fixed-seed RNG; centroids from md5 row
+order), so ``lsh_oracle_sql`` / ``ivf_oracle_sql`` generate DuckDB SQL that
+replicates signature computation, probing, and the exact-cosine rerank —
+the driver checks the ANN result sets EXACTLY, not merely by recall.
+
+All float math is float64 and rerank scores are rounded to 6dp so results
+are reproducible across partitionings and engines.
 """
 
 from __future__ import annotations
@@ -76,6 +87,8 @@ def brute_force_topk(
     )
 
 
+# -------------------------------------------------------------------- LSH
+
 def _hyperplanes(dim: int, bits: int) -> np.ndarray:
     rng = np.random.default_rng(0xA11CE)  # fixed family
     return rng.standard_normal((bits, dim))
@@ -90,19 +103,20 @@ def lsh_signature(vec: Sequence[float], planes: np.ndarray) -> int:
     return sig
 
 
-def with_lsh_signature(
+def build_lsh_index(
     df: DataFrame, dim: int, bits: int = 12,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """Add the LSH bucket id, vectorized: one matmul per Arrow batch."""
+    """INDEX BUILD (run once, persist): add the LSH bucket id, vectorized —
+    one matmul per Arrow batch.  Write the result out (ideally clustered /
+    partitioned by lsh_bucket) and serve every query from the stored
+    column via ``lsh_query``."""
     planes = _hyperplanes(dim, bits)
 
     from pyspark.sql.types import LongType
 
     @F.pandas_udf(LongType())
     def _sig(batch: pd.Series) -> pd.Series:
-        import pandas as pd
-
         if len(batch) == 0:
             return pd.Series([], dtype="int64")
         mat = np.stack(batch.map(lambda v: np.asarray(v, dtype=np.float64)))
@@ -111,6 +125,35 @@ def with_lsh_signature(
         return pd.Series(bitvals.sum(axis=1))
 
     return df.withColumn("lsh_bucket", _sig(F.col(vec_col)))
+
+
+def lsh_probes(query: Sequence[float], bits: int,
+               multiprobe_hamming: int = 1) -> List[int]:
+    """The query's bucket plus its hamming-1 neighbors (deterministic)."""
+    planes = _hyperplanes(len(query), bits)
+    qsig = lsh_signature(query, planes)
+    probes = [qsig]
+    if multiprobe_hamming >= 1:
+        probes += [qsig ^ (1 << i) for i in range(bits)]
+    return probes
+
+
+def lsh_query(
+    indexed: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """QUERY path: prune on the STORED ``lsh_bucket`` column (an IN-list of
+    literal bucket ids — no Python stage, pushdown-able to the scan), then
+    exact-cosine rerank inside the candidate set."""
+    probes = lsh_probes(query, bits, multiprobe_hamming)
+    cand = indexed.where(F.col("lsh_bucket").isin(probes))
+    return brute_force_topk(cand, query, k, id_col, vec_col, round_to)
 
 
 def lsh_bucket_topk(
@@ -123,17 +166,78 @@ def lsh_bucket_topk(
     multiprobe_hamming: int = 1,
     round_to: Optional[int] = 6,
 ) -> DataFrame:
-    """ANN: prune to the query's LSH bucket (+ hamming-1 probes), exact
-    rerank inside.  The bucket predicate is an IN-list literal -> partition/
-    row-group pruning applies if the table is clustered by lsh_bucket."""
-    dim = len(query)
-    planes = _hyperplanes(dim, bits)
-    qsig = lsh_signature(query, planes)
-    probes = [qsig]
-    if multiprobe_hamming >= 1:
-        probes += [qsig ^ (1 << i) for i in range(bits)]
-    with_sig = with_lsh_signature(df, dim, bits, id_col, vec_col)
-    cand = with_sig.where(F.col("lsh_bucket").isin(probes))
+    """One-shot convenience: index build + query in a single plan.  For
+    repeated queries, persist ``build_lsh_index`` output and call
+    ``lsh_query`` — signatures are then NEVER recomputed."""
+    indexed = build_lsh_index(df, len(query), bits, vec_col)
+    return lsh_query(indexed, query, k, bits, id_col, vec_col,
+                     multiprobe_hamming, round_to)
+
+
+# -------------------------------------------------------------------- IVF
+
+def ivf_centroids(df: DataFrame, n_cells: int,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic 'training': the first n_cells rows in md5(id) order
+    (a pseudorandom but engine-independent sample), L2-normalized.
+    The ``collect`` is bounded to n_cells rows — never corpus-sized."""
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows]
+    )
+    norms = np.sqrt((centroids**2).sum(axis=1))
+    norms[norms == 0] = 1.0
+    return centroids / norms[:, None]
+
+
+def assign_ivf_cells(df: DataFrame, centroids: np.ndarray,
+                     vec_col: str = "embedding") -> DataFrame:
+    """INDEX BUILD: map-side nearest-centroid assignment (broadcast
+    centroids, one matmul per Arrow batch).  Persist / partition by
+    ``ivf_cell`` so queries scan only nprobe/n_cells of the data."""
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def _cell(batch: pd.Series) -> pd.Series:
+        if len(batch) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(batch.map(lambda v: np.asarray(v, dtype=np.float64)))
+        n = np.sqrt((mat**2).sum(axis=1))
+        n[n == 0] = 1.0
+        sims = (mat / n[:, None]) @ centroids.T
+        return pd.Series(sims.argmax(axis=1).astype("int32"))
+
+    return df.withColumn("ivf_cell", _cell(F.col(vec_col)))
+
+
+def ivf_probe_cells(query: Sequence[float], centroids: np.ndarray,
+                    nprobe: int) -> List[int]:
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.sqrt((q**2).sum()) or 1.0
+    sims = centroids @ (q / qn)
+    # deterministic order: sim desc, cell index asc
+    order = np.lexsort((np.arange(sims.size), -sims))
+    return [int(c) for c in order[:nprobe]]
+
+
+def ivf_query(
+    assigned: DataFrame,
+    query: Sequence[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    probe = ivf_probe_cells(query, centroids, nprobe)
+    cand = assigned.where(F.col("ivf_cell").isin(probe))
     return brute_force_topk(cand, query, k, id_col, vec_col, round_to)
 
 
@@ -147,44 +251,143 @@ def ivf_topk(
     vec_col: str = "embedding",
     round_to: Optional[int] = 6,
 ) -> DataFrame:
-    """IVF scale path: deterministic centroids (hash-sampled corpus rows),
-    map-side cell assignment with broadcast centroids, search nprobe cells.
+    """One-shot convenience: centroids + assignment + query in one plan.
+    For repeated queries, persist ``assign_ivf_cells`` output."""
+    centroids = ivf_centroids(df, n_cells, id_col, vec_col)
+    assigned = assign_ivf_cells(df, centroids, vec_col)
+    return ivf_query(assigned, query, centroids, k, nprobe, id_col,
+                     vec_col, round_to)
 
-    At cluster scale the cell id becomes a partition column so a query scans
-    only nprobe/n_cells of the data."""
-    # deterministic "training": take the first n_cells rows by id hash order
-    seed_rows = (
-        df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(n_cells)
-        .collect()
+
+# ------------------------------------------------------------- SQL oracle
+
+def _sql_double_list(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _sql_cosine(vec_expr: str, q_list: str, qnorm: float) -> str:
+    """Sequential-order dot/norm — mirrors the JVM F.aggregate fold."""
+    return (
+        f"list_sum(list_transform(range(len({vec_expr})), j -> "
+        f"{vec_expr}[CAST(j + 1 AS INT)] * ({q_list})[CAST(j + 1 AS INT)])) "
+        f"/ (sqrt(list_sum(list_transform({vec_expr}, x -> x * x))) "
+        f"* {qnorm!r})"
     )
-    centroids = np.stack(
-        [np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows]
+
+
+def lsh_oracle_sql(table: str = "embeddings", id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = 64, bits: int = 8,
+                   k: int = 10, query_id: int = 0,
+                   multiprobe_hamming: int = 1) -> str:
+    """DuckDB SQL replicating ``lsh_bucket_topk`` EXACTLY: the fixed
+    hyperplane constants are inlined; the query row's signature, the
+    multiprobe set, the bucket filter, and the 6dp-rounded cosine rerank
+    all evaluate in SQL."""
+    planes = _hyperplanes(dim, bits)
+    planes_sql = "[" + ", ".join(_sql_double_list(p) for p in planes) + "]"
+    # planes live in a one-row CTE: referencing pl as a column avoids
+    # re-constructing the literal per evaluated element
+    sig_expr = (
+        f"list_sum(list_transform(range({bits}), b -> CASE WHEN "
+        f"list_sum(list_transform(range({dim}), j -> "
+        f"planes.pl[CAST(b + 1 AS INT)][CAST(j + 1 AS INT)] * "
+        f"e[CAST(j + 1 AS INT)])) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END))"
     )
-    norms = np.sqrt((centroids**2).sum(axis=1))
-    norms[norms == 0] = 1.0
-    centroids = centroids / norms[:, None]
+    probe_expr = f"list_transform(range(-1, {bits if multiprobe_hamming >= 1 else 0}), i -> CASE WHEN i = -1 THEN qsig ELSE xor(qsig, CAST(1 AS BIGINT) << CAST(i AS INT)) END)"
+    return f"""
+        WITH planes AS (
+          SELECT {planes_sql} AS pl
+        ), base AS (
+          SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS e
+          FROM {table}
+        ), sigs AS (
+          SELECT vec_id, e, {sig_expr} AS sig FROM base, planes
+        ), q AS (
+          SELECT e AS qe, sig AS qsig,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS qn
+          FROM sigs WHERE vec_id = {query_id}
+        ), probes AS (
+          SELECT unnest({probe_expr}) AS p FROM q
+        )
+        SELECT s.vec_id,
+               round(list_sum(list_transform(range({dim}), j ->
+                       s.e[CAST(j + 1 AS INT)] * q.qe[CAST(j + 1 AS INT)]))
+                     / (sqrt(list_sum(list_transform(s.e, x -> x * x)))
+                        * q.qn), 6) AS cosine_sim
+        FROM sigs s, q
+        WHERE s.sig IN (SELECT p FROM probes)
+        ORDER BY cosine_sim DESC, s.vec_id ASC
+        LIMIT {k}
+    """
 
-    from pyspark.sql.types import IntegerType
 
-    @F.pandas_udf(IntegerType())
-    def _cell(batch: pd.Series) -> pd.Series:
-        import pandas as pd
-
-        if len(batch) == 0:
-            return pd.Series([], dtype="int32")
-        mat = np.stack(batch.map(lambda v: np.asarray(v, dtype=np.float64)))
-        n = np.sqrt((mat**2).sum(axis=1))
-        n[n == 0] = 1.0
-        sims = (mat / n[:, None]) @ centroids.T
-        return pd.Series(sims.argmax(axis=1).astype("int32"))
-
-    q = np.asarray(query, dtype=np.float64)
-    qn = np.sqrt((q**2).sum()) or 1.0
-    order = np.argsort(-(centroids @ (q / qn)))
-    probe_cells = [int(c) for c in order[:nprobe]]
-
-    assigned = df.withColumn("ivf_cell", _cell(F.col(vec_col)))
-    cand = assigned.where(F.col("ivf_cell").isin(probe_cells))
-    return brute_force_topk(cand, query, k, id_col, vec_col, round_to)
+def ivf_oracle_sql(table: str = "embeddings", id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = 64,
+                   n_cells: int = 8, nprobe: int = 4, k: int = 10,
+                   query_id: int = 0) -> str:
+    """DuckDB SQL replicating ``ivf_topk`` EXACTLY: md5-ordered seed rows
+    as centroids (normalized), nearest-cell assignment with first-max
+    tie-break, nprobe cell probing, 6dp cosine rerank."""
+    return f"""
+        WITH base AS (
+          SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS e
+          FROM {table}
+        ), seeds AS (
+          SELECT e, row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
+          FROM base
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {n_cells}
+        ), cents AS (
+          SELECT list(list_transform(e, x -> x / (CASE WHEN
+                   sqrt(list_sum(list_transform(e, y -> y * y))) = 0
+                   THEN 1.0 ELSE
+                   sqrt(list_sum(list_transform(e, y -> y * y))) END))
+                 ORDER BY cell) AS cl
+          FROM seeds
+        ), assigned AS (
+          SELECT b.vec_id, b.e,
+                 list_position(
+                   list_transform(range({n_cells}), c ->
+                     list_sum(list_transform(range({dim}), j ->
+                       (b.e[CAST(j + 1 AS INT)]
+                        / (CASE WHEN sqrt(list_sum(list_transform(b.e,
+                             y -> y * y))) = 0 THEN 1.0 ELSE
+                           sqrt(list_sum(list_transform(b.e,
+                             y -> y * y))) END))
+                       * cents.cl[CAST(c + 1 AS INT)][CAST(j + 1 AS INT)]))),
+                   list_max(
+                   list_transform(range({n_cells}), c ->
+                     list_sum(list_transform(range({dim}), j ->
+                       (b.e[CAST(j + 1 AS INT)]
+                        / (CASE WHEN sqrt(list_sum(list_transform(b.e,
+                             y -> y * y))) = 0 THEN 1.0 ELSE
+                           sqrt(list_sum(list_transform(b.e,
+                             y -> y * y))) END))
+                       * cents.cl[CAST(c + 1 AS INT)][CAST(j + 1 AS INT)])))))
+                 - 1 AS cell
+          FROM base b, cents
+        ), q AS (
+          SELECT e AS qe, sqrt(list_sum(list_transform(e, x -> x * x))) AS qn
+          FROM base WHERE vec_id = {query_id}
+        ), cellsims AS (
+          SELECT c.c AS cell,
+                 list_sum(list_transform(range({dim}), j ->
+                   cents.cl[CAST(c.c + 1 AS INT)][CAST(j + 1 AS INT)]
+                   * (q.qe[CAST(j + 1 AS INT)] / q.qn))) AS sim
+          FROM (SELECT unnest(range({n_cells})) AS c) c, cents, q
+        ), probecells AS (
+          SELECT cell FROM cellsims ORDER BY sim DESC, cell ASC
+          LIMIT {nprobe}
+        )
+        SELECT a.vec_id,
+               round(list_sum(list_transform(range({dim}), j ->
+                       a.e[CAST(j + 1 AS INT)] * q.qe[CAST(j + 1 AS INT)]))
+                     / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                        * q.qn), 6) AS cosine_sim
+        FROM assigned a, q
+        WHERE a.cell IN (SELECT cell FROM probecells)
+        ORDER BY cosine_sim DESC, a.vec_id ASC
+        LIMIT {k}
+    """

@@ -161,6 +161,29 @@ def test_lsh_and_ivf_recall(spark, emb_df):
     assert len(set(exact) & set(ivf)) >= 3
 
 
+def test_lsh_persisted_index_has_no_python_stage(spark, tmp_path, emb_df):
+    """Index/query split: a query against the STORED signature column must
+    not recompute signatures — its plan has no Python evaluation node."""
+    from deepseek_ocr_rs_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_query,
+    )
+
+    df, q = emb_df
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(df, dim=16, bits=6).write.parquet(path)
+    indexed = spark.read.parquet(path)
+    plan = lsh_query(indexed, q, k=4, bits=6)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    # and the stored-column path returns the same rows as the one-shot path
+    got = [(r["vec_id"], r["cosine_sim"])
+           for r in lsh_query(indexed, q, k=4, bits=6).collect()]
+    one_shot = [(r["vec_id"], r["cosine_sim"])
+                for r in lsh_bucket_topk(df, q, k=4, bits=6).collect()]
+    assert got == one_shot
+
+
 def test_multimodal_plumbing(spark):
     from deepseek_ocr_rs_spark.operators.multimodal import (
         MEDIA_SCHEMA,
