@@ -357,13 +357,8 @@ def u_distinct_types_per_user(spark, sf_dir):
     )
 
 
-def conv_render_plain(spark, sf_dir):
-    """F2/F3 template render: events-as-turns -> one prompt per conversation
-    (ordered collect + fold; string_agg oracle)."""
-    from deepseek_ocr_rs_spark.operators.compaction import render_conversation
-
-    ev = _t(spark, sf_dir, "events")
-    turns = ev.select(
+def _events_as_turns(ev):
+    return ev.select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.col("event_id").cast("int").alias("turn_idx"),
         F.when(F.col("event_type") == "click", "user")
@@ -374,7 +369,49 @@ def conv_render_plain(spark, sf_dir):
         F.lit(None).cast("string").alias("tool"),
         F.col("ts"),
     )
-    return render_conversation(turns, "plain")
+
+
+def conv_render_plain(spark, sf_dir):
+    """F2/F3 template render: events-as-turns -> one prompt per conversation
+    (ordered collect + fold; string_agg oracle)."""
+    from deepseek_ocr_rs_spark.operators.compaction import render_conversation
+
+    ev = _t(spark, sf_dir, "events")
+    return render_conversation(_events_as_turns(ev), "plain").select(
+        "conv_id", "rendered_prompt"
+    )
+
+
+def conv_render_v2(spark, sf_dir):
+    """deepseek_v2 render (conversation/mod.rs:88-114): user turns open with
+    the sft marker and close with sep; others emit content + sep2.  'view'
+    events map to empty text to exercise the skip-empty branch."""
+    from deepseek_ocr_rs_spark.operators.compaction import render_conversation
+
+    ev = _t(spark, sf_dir, "events")
+    turns = _events_as_turns(ev).withColumn(
+        "text",
+        F.when(F.col("role") == "system", F.lit("")).otherwise(F.col("text")),
+    )
+    return render_conversation(turns, "deepseek_v2").select(
+        "conv_id", "rendered_prompt", "n_turns_rendered"
+    )
+
+
+def conv_render_alignment(spark, sf_dir):
+    """alignment render (conversation/mod.rs:129-142): even ORIGINAL turn
+    positions emit the image-slot literal, odd ones the content; empty
+    turns are skipped but still consume a position."""
+    from deepseek_ocr_rs_spark.operators.compaction import render_conversation
+
+    ev = _t(spark, sf_dir, "events")
+    turns = _events_as_turns(ev).withColumn(
+        "text",
+        F.when(F.col("role") == "system", F.lit("")).otherwise(F.col("text")),
+    )
+    return render_conversation(turns, "alignment").select(
+        "conv_id", "rendered_prompt", "n_turns_rendered"
+    )
 
 
 def q14_promo_revenue(spark, sf_dir):
@@ -530,6 +567,49 @@ def w_events_per_day(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("day_value"),
     )
+
+
+def extract_missing_image_fallback(spark, sf_dir):
+    """P5 fallback route (routes.rs:241-248): prompts without an <image>
+    marker answer with the canned markdown; others pass through.  Half the
+    docs get a marker planted so both branches are exercised."""
+    from deepseek_ocr_rs_spark.operators.payloads import (
+        missing_image_fallback,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    prompts = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit("<image>\n"), F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = missing_image_fallback(prompts)
+    return out.select("doc_id", "response_md", "fallback")
+
+
+def extract_base64_payload(spark, sf_dir):
+    """F17 data:-URL path (generation.rs:284-298): wrap each doc's text in
+    a base64 data: URL, decode it back through F.unbase64, and flag rows
+    whose metadata is not base64.  Odd docs get a non-base64 metadata to
+    exercise the reject branch."""
+    from deepseek_ocr_rs_spark.operators.payloads import decode_data_url
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 4,
+                   F.lit("data:text/plain;utf8,")).otherwise(
+                F.lit("data:text/plain;base64,")
+            ),
+            F.when(F.col("doc_id") % 5 == 4, F.col("text")).otherwise(
+                F.base64(F.col("text").cast("binary"))
+            ),
+        ).alias("payload_url"),
+    )
+    out = decode_data_url(wrapped)
+    return out.select("doc_id", "decoded_text", "decode_ok")
 
 
 def doc_exact_dedup(spark, sf_dir):
@@ -724,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_distinct_types_per_user": u_distinct_types_per_user,
         "f_json_props": f_json_props,
         "conv_render_plain": conv_render_plain,
+        "conv_render_v2": conv_render_v2,
+        "conv_render_alignment": conv_render_alignment,
         "w_latest_event_per_user": w_latest_event_per_user,
         "w_running_value": w_running_value,
         "w_sessionize": w_sessionize,
@@ -734,6 +816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_median_value": a_median_value,
         "a_rollup_orders": a_rollup_orders,
         "w_events_per_day": w_events_per_day,
+        "extract_missing_image_fallback": extract_missing_image_fallback,
+        "extract_base64_payload": extract_base64_payload,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_token_counts": doc_token_counts,
         "doc_quality": doc_quality,
@@ -767,6 +851,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.textstats import (
         fingerprint_oracle_sql,
+    )
+
+    from deepseek_ocr_rs_spark.operators.payloads import (
+        MISSING_IMAGE_MARKDOWN as _FALLBACK_MD,
     )
 
     lang_case = " ".join(
@@ -956,6 +1044,37 @@ def oracle_sql() -> dict[str, str]:
                      chr(10) ORDER BY event_id) AS rendered_prompt
             FROM events GROUP BY user_id
         """,
+        "conv_render_v2": """
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   string_agg(
+                     CASE WHEN event_type = 'click'
+                          THEN '<｜sft▁begin｜>' || chr(10) || event_type
+                               || chr(10) || chr(10)
+                          ELSE event_type || '<｜end▁of▁sentence｜>' END,
+                     '' ORDER BY event_id) AS rendered_prompt,
+                   CAST(COUNT(*) AS INT) AS n_turns_rendered
+            FROM events
+            WHERE event_type <> 'view'
+            GROUP BY user_id
+        """,
+        "conv_render_alignment": """
+            WITH t AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CASE WHEN event_type = 'view' THEN ''
+                          ELSE event_type END AS text,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY event_id) - 1 AS pos
+              FROM events
+            )
+            SELECT conv_id,
+                   string_agg(CASE WHEN pos % 2 = 0 THEN '<image>' || chr(10)
+                                   ELSE text END, '' ORDER BY pos)
+                     AS rendered_prompt,
+                   CAST(COUNT(*) AS INT) AS n_turns_rendered
+            FROM t
+            WHERE trim(text) <> ''
+            GROUP BY conv_id
+        """,
         "w_latest_event_per_user": """
             SELECT user_id, event_id, event_type,
                    round(value, 2) AS value_r
@@ -1035,6 +1154,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    round(SUM(value), 2) AS day_value
             FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+        """,
+        "extract_missing_image_fallback": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN '<image>' || chr(10) || text
+                          ELSE text END AS prompt
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN prompt LIKE '%<image>%' THEN prompt
+                        ELSE '{_FALLBACK_MD}' END AS response_md,
+                   NOT (prompt LIKE '%<image>%') AS fallback
+            FROM p
+        """,
+        "extract_base64_payload": """
+            WITH w AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 4
+                     THEN 'data:text/plain;utf8,' || text
+                     ELSE 'data:text/plain;base64,' || to_base64(encode(text))
+                END AS u
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE WHEN split_part(u, ',', 1) LIKE '%;base64'
+                        AND strpos(u, ',') > 0
+                   THEN decode(from_base64(
+                          substr(u, length(split_part(u, ',', 1)) + 2)))
+                   ELSE NULL END AS decoded_text,
+              (split_part(u, ',', 1) LIKE '%;base64'
+               AND strpos(u, ',') > 0) AS decode_ok
+            FROM w
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_md5,

@@ -17,11 +17,26 @@ from typing import Dict
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# template registry (conversation/mod.rs:163-188 analog): style parameters
+# template registry (conversation/mod.rs:163-240 analog): style parameters.
+# `style` picks the renderer, mirroring the reference's SeparatorStyle
+# (get_prompt dispatch, conversation/mod.rs:54-60).
 TEMPLATES: Dict[str, Dict] = {
-    "deepseek": {"sep": "\n\n", "sep2": "<｜end▁of▁sentence｜>",
+    "deepseek": {"style": "deepseek", "sep": "\n\n",
+                 "sep2": "<｜end▁of▁sentence｜>",
                  "user": "User: ", "assistant": "Assistant: "},
-    "plain": {"sep": "\n", "sep2": "\n", "user": "", "assistant": ""},
+    "plain": {"style": "deepseek", "sep": "\n", "sep2": "\n",
+              "user": "", "assistant": ""},
+    # render_deepseek_v2 (conversation/mod.rs:88-114): user turns open with
+    # the sft marker + newline and close with sep; all other roles emit
+    # bare content closed with sep2
+    "deepseek_v2": {"style": "deepseek_v2", "sep": "\n\n",
+                    "sep2": "<｜end▁of▁sentence｜>",
+                    "marker": "<｜sft▁begin｜>\n"},
+    # render_alignment (conversation/mod.rs:129-142): even ORIGINAL turn
+    # positions emit the literal image slot, odd ones the content; the
+    # registered template uses empty separators (mod.rs:238-252)
+    "alignment": {"style": "alignment", "sep": "", "sep2": "",
+                  "marker": "<image>\n"},
 }
 
 
@@ -66,45 +81,99 @@ def compact_latest_user(df: DataFrame) -> DataFrame:
     )
 
 
-def render_conversation(df: DataFrame, template: str = "plain") -> DataFrame:
+DEFAULT_MAX_RENDER_TURNS = 100_000
+
+
+def render_conversation(df: DataFrame, template: str = "plain",
+                        max_turns: int = DEFAULT_MAX_RENDER_TURNS
+                        ) -> DataFrame:
     """conv_id -> single rendered prompt string (F2/F3).
 
     Rendering is ORDER-CRITICAL: sort_array over collected (turn_idx, line)
     structs guarantees turn order independent of partitioning (W5).
-    Alternating separators (W2) are applied by line position parity.
+
+    Bounded: only the FIRST ``max_turns`` turns of a conversation are
+    rendered (explicit truncation semantics — a 10^6-turn conversation must
+    not become a single collect_list row).  The cap rides the same
+    conv_id window partitioning the aggregation shuffles on, so it adds no
+    extra exchange; truncation is reported, never silent.
+
+    Styles (conversation/mod.rs:54-142):
+      deepseek/plain  ``role: content`` lines, alternating separators by
+                      KEPT-line parity (W2)
+      deepseek_v2     user turns open with the sft marker and close with
+                      sep; other roles emit bare content closed with sep2
+      alignment       even ORIGINAL turn positions emit the image-slot
+                      literal, odd ones the content
     """
     t = TEMPLATES[template]
-    line = F.concat(
-        F.when(F.lower("role") == "user", F.lit(t["user"]))
-        .when(F.lower("role") == "assistant", F.lit(t["assistant"]))
-        .otherwise(F.concat(F.initcap("role"), F.lit(": "))),
-        F.coalesce(F.trim("text"), F.lit("")),
+    style = t.get("style", "deepseek")
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    bounded = (
+        df.withColumn("_pos", F.row_number().over(w) - 1)
+        .withColumn("_n_total", F.count(F.lit(1)).over(w_all))
+        .where(F.col("_pos") < max_turns)
     )
+
+    content = F.coalesce(F.trim("text"), F.lit(""))
+    if style == "deepseek_v2":
+        piece = F.when(
+            F.lower("role") == "user",
+            F.concat(F.lit(t["marker"]), content, F.lit(t["sep"])),
+        ).otherwise(F.concat(content, F.lit(t["sep2"])))
+    elif style == "alignment":
+        piece = F.when(
+            F.col("_pos") % 2 == 0, F.concat(F.lit(t["marker"]),
+                                             F.lit(t["sep"]))
+        ).otherwise(F.concat(content, F.lit(t["sep2"])))
+    else:
+        piece = F.concat(
+            F.when(F.lower("role") == "user", F.lit(t["user"]))
+            .when(F.lower("role") == "assistant", F.lit(t["assistant"]))
+            .otherwise(F.concat(F.initcap("role"), F.lit(": "))),
+            content,
+        )
+
     collected = (
-        df.where(F.coalesce(F.trim("text"), F.lit("")) != "")  # P4 filter
+        bounded.where(content != "")  # P4 filter (skip empty turns)
         .groupBy("conv_id")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct(F.col("turn_idx"), line.alias("line")))
-            ).alias("lines")
+                F.collect_list(F.struct(F.col("_pos"), piece.alias("line")))
+            ).alias("lines"),
+            F.max("_n_total").alias("_n_total"),
         )
     )
-    # alternating separator: even lines joined by sep, odd close with sep2
-    rendered = F.aggregate(
-        F.col("lines"),
-        F.struct(F.lit("").alias("acc"), F.lit(0).alias("i")),
-        lambda acc, x: F.struct(
-            F.concat(
-                acc["acc"],
-                F.when(acc["i"] == 0, F.lit("")).otherwise(
-                    F.when(acc["i"] % 2 == 1, F.lit(t["sep"])).otherwise(
-                        F.lit(t["sep2"])
-                    )
-                ),
-                x["line"],
-            ).alias("acc"),
-            (acc["i"] + 1).alias("i"),
-        ),
-        lambda acc: acc["acc"],
+
+    if style in ("deepseek_v2", "alignment"):
+        # pieces carry their own separators: plain ordered concat
+        rendered = F.array_join(
+            F.transform(F.col("lines"), lambda x: x["line"]), ""
+        )
+    else:
+        # alternating separator: even lines joined by sep, odd close w/ sep2
+        rendered = F.aggregate(
+            F.col("lines"),
+            F.struct(F.lit("").alias("acc"), F.lit(0).alias("i")),
+            lambda acc, x: F.struct(
+                F.concat(
+                    acc["acc"],
+                    F.when(acc["i"] == 0, F.lit("")).otherwise(
+                        F.when(acc["i"] % 2 == 1, F.lit(t["sep"])).otherwise(
+                            F.lit(t["sep2"])
+                        )
+                    ),
+                    x["line"],
+                ).alias("acc"),
+                (acc["i"] + 1).alias("i"),
+            ),
+            lambda acc: acc["acc"],
+        )
+    return collected.select(
+        "conv_id",
+        rendered.alias("rendered_prompt"),
+        F.size("lines").alias("n_turns_rendered"),
+        (F.col("_n_total") > max_turns).alias("truncated"),
     )
-    return collected.select("conv_id", rendered.alias("rendered_prompt"))

@@ -46,6 +46,49 @@ def test_render_conversation_plain_and_order(spark):
     assert out["c1"] == "System: S\nU\nA"
 
 
+def test_render_conversation_deepseek_v2(spark):
+    df = _turns(spark, [
+        ("c1", 0, "user", "q1"),
+        ("c1", 1, "assistant", "a1"),
+        ("c1", 2, "user", "  "),      # empty -> skipped entirely
+        ("c1", 3, "assistant", "a2"),
+    ])
+    out = render_conversation(df, "deepseek_v2").collect()[0]
+    # mod.rs:88-114: user -> marker + content + sep; else content + sep2
+    assert out["rendered_prompt"] == (
+        "<｜sft▁begin｜>\nq1\n\n"
+        "a1<｜end▁of▁sentence｜>"
+        "a2<｜end▁of▁sentence｜>"
+    )
+    assert out["n_turns_rendered"] == 3 and not out["truncated"]
+
+
+def test_render_conversation_alignment(spark):
+    df = _turns(spark, [
+        ("c1", 0, "user", "ignored even content"),   # pos 0 -> <image>
+        ("c1", 1, "assistant", "a1"),                # pos 1 -> content
+        ("c1", 2, "user", " "),                      # pos 2, empty: skipped
+        ("c1", 3, "assistant", "a2"),                # pos 3 -> content
+        ("c1", 4, "user", "also image"),             # pos 4 -> <image>
+    ])
+    out = render_conversation(df, "alignment").collect()[0]
+    # mod.rs:129-142 with empty separators: even ORIGINAL positions emit
+    # the image-slot literal; the empty pos-2 turn is skipped but still
+    # consumes a position
+    assert out["rendered_prompt"] == "<image>\na1a2<image>\n"
+
+
+def test_render_conversation_bounded(spark):
+    rows = [("big", i, "user" if i % 2 == 0 else "assistant", f"t{i}")
+            for i in range(1000)]
+    df = _turns(spark, rows)
+    out = render_conversation(df, "plain", max_turns=100).collect()[0]
+    assert out["truncated"] and out["n_turns_rendered"] == 100
+    assert out["rendered_prompt"].endswith("t99")
+    full = render_conversation(df, "plain").collect()[0]
+    assert not full["truncated"] and full["n_turns_rendered"] == 1000
+
+
 def test_render_conversation_partitioning_invariant(spark):
     rows = [("cx", i, "user" if i % 2 == 0 else "assistant", f"t{i}")
             for i in range(20)]
