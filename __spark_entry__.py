@@ -612,6 +612,24 @@ def extract_base64_payload(spark, sf_dir):
     return out.select("doc_id", "decoded_text", "decode_ok")
 
 
+def s_weighted_sample(spark, sf_dir):
+    """F15 seeded weighted sampling: hash-Poisson inclusion, a pure
+    map-side filter whose sampled set the DuckDB oracle reproduces
+    row-for-row (same md5 bucket arithmetic)."""
+    from deepseek_ocr_rs_spark.operators.sampling import (
+        seeded_weighted_sample,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    # value scaled to a sub-1 inclusion probability so both branches of
+    # least(1, .) are exercised across the value range
+    sampled = seeded_weighted_sample(
+        ev, weight_col="value", fraction=0.002, key_col="event_id", seed=42
+    )
+    return sampled.select("event_id", "user_id",
+                          F.round("value", 2).alias("value_r"))
+
+
 def doc_exact_dedup(spark, sf_dir):
     from deepseek_ocr_rs_spark.operators.dedup import exact_dedup
 
@@ -816,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_median_value": a_median_value,
         "a_rollup_orders": a_rollup_orders,
         "w_events_per_day": w_events_per_day,
+        "s_weighted_sample": s_weighted_sample,
         "extract_missing_image_fallback": extract_missing_image_fallback,
         "extract_base64_payload": extract_base64_payload,
         "doc_exact_dedup": doc_exact_dedup,
@@ -856,6 +875,13 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.payloads import (
         MISSING_IMAGE_MARKDOWN as _FALLBACK_MD,
     )
+    from deepseek_ocr_rs_spark.operators.sampling import (
+        weighted_sample_oracle_predicate,
+    )
+
+    _w_pred = weighted_sample_oracle_predicate(
+        weight_col="value", fraction=0.002, key_col="event_id", seed=42
+    )
 
     lang_case = " ".join(
         f"WHEN {i} THEN '{lang}'" for i, (_, lang) in enumerate(_LANG_PLANTS)
@@ -873,8 +899,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_html_wrapped": f"""
             SELECT CAST(doc_id AS VARCHAR) AS conv_id,
                    'html' AS payload_kind,
-                   trim(text) AS text_md,
-                   1 AS n_blocks
+                   {_NORM_SQL} AS text_md,
+                   CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE 1 END AS n_blocks
             FROM documents
             WHERE regexp_full_match(text, '[^&<>]*') AND trim(text) <> ''
         """,
@@ -1154,6 +1180,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    round(SUM(value), 2) AS day_value
             FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+        """,
+        "s_weighted_sample": f"""
+            SELECT event_id, user_id, round(value, 2) AS value_r
+            FROM events
+            WHERE {_w_pred}
         """,
         "extract_missing_image_fallback": f"""
             WITH p AS (
