@@ -621,10 +621,10 @@ def s_weighted_sample(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events")
-    # value scaled to a sub-1 inclusion probability so both branches of
-    # least(1, .) are exercised across the value range
+    # fraction chosen so inclusion probability spans both sides of the
+    # least(1, .) clip across the value range
     sampled = seeded_weighted_sample(
-        ev, weight_col="value", fraction=0.002, key_col="event_id", seed=42
+        ev, weight_col="value", fraction=0.005, key_col="event_id", seed=42
     )
     return sampled.select("event_id", "user_id",
                           F.round("value", 2).alias("value_r"))
@@ -880,7 +880,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     _w_pred = weighted_sample_oracle_predicate(
-        weight_col="value", fraction=0.002, key_col="event_id", seed=42
+        weight_col="value", fraction=0.005, key_col="event_id", seed=42
     )
 
     lang_case = " ".join(
