@@ -57,3 +57,73 @@ def test_sink_writes_metrics_and_lineage_sidecars(spark, tmp_path):
     lineage = spark.read.parquet(str(tmp_path / "out_lineage"))
     assert metrics.where("stage = 'extract'").count() > 0
     assert lineage.agg(F.sum("n_turns")).first()[0] == transcripts.count()
+
+
+# ----------------------------------------------------------- Iceberg MERGE
+
+def _iceberg_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def test_iceberg_merge_sql_shape(spark):
+    """Jar-free pin of the production sink's MERGE statement: capture the
+    SQL IcebergMergeSink issues and check it is the idempotent
+    WHEN NOT MATCHED INSERT form on the full merge key."""
+    from deepseek_ocr_rs_spark.plans.checkpoint import IcebergMergeSink
+
+    issued = []
+
+    class _Spark:
+        def sql(self, q):
+            issued.append(q)
+
+    class _DF:
+        sparkSession = _Spark()
+
+        def createOrReplaceTempView(self, name):
+            self._view = name
+
+    df = _DF()
+    sink = IcebergMergeSink("lake.db.extracted", keys=["conv_id", "turn_idx"])
+    sink.merge(df)
+    assert len(issued) == 1
+    q = issued[0]
+    assert "MERGE INTO lake.db.extracted t" in q
+    assert "USING merge_batch_src s" in q
+    assert "t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx" in q
+    assert "WHEN NOT MATCHED THEN INSERT *" in q
+    # idempotency contract: no UPDATE/DELETE clause — re-merging committed
+    # keys must be a no-op
+    assert "WHEN MATCHED" not in q
+
+
+def test_iceberg_merge_idempotent_resume(spark, tmp_path):
+    """3-run idempotency against a REAL local Iceberg catalog.  The sandbox
+    ships no iceberg-spark-runtime jar and has no network, so this skips
+    there — on any cluster with Iceberg on the classpath it runs as-is."""
+    if not _iceberg_available(spark):
+        import pytest
+
+        pytest.skip("iceberg-spark-runtime jar not on classpath "
+                    "(sandbox has no network; see checkpoint.py docstring)")
+    from deepseek_ocr_rs_spark.plans.checkpoint import IcebergMergeSink
+
+    spark.conf.set("spark.sql.catalog.lake",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.lake.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.lake.warehouse",
+                   str(tmp_path / "warehouse"))
+    spark.sql("CREATE TABLE lake.db.extracted "
+              "(conv_id STRING, turn_idx INT, text_md STRING) USING iceberg")
+    df = spark.createDataFrame(
+        [("c1", 0, "a"), ("c1", 1, "b")],
+        "conv_id string, turn_idx int, text_md string")
+    sink = IcebergMergeSink("lake.db.extracted", keys=["conv_id", "turn_idx"])
+    for _ in range(3):  # re-merge: WHEN NOT MATCHED inserts nothing new
+        sink.merge(df)
+    assert spark.table("lake.db.extracted").count() == 2
