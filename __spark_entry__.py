@@ -764,6 +764,18 @@ def ann_ivf(spark, sf_dir):
     return ivf_topk(emb, [float(x) for x in q], k=10, n_cells=8, nprobe=4)
 
 
+def emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH-bucketed candidates (shuffle key
+    = one int64 bucket id) + exact 6dp cosine verify; the DuckDB oracle
+    (similarity.embedding_near_dup_oracle_sql) replicates both stages."""
+    from deepseek_ocr_rs_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.25, bits=8, dim=64)
+
+
 def emb_norms(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return emb.select(
@@ -848,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": ann_brute_force,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "emb_near_dup": emb_near_dup,
         "emb_norms": emb_norms,
         "conv_compaction": conv_compaction,
     }
@@ -865,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
         simhash_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.similarity import (
+        embedding_near_dup_oracle_sql,
         ivf_oracle_sql,
         lsh_oracle_sql,
     )
@@ -1258,6 +1272,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_content_hash": """
             SELECT doc_id, sha256(text) AS content_sha256 FROM documents
         """,
+        "emb_near_dup": embedding_near_dup_oracle_sql(
+            dim=64, bits=8, threshold=0.25),
         "ann_lsh": lsh_oracle_sql(dim=64, bits=8, k=10),
         "ann_ivf": ivf_oracle_sql(dim=64, n_cells=8, nprobe=4, k=10),
         "ann_brute_force": """

@@ -110,9 +110,15 @@ def main() -> None:
         "doc_exact_dedup",
         "doc_token_counts",
         "doc_quality",
+        "doc_lang_id",
+        "doc_fingerprint",
         "dedup_minhash_pairs",
+        "dedup_simhash_candidates",
         "ann_brute_force",
         "ann_lsh",
+        "ann_ivf",
+        "conv_render_v2",
+        "s_weighted_sample",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -321,7 +321,8 @@ def _capped_band_join(banded: DataFrame, id_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 64, bands: int = 16,
                       threshold: float = 0.5, shingle_n: int = 3,
-                      bucket_cap: Optional[int] = None) -> DataFrame:
+                      bucket_cap: Optional[int] = None,
+                      sigs: Optional[DataFrame] = None) -> DataFrame:
     """Near-duplicate pairs via banded LSH + signature-estimate verify.
 
     Plan shape at scale: signatures are computed map-side ONCE; posexplode
@@ -334,10 +335,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     mega-buckets) skip the quadratic join; their members are grouped by
     FULL signature and emitted as linear (keeper, other) pairs with
     est_jaccard 1.0 — exactly the exact-duplicate representation.
+
+    ``sigs``: a persisted ``with_minhash`` output (the dedup analog of
+    ``build_lsh_index``).  Without it the signature stage appears on each
+    side of the self-join plan and Spark recomputes it per branch — fine
+    for one-shot runs, but production dedup over a big corpus should write
+    signatures once and pass them here.
     """
     rows_per_band = k // bands
-    sigs = with_minhash(_drop_wordless(df, text_col), id_col, text_col,
-                        k, shingle_n)
+    if sigs is None:
+        sigs = with_minhash(_drop_wordless(df, text_col), id_col, text_col,
+                            k, shingle_n)
 
     banded = sigs.select(
         F.col(id_col),

@@ -259,6 +259,62 @@ def ivf_topk(
                      vec_col, round_to)
 
 
+# ------------------------------------------------- embedding near-dup
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus with
+    the fixed hyperplane family, self-join WITHIN buckets only (the shuffle
+    key is the single int64 bucket id, never the vector), then exact-cosine
+    verify >= threshold.
+
+    Recall note (honest contract): bucket equality requires all ``bits``
+    signs to agree, so recall at a given threshold is tunable via ``bits``
+    (fewer bits -> bigger buckets -> higher recall, more candidates).  Two
+    identical vectors always share a bucket.  The SQL oracle replicates
+    bucketing + verify exactly, so the driver checks this operator's
+    OUTPUT, not a recall proxy."""
+    indexed = build_lsh_index(df, dim, bits, vec_col).select(
+        F.col(id_col), F.col(vec_col), "lsh_bucket"
+    )
+    l, r = indexed.alias("l"), indexed.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(c, F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double") * x.cast("double"))
+        )
+
+    cos = F.round(dot / (_norm(F.col(f"l.{vec_col}"))
+                         * _norm(F.col(f"r.{vec_col}"))), round_to)
+    return (
+        cand.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cos.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 # ------------------------------------------------------------- SQL oracle
 
 def _sql_double_list(vals) -> str:
@@ -319,6 +375,48 @@ def lsh_oracle_sql(table: str = "embeddings", id_col: str = "vec_id",
         WHERE s.sig IN (SELECT p FROM probes)
         ORDER BY cosine_sim DESC, s.vec_id ASC
         LIMIT {k}
+    """
+
+
+def embedding_near_dup_oracle_sql(
+    table: str = "embeddings", id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int = 64, bits: int = 8,
+    threshold: float = 0.25,
+) -> str:
+    """DuckDB SQL replicating ``embedding_near_dup_pairs`` exactly:
+    same hyperplane signatures, same bucket-equality candidates, same
+    6dp-rounded cosine verify."""
+    planes = _hyperplanes(dim, bits)
+    planes_sql = "[" + ", ".join(_sql_double_list(p) for p in planes) + "]"
+    sig_expr = (
+        f"list_sum(list_transform(range({bits}), b -> CASE WHEN "
+        f"list_sum(list_transform(range({dim}), j -> "
+        f"planes.pl[CAST(b + 1 AS INT)][CAST(j + 1 AS INT)] * "
+        f"e[CAST(j + 1 AS INT)])) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END))"
+    )
+    return f"""
+        WITH planes AS (
+          SELECT {planes_sql} AS pl
+        ), base AS (
+          SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS e
+          FROM {table}
+        ), sigs AS (
+          SELECT vec_id, e, {sig_expr} AS sig FROM base, planes
+        )
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               round(list_sum(list_transform(range({dim}), j ->
+                       l.e[CAST(j + 1 AS INT)] * r.e[CAST(j + 1 AS INT)]))
+                     / (sqrt(list_sum(list_transform(l.e, x -> x * x)))
+                        * sqrt(list_sum(list_transform(r.e, x -> x * x)))),
+                     6) AS cosine_sim
+        FROM sigs l JOIN sigs r
+          ON l.sig = r.sig AND l.vec_id < r.vec_id
+        WHERE round(list_sum(list_transform(range({dim}), j ->
+                l.e[CAST(j + 1 AS INT)] * r.e[CAST(j + 1 AS INT)]))
+              / (sqrt(list_sum(list_transform(l.e, x -> x * x)))
+                 * sqrt(list_sum(list_transform(r.e, x -> x * x)))), 6)
+              >= {threshold}
     """
 
 

@@ -57,6 +57,13 @@ AUDITS = {
         ("partial agg before shuffle", "HashAggregate"),
         ("shuffle on digest", "hashpartitioning(text_md5"),
     ],
+    "s_weighted_sample": [
+        ("pure map-side filter (codegen)", "* Filter"),
+        ("pruned scan", "ReadSchema: struct<event_id"),
+    ],
+    "doc_lang_id": [
+        ("single Arrow batch stage", "ArrowEvalPython"),
+    ],
 }
 
 
@@ -98,6 +105,40 @@ def main() -> None:
             f"## {name}\n\n" + "\n".join(marks)
             + f"\n\n```\n{head.strip()}\n```\n"
         )
+
+    # minhash LSH: the candidate shuffle must carry only (id, band) keys —
+    # the k-long signature arrays must never appear in an Exchange's
+    # partitioning or output (they are joined back onto the pair set)
+    df = qs["dedup_minhash_pairs"](spark, SF_DIR)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    bad_ex = [
+        ln.strip()
+        for i, ln in enumerate(plan.splitlines())
+        if ln.startswith("(") and ") Exchange" in ln
+        for detail in [plan.split(ln, 1)[1].split("\n\n", 1)[0]]
+        if "minhash#" in detail
+    ]
+    sig_free = not bad_ex
+    if not sig_free:
+        failures.append(f"dedup_minhash_pairs: signature array rides an "
+                        f"exchange: {bad_ex[:2]}")
+    band_shuffle = "hashpartitioning(band_idx" in plan or \
+        "BroadcastHashJoin" in plan
+    sections.append(
+        "## dedup_minhash_pairs\n\n"
+        f"  - [{'x' if sig_free else ' '}] no k-long signature array in any "
+        "Exchange (candidate shuffle is (id, band_idx, band_hash) only)\n"
+        f"  - [{'x' if band_shuffle else ' '}] band-key join (broadcast at "
+        "this SF; hash-partitioned on (band_idx, band_hash) at scale)\n"
+        f"  - [{'x' if 'ArrowEvalPython' in plan else ' '}] signatures "
+        "computed in Arrow-batched stages (pass `sigs=` to reuse a "
+        "persisted signature table in production)\n\n"
+        f"```\n{plan.split(chr(10)+chr(10))[0].strip()[:2400]}\n```\n"
+    )
 
     # extraction pipeline: exactly one exchange
     from deepseek_ocr_rs_spark.plans.pipeline import (

@@ -27,6 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = r"""
 import json, os, sys, time
 cpus = int(sys.argv[1]); src = sys.argv[2]
+with_checksum = len(sys.argv) < 4 or sys.argv[3] == "1"
 from pyspark.sql import SparkSession, functions as F
 from pyspark import StorageLevel
 # size scan splits so split count ~= 2 waves of 32 (and a whole number of
@@ -51,9 +52,6 @@ sys.path.insert(0, %(repo)r)
 from deepseek_ocr_rs_spark.operators.extract import extract_turns, reassemble
 corpus = spark.read.parquet(src)
 n = corpus.count()
-# warm the python workers AND the JVM arrow JIT (a tiny warm-up leaves C2
-# cold and the timed run measures compilation): ~5%% of the corpus
-extract_turns(corpus.sample(0.05, seed=1)).write.format("noop").mode("overwrite").save()
 
 # Two measurements (noop sink; an order-insensitive checksum verifies
 # identical output across parallelism levels):
@@ -68,18 +66,29 @@ def measure(df_builder):
     df_builder().write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
-map_phase = measure(lambda: extract_turns(
-    corpus, run_id=f"scale-map-{cpus}", chunk_bytes=65536))
-end_to_end = measure(lambda: extract_turns(
+mk_map = lambda: extract_turns(
+    corpus, run_id=f"scale-map-{cpus}", chunk_bytes=65536)
+mk_e2e = lambda: extract_turns(
     corpus.repartitionByRange(max(cpus * 2, 8), "conv_id", "turn_idx"),
-    run_id=f"scale-e2e-{cpus}", chunk_bytes=65536)
-    .sortWithinPartitions("conv_id", "turn_idx"))
-chk = (extract_turns(corpus, chunk_bytes=65536)
-       .agg(F.sum(F.crc32(F.concat_ws("\x1f", "conv_id",
-            F.col("turn_idx").cast("string"), "text_md"))).alias("c"))
-       .first()["c"])
+    run_id=f"scale-e2e-{cpus}", chunk_bytes=65536)\
+    .sortWithinPartitions("conv_id", "turn_idx")
+
+# FULL untimed warm pass of BOTH topologies first.  A partial warm-up
+# leaves C2 compilation, python-worker forks, and the page cache cold for
+# whichever phase is measured first, inflating it relative to the second —
+# round-1 numbers showed e2e@2 FASTER than map@2 from exactly this bias.
+measure(mk_map)
+measure(mk_e2e)
+map_phase = measure(mk_map)
+end_to_end = measure(mk_e2e)
+chk = 0
+if with_checksum:  # one output-equality checksum per config is enough
+    chk = int(extract_turns(corpus, chunk_bytes=65536)
+              .agg(F.sum(F.crc32(F.concat_ws("\x1f", "conv_id",
+                   F.col("turn_idx").cast("string"), "text_md"))).alias("c"))
+              .first()["c"])
 print(json.dumps({"cpus": cpus, "n_turns": n, "map_s": map_phase,
-                  "e2e_s": end_to_end, "checksum": int(chk)}))
+                  "e2e_s": end_to_end, "checksum": chk}))
 spark.stop()
 """ % {"repo": REPO}
 
@@ -118,7 +127,10 @@ def main() -> None:
     ]
     n_convs = int(os.environ.get("SCALE_CONVS", "40000"))  # ~0.5M turns
 
-    work = tempfile.mkdtemp(prefix="scaling_")
+    # corpus lives in shared memory: measurements cover compute + shuffle,
+    # not the sandbox's single shared disk (which a real cluster lacks)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="scaling_", dir=base)
     src = os.path.join(work, "corpus")
     print(f"generating corpus ({n_convs} convs) ...", file=sys.stderr)
     run_py(GEN, src, str(n_convs))
@@ -129,16 +141,34 @@ def main() -> None:
     for t in range(trials):  # interleaved to average out host noise
         for cpus in cores:
             print(f"trial {t} local[{cpus}] ...", file=sys.stderr)
-            results[cpus].append(json.loads(run_py(WORKER, str(cpus), src)))
+            results[cpus].append(json.loads(run_py(
+                WORKER, str(cpus), src, "1" if t == 0 else "0")))
 
     def best(cpus, key):  # min wall = least noise-contaminated observation
         return min(r[key] for r in results[cpus])
 
+    def med_ratio(n_small, n_big, key):
+        """Median of PER-TRIAL ratios.  The host's effective per-core speed
+        drifts minute-to-minute (hypervisor steal + turbo), so a best-of
+        that picks numerator and denominator from different time windows
+        measures the drift, not the scaling.  Within one trial the two
+        configs run back-to-back — their ratio cancels the window's speed."""
+        import statistics
+
+        ratios = [
+            results[n_small][t][key] / results[n_big][t][key]
+            for t in range(len(results[n_small]))
+        ]
+        return statistics.median(ratios)
+
     n_turns = results[cores[0]][0]["n_turns"]
-    same = len({r["checksum"] for rs in results.values() for r in rs}) == 1
+    same = len({r["checksum"] for rs in results.values()
+                for r in rs if r["checksum"]}) == 1
     tps = lambda s: f"{n_turns / s:,.0f}"
 
-    summary = {"n_turns": n_turns, "outputs_identical": same, "pairs": []}
+    summary = {"n_turns": n_turns, "outputs_identical": same, "pairs": [],
+               "trials": {str(c): [[r["map_s"], r["e2e_s"]] for r in rs]
+                          for c, rs in results.items()}}
     rows = []
     for n_small, n_big in pairs:
         ratio = n_big / n_small
@@ -148,10 +178,8 @@ def main() -> None:
                       round(best(n_big, "map_s"), 2)],
             "e2e_s": [round(best(n_small, "e2e_s"), 2),
                       round(best(n_big, "e2e_s"), 2)],
-            "map_eff": round(
-                (best(n_small, "map_s") / best(n_big, "map_s")) / ratio, 3),
-            "e2e_eff": round(
-                (best(n_small, "e2e_s") / best(n_big, "e2e_s")) / ratio, 3),
+            "map_eff": round(med_ratio(n_small, n_big, "map_s") / ratio, 3),
+            "e2e_eff": round(med_ratio(n_small, n_big, "e2e_s") / ratio, 3),
         }
         summary["pairs"].append(p)
         rows.append(
@@ -170,11 +198,16 @@ def main() -> None:
 No multi-node cluster exists in this sandbox, so N vs 4N executors is
 evidenced (per the driver instruction) by running the identical extraction
 job at two parallelism levels on the same pre-generated input
-({n_turns:,} turns, seed 42).  Best of {trials} interleaved trials per
-config (shared noisy host), JIT/worker warm-up excluded, fresh JVM per
-measurement, noop sink (no shared-disk write noise).  Two phases measured:
-the zero-shuffle extraction map, and end-to-end (range-partition input ->
-extract -> globally ordered output).
+({n_turns:,} turns, seed 42).  Efficiencies are MEDIANS OF PER-TRIAL
+PAIRED RATIOS over {trials} interleaved trials: each trial runs every
+config back-to-back inside one host-speed window, so the ratio cancels the
+shared VM's minute-scale speed drift (hypervisor steal + turbo) that a
+best-of-runs comparison would conflate with scaling.  Each fresh JVM first
+runs a FULL untimed pass of both topologies (JIT, python-worker forks,
+page cache all warm before any timing); input in /dev/shm and noop sink
+(no shared-single-disk noise).  Absolute seconds shown are per-config
+minima.  Two phases measured: the zero-shuffle extraction map, and
+end-to-end (range-partition input -> extract -> globally ordered output).
 
 | pair (N -> 4N) | extraction map | map efficiency | end-to-end | e2e efficiency |
 |---|---|---|---|---|
@@ -213,6 +246,10 @@ SCALE_TRIALS)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print("wrote BENCH/BASELINE.md", file=sys.stderr)
+
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
