@@ -78,10 +78,17 @@ def main() -> None:
     ).write.mode("overwrite").parquet(stage_dir)
     corpus = spark.read.parquet(stage_dir)
     n_turns = corpus.count()
-    # Warm python workers AND the JVM arrow-serialization JIT: a too-small
-    # warm-up leaves the C2 compiler cold and the first timed run measures
-    # compilation, not the job (observed 6x).  ~5% of the corpus suffices.
-    materialize(extract_turns(corpus.sample(0.05, seed=1), run_id="warmup"))
+    # Warm python workers AND the JVM arrow-serialization JIT with one FULL
+    # untimed pass of the measured topology: a partial warm-up leaves C2
+    # compilation and the page cache cold for part of the timed run
+    # (observed up to 2x on the scaling harness) — the timed number below
+    # is warm steady-state throughput.
+    materialize(
+        extract_turns(
+            corpus.repartitionByRange(cpus * 2, "conv_id", "turn_idx"),
+            run_id="warmup", chunk_bytes=65536,
+        ).sortWithinPartitions("conv_id", "turn_idx")
+    )
 
     t0 = time.perf_counter()
     # production topology: range-partition the INPUT, extract, local sort —

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from deepseek_ocr_rs_spark.operators.extract import extract_turns
 from deepseek_ocr_rs_spark.plans.checkpoint import ParquetMergeSink
@@ -57,6 +58,65 @@ def run_streaming_extraction(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_windowed_rates(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "turn_rates",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    output_dir: Optional[str] = None,
+):
+    """Event-time windowed turn-rate aggregation with a watermark (the A5
+    throughput metric in streaming form, with late-data semantics).
+
+    ``withWatermark(ts, W)`` bounds state: a tumbling window finalizes —
+    and, in append mode, is emitted exactly once — when the watermark
+    passes its end; rows later than W behind the max seen event time are
+    DROPPED, never corrupting an already-emitted window.  This is the
+    event-time analog of the reference's monotonicity guard on the token
+    stream (crates/server/src/stream.rs:277-280): out-of-order data may
+    reorder within the tolerance, but can never rewrite committed output.
+
+    Scale note: state size ~ (#open windows x #roles), independent of
+    corpus size; the shuffle key is (window, role).
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "role",
+            "n_turns",
+            "n_chars",
+        )
+    )
+    writer = agg.writeStream.outputMode("append").option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if output_dir is not None:
+        # file sink: append-only AND checkpoint-recoverable (the restart /
+        # late-data path needs recovery, which the memory sink lacks)
+        writer = writer.format("parquet").option("path", output_dir)
+    else:
+        writer = writer.format("memory").queryName(query_name)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
