@@ -193,9 +193,16 @@ def run_extraction(
         rows_written = sink.merge(extracted_ok)
         # north rule: per-partition lineage + metrics rows are persisted
         # alongside the extracted table (the merge action just populated
-        # the accumulators)
-        _metrics_df().write.mode("append").parquet(sink.path + "_metrics")
-        _lineage_df().write.mode("append").parquet(sink.path + "_lineage")
+        # the accumulators).  Parquet sinks get path sidecars; catalog
+        # (Iceberg) sinks get sibling tables.
+        if hasattr(sink, "path"):
+            _metrics_df().write.mode("append").parquet(sink.path + "_metrics")
+            _lineage_df().write.mode("append").parquet(sink.path + "_lineage")
+        else:
+            _metrics_df().write.mode("append").saveAsTable(
+                sink.table + "_metrics")
+            _lineage_df().write.mode("append").saveAsTable(
+                sink.table + "_lineage")
 
     # metrics/lineage are zero-arg builders: call them AFTER an action has
     # materialized `extracted` (the accumulators fill as tasks finish)
