@@ -111,6 +111,54 @@ def q_extract_html_wrapped(spark, sf_dir):
     return out.select("conv_id", "payload_kind", "text_md", "n_blocks")
 
 
+def q_extract_pdf_layout(spark, sf_dir):
+    """PDF layout path with a SQL-expressible expectation: each doc becomes
+    a PDF-JSON payload whose blocks are listed OUT of reading order (body
+    before heading) plus planted page furniture (digit-only block, tiny
+    font footer).  The extractor must restore (page, y, x) reading order,
+    drop the furniture, classify fonts (24 -> h1, 10 -> p), and emit
+    '# heading\\n\\nbody' markdown."""
+    from deepseek_ocr_rs_spark.operators.extract import extract_turns
+
+    docs = _t(spark, sf_dir, "documents")
+    first3 = F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 3))
+
+    def blk(x, y, font, text_col):
+        return F.struct(
+            F.lit(float(x)).alias("x"),
+            F.lit(float(y)).alias("y"),
+            F.lit(float(font)).alias("font"),
+            text_col.alias("text"),
+        )
+
+    payload = F.to_json(
+        F.struct(
+            F.lit("pdf").alias("kind"),
+            F.array(
+                F.struct(
+                    F.lit(1).alias("page"),
+                    F.array(
+                        blk(5, 20, 10, F.col("text")),        # body (listed 1st)
+                        blk(0, 10, 24, first3),               # heading (y first)
+                        blk(0, 99, 10, F.lit("42")),          # page number: drop
+                        blk(0, 98, 6, F.lit("running footer")),  # tiny font: drop
+                    ).alias("blocks"),
+                )
+            ).alias("pages"),
+        )
+    )
+    wrapped = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        payload.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    out = extract_turns(wrapped)
+    return out.select("conv_id", "payload_kind", "text_md", "n_blocks")
+
+
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape — the A1 stage-totals hash aggregation analog
     (crates/cli/src/bench.rs:139-172): count/sum/min/max/avg per group."""
@@ -818,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_docs_plain": q_extract_docs_plain,
         "extract_html_wrapped": q_extract_html_wrapped,
+        "extract_pdf_layout": q_extract_pdf_layout,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -917,6 +966,31 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE 1 END AS n_blocks
             FROM documents
             WHERE regexp_full_match(text, '[^&<>]*') AND trim(text) <> ''
+        """,
+        "extract_pdf_layout": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     array_to_string(
+                       (regexp_split_to_array(trim(text), '\\s+'))[1:3],
+                       ' ') AS h,
+                     {_NORM_SQL} AS body
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     CASE WHEN trim(h) <> ''
+                               AND NOT regexp_full_match(trim(h), '[0-9]+')
+                          THEN '# ' || trim(h) END AS hb,
+                     CASE WHEN body <> ''
+                               AND NOT regexp_full_match(body, '[0-9]+')
+                          THEN body END AS bb
+              FROM b
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+                   'pdf' AS payload_kind,
+                   concat_ws(chr(10) || chr(10), hb, bb) AS text_md,
+                   (CASE WHEN hb IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN bb IS NULL THEN 0 ELSE 1 END) AS n_blocks
+            FROM c
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
