@@ -842,6 +842,50 @@ def emb_norms(spark, sf_dir):
     )
 
 
+def media_features(spark, sf_dir):
+    """Multimodal plumbing through the gate: documents become binary media
+    payloads; the REAL mapInPandas feature stage runs and its deterministic
+    outputs (byte count, content hash) are oracle-checked.  The embedded
+    feature vector itself is the stubbed-codec stand-in and is checked by
+    pytest (determinism/shape), not the oracle."""
+    from deepseek_ocr_rs_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "content_sha256"
+    )
+
+
+def media_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan (JVM-side sequence explode): one row per
+    (media_id, frame_ts_ms) for synthetic durations derived from doc_id."""
+    from deepseek_ocr_rs_spark.operators.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        (F.pmod(F.col("doc_id"), F.lit(7)) * 1000 + 500).cast("long")
+        .alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
 def conv_compaction(spark, sf_dir):
     """P1/W1 chat compaction over events reinterpreted as turns: latest
     'user' event + preceding 'system' events per user (oracle-checked)."""
@@ -912,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": emb_near_dup,
         "emb_norms": emb_norms,
         "conv_compaction": conv_compaction,
+        "media_features": media_features,
+        "media_frame_plan": media_frame_plan,
     }
 
 
@@ -1379,6 +1425,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_pairs": minhash_oracle_sql(threshold=0.5),
         "dedup_simhash_candidates": simhash_oracle_sql(max_hamming=8),
+        "media_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   'image' AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS content_sha256
+            FROM documents
+        """,
+        "media_frame_plan": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(unnest(range(0, (doc_id % 7) * 1000 + 501, 1000))
+                        AS BIGINT) AS frame_ts_ms
+            FROM documents
+        """,
         "conv_compaction": """
             WITH turns AS (
               SELECT CAST(user_id AS VARCHAR) AS conv_id,
