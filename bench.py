@@ -132,10 +132,17 @@ def main() -> None:
         "conv_render_v2",
         "s_weighted_sample",
     ]
-    for name in bench_queries:
+    # best-of-2 per query, same insurance as the headline: on this shared VM
+    # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the
+    # min of two trials is the least noise-contaminated observation and keeps
+    # the committed record comparable round-over-round.
+    def run_query(name: str) -> float:
         t0 = time.perf_counter()
         materialize(qset[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
+
+    for name in bench_queries:
+        timings[name] = round(min(run_query(name) for _ in range(2)), 3)
 
     print(
         json.dumps(

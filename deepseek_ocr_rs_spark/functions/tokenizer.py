@@ -86,6 +86,8 @@ def decode_entities(s: str) -> str:
 
 _TAG_NAME_RE = re.compile(r"[a-zA-Z][-a-zA-Z0-9:]*")
 _EMPTY_ATTRS: Dict[str, str] = {}
+# case-insensitive probe compiled once: one C-level scan, no .lower() copy
+_HREF_PROBE_RE = re.compile(r"href", re.IGNORECASE)
 
 
 def _parse_tag(raw: str) -> Optional[Tuple[str, str, Dict[str, str], bool]]:
@@ -115,7 +117,7 @@ def _parse_tag(raw: str) -> Optional[Tuple[str, str, Dict[str, str], bool]]:
     # attribute scan entirely when it can't be present (the hot path).
     # case-insensitive probe: the attr matcher below lowercases names, so
     # <a HREF="..."> must not take the fast path
-    if "href" not in raw and "HREF" not in raw and "href" not in raw.lower():
+    if not _HREF_PROBE_RE.search(raw):
         return ("open", tag, _EMPTY_ATTRS, self_closing)
     attrs: Dict[str, str] = {}
     for am in _ATTR_RE.finditer(raw[m.end():]):

@@ -265,21 +265,34 @@ def simhash64(text: str, shingle_n: int = 2) -> int:
 def with_minhash(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", k: int = 64,
                  shingle_n: int = 3) -> DataFrame:
+    """Signature table builder.  Wordless/whitespace-only docs are DROPPED
+    here (not just on the ``sigs=None`` path of ``minhash_lsh_pairs``): they
+    would carry the all-zero signature, collide in every band, and emit
+    vacuous est_jaccard=1.0 pairs from a quadratic mega-bucket.  Persisted
+    signature tables therefore never contain wordless docs."""
+
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(batch: pd.Series) -> pd.Series:
         mat = minhash_batch(batch.tolist(), k, shingle_n)
         return pd.Series(list(mat))
 
-    return df.select(F.col(id_col), _sig(F.col(text_col)).alias("minhash"))
+    return _drop_wordless(df, text_col).select(
+        F.col(id_col), _sig(F.col(text_col)).alias("minhash")
+    )
 
 
 def with_simhash(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", shingle_n: int = 2) -> DataFrame:
+    """Simhash builder; drops wordless docs for the same reason as
+    ``with_minhash`` (simhash 0 would band-collide vacuously)."""
+
     @F.pandas_udf(LongType())
     def _sh(batch: pd.Series) -> pd.Series:
         return pd.Series(simhash_batch(batch.tolist(), shingle_n))
 
-    return df.select(F.col(id_col), _sh(F.col(text_col)).alias("simhash"))
+    return _drop_wordless(df, text_col).select(
+        F.col(id_col), _sh(F.col(text_col)).alias("simhash")
+    )
 
 
 # ---------------------------------------------------------------- minhash
@@ -318,34 +331,51 @@ def _capped_band_join(banded: DataFrame, id_col: str,
     return cand, over
 
 
+DEFAULT_BUCKET_CAP = 10_000
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 64, bands: int = 16,
                       threshold: float = 0.5, shingle_n: int = 3,
-                      bucket_cap: Optional[int] = None,
+                      bucket_cap: Optional[int] = DEFAULT_BUCKET_CAP,
                       sigs: Optional[DataFrame] = None) -> DataFrame:
     """Near-duplicate pairs via banded LSH + signature-estimate verify.
 
-    Plan shape at scale: signatures are computed map-side ONCE; posexplode
-    into ``bands`` rows/doc carrying only (id, band_idx, band_hash) — the
-    shuffle payload is 3 scalars/row, never the k-long signature; the
-    within-bucket self-join emits only colliding (id_a, id_b) pairs; the
-    signatures are joined back onto that (tiny) pair set for the estimate.
+    Plan shape at scale: signatures are computed map-side ONCE (the
+    ``sigs=None`` path auto-persists them so the self-join branches and the
+    estimate join all read the cached table instead of re-running the Arrow
+    stage three times); posexplode into ``bands`` rows/doc carrying only
+    (id, band_idx, band_hash) — the shuffle payload is 3 scalars/row, never
+    the k-long signature; the within-bucket self-join emits only colliding
+    (id_a, id_b) pairs; the signatures are joined back onto that (tiny)
+    pair set for the estimate.
 
-    ``bucket_cap``: buckets larger than the cap (identical-boilerplate
-    mega-buckets) skip the quadratic join; their members are grouped by
-    FULL signature and emitted as linear (keeper, other) pairs with
-    est_jaccard 1.0 — exactly the exact-duplicate representation.
+    ``bucket_cap`` (DEFAULT ON, 10k): buckets larger than the cap
+    (identical-boilerplate mega-buckets — the 100 TB scale-killer) skip the
+    quadratic join; their members are grouped by FULL signature and emitted
+    as linear (keeper, other) pairs with est_jaccard 1.0 — exactly the
+    exact-duplicate representation.  Pass ``bucket_cap=None`` to opt OUT
+    (exhaustive pairs inside mega-buckets; only safe on bounded corpora).
+    The cap changes output only when a bucket exceeds it, in which case
+    non-identical cross-signature pairs inside that bucket are dropped — a
+    documented recall tradeoff, never a correctness one.
 
     ``sigs``: a persisted ``with_minhash`` output (the dedup analog of
-    ``build_lsh_index``).  Without it the signature stage appears on each
-    side of the self-join plan and Spark recomputes it per branch — fine
-    for one-shot runs, but production dedup over a big corpus should write
-    signatures once and pass them here.
+    ``build_lsh_index``).  Zero signatures are filtered defensively here
+    regardless of provenance, so a stale signature table built before
+    ``with_minhash`` dropped wordless docs still cannot emit vacuous pairs.
     """
     rows_per_band = k // bands
     if sigs is None:
-        sigs = with_minhash(_drop_wordless(df, text_col), id_col, text_col,
-                            k, shingle_n)
+        # auto-persist: without it Spark recomputes the Arrow signature
+        # stage on each self-join branch plus the estimate join (3x).  The
+        # first action materializes the cache; callers running repeated
+        # dedup over one corpus should still persist with_minhash output
+        # themselves and pass sigs=.
+        sigs = with_minhash(df, id_col, text_col, k, shingle_n).persist()
+    # all-zero signature = wordless doc (see with_minhash) — never a
+    # legitimate near-dup participant, whatever table it came from
+    sigs = sigs.where(F.exists("minhash", lambda x: x != 0))
 
     banded = sigs.select(
         F.col(id_col),
@@ -415,12 +445,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", shingle_n: int = 2,
-                       bucket_cap: Optional[int] = None) -> DataFrame:
+                       bucket_cap: Optional[int] = DEFAULT_BUCKET_CAP
+                       ) -> DataFrame:
     """Candidate near-dup pairs: any equal 16-bit band of the simhash
     (guarantees recall for hamming distance <= 3).  The simhash itself (one
-    int64) rides the band shuffle so hamming needs no second join."""
-    sh = with_simhash(_drop_wordless(df, text_col), id_col, text_col,
-                      shingle_n)
+    int64) rides the band shuffle so hamming needs no second join.
+
+    ``bucket_cap`` (DEFAULT ON, 10k): same mega-bucket defense as
+    ``minhash_lsh_pairs`` — over-cap band buckets skip the quadratic join
+    and instead emit a LINEAR (keeper, other) star per identical FULL
+    simhash (hamming 0, which is what a mega-bucket is made of).  Cross
+    pairs between distinct simhashes inside an over-cap bucket are dropped
+    (documented recall tradeoff).  ``bucket_cap=None`` opts out."""
+    sh = with_simhash(df, id_col, text_col, shingle_n)
     banded = sh.select(
         F.col(id_col),
         "simhash",
@@ -439,17 +476,16 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
         ).alias("band"),
     ).select(F.col(id_col), "simhash", "band.band_idx", "band.band_hash")
 
+    over = None
     if bucket_cap is not None:
         from pyspark.sql import Window
 
         w = Window.partitionBy("band_idx", "band_hash")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .where(F.col("_bsz") <= bucket_cap)
-            .drop("_bsz")
-        )
+        sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        over = sized.where(F.col("_bsz") > bucket_cap).drop("_bsz")
+        banded = sized.where(F.col("_bsz") <= bucket_cap).drop("_bsz")
     l, r = banded.alias("l"), banded.alias("r")
-    return (
+    cand = (
         l.join(
             r,
             (F.col("l.band_idx") == F.col("r.band_idx"))
@@ -465,6 +501,25 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if over is not None:
+        # mega-bucket path: linear star per identical full simhash — the
+        # groupBy key is the int64 simhash itself, so the star shuffle is
+        # one scalar/row and each signature group reduces map-side first
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("simhash")
+        star = (
+            over.select(id_col, "simhash").distinct()
+            .withColumn("_keep", F.min(id_col).over(w))
+            .where(F.col(id_col) != F.col("_keep"))
+            .select(
+                F.col("_keep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        cand = cand.unionByName(star).dropDuplicates(["id_a", "id_b"])
+    return cand
 
 
 # ----------------------------------------------------------- exact jaccard

@@ -32,6 +32,18 @@ the driver checks the ANN result sets EXACTLY, not merely by recall.
 
 All float math is float64 and rerank scores are rounded to 6dp so results
 are reproducible across partitionings and engines.
+
+Parity fine print (probabilistic, not absolute): the signature sign test
+and the IVF cell argmax compare float64 sums computed in different orders
+(numpy BLAS pairwise/SIMD vs DuckDB sequential list_sum).  A projection or
+cell-sim lying within the ~1e-15-relative cross-engine summation error of
+the decision boundary (0 for sign; a tie for argmax) could flip a bucket on
+one engine only.  That vulnerable set has measure ~1e-15 per comparison
+(~4e-12 across a 500x8-bit oracle corpus) — we deliberately do NOT round
+before the comparison: rounding to d decimals moves the vulnerable set to
+the half-grid boundaries, whose density (err/10^-d, e.g. ~1e-6 at 9dp) is
+ORDERS OF MAGNITUDE larger than the unrounded near-zero set.  Parity is
+therefore documented as probabilistic with failure odds ~1e-12, not exact.
 """
 
 from __future__ import annotations
@@ -45,12 +57,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _nonzero_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exclude zero-norm vectors: cosine is undefined for them (the division
+    throws under ANSI mode) and a zero vector is never a legitimate
+    similarity participant — the vector analog of dedup's _drop_wordless.
+    Map-side predicate, no shuffle; every oracle applies the identical
+    filter."""
+    return df.where(
+        F.aggregate(F.col(vec_col), F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"))
+        > 0
+    )
+
+
 def _cosine_col(vec_col, query: Sequence[float]):
     """cosine(embedding, query) as a JVM expression (no UDF).
 
     dot/norms via F.aggregate in index order -> deterministic float64."""
     q = [float(x) for x in query]
     qnorm = float(np.sqrt(np.sum(np.asarray(q, dtype=np.float64) ** 2)))
+    if qnorm == 0.0:
+        raise ValueError("query vector has zero norm: cosine undefined")
     qlit = F.array(*[F.lit(x) for x in q])
     dot = F.aggregate(
         F.zip_with(vec_col, qlit, lambda a, b: a.cast("double") * b),
@@ -76,7 +103,9 @@ def brute_force_topk(
     round_to: Optional[int] = 6,
 ) -> DataFrame:
     """Exact cosine top-k. Plan: scan -> project -> TakeOrderedAndProject
-    (per-partition top-k then driver merge; no full sort, no wide shuffle)."""
+    (per-partition top-k then driver merge; no full sort, no wide shuffle).
+    Zero-norm corpus vectors are excluded (cosine undefined)."""
+    df = _nonzero_norm(df, vec_col)
     sim = _cosine_col(F.col(vec_col), query)
     if round_to is not None:
         sim = F.round(sim, round_to)
@@ -252,7 +281,10 @@ def ivf_topk(
     round_to: Optional[int] = 6,
 ) -> DataFrame:
     """One-shot convenience: centroids + assignment + query in one plan.
-    For repeated queries, persist ``assign_ivf_cells`` output."""
+    For repeated queries, persist ``assign_ivf_cells`` output.
+    Zero-norm vectors are excluded BEFORE centroid seeding so index and
+    oracle see the same corpus."""
+    df = _nonzero_norm(df, vec_col)
     centroids = ivf_centroids(df, n_cells, id_col, vec_col)
     assigned = assign_ivf_cells(df, centroids, vec_col)
     return ivf_query(assigned, query, centroids, k, nprobe, id_col,
@@ -260,6 +292,9 @@ def ivf_topk(
 
 
 # ------------------------------------------------- embedding near-dup
+
+DEFAULT_EMB_BUCKET_CAP = 10_000
+
 
 def embedding_near_dup_pairs(
     df: DataFrame,
@@ -269,6 +304,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    bucket_cap: Optional[int] = DEFAULT_EMB_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus with
     the fixed hyperplane family, self-join WITHIN buckets only (the shuffle
@@ -280,10 +316,28 @@ def embedding_near_dup_pairs(
     (fewer bits -> bigger buckets -> higher recall, more candidates).  Two
     identical vectors always share a bucket.  The SQL oracle replicates
     bucketing + verify exactly, so the driver checks this operator's
-    OUTPUT, not a recall proxy."""
+    OUTPUT, not a recall proxy.
+
+    ``bucket_cap`` (DEFAULT ON, 10k): a duplicate-heavy embedding corpus —
+    exactly where near-dup runs — collapses every copy of a vector into one
+    bucket, making the within-bucket self-join quadratic in a single task.
+    Buckets over the cap skip the pairwise join; their members are grouped
+    by IDENTICAL vector bytes and emitted as a LINEAR (keeper, other) star
+    with cosine_sim 1.0 (what a mega-bucket is made of).  Non-identical
+    cross pairs inside an over-cap bucket are dropped — a documented recall
+    tradeoff, never a correctness one.  ``bucket_cap=None`` opts out."""
+    df = _nonzero_norm(df, vec_col)
     indexed = build_lsh_index(df, dim, bits, vec_col).select(
         F.col(id_col), F.col(vec_col), "lsh_bucket"
     )
+    over = None
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("lsh_bucket")
+        sized = indexed.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        over = sized.where(F.col("_bsz") > bucket_cap).drop("_bsz")
+        indexed = sized.where(F.col("_bsz") <= bucket_cap).drop("_bsz")
     l, r = indexed.alias("l"), indexed.alias("r")
     cand = l.join(
         r,
@@ -305,7 +359,7 @@ def embedding_near_dup_pairs(
 
     cos = F.round(dot / (_norm(F.col(f"l.{vec_col}"))
                          * _norm(F.col(f"r.{vec_col}"))), round_to)
-    return (
+    pairs = (
         cand.select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
@@ -313,6 +367,27 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+    if over is not None:
+        # mega-bucket path: linear star per identical vector.  Group key is
+        # a 16-byte digest of the vector bytes — the vector itself never
+        # rides the star shuffle.
+        from pyspark.sql import Window
+
+        grp = over.withColumn(
+            "_vkey", F.md5(F.to_json(F.struct(F.col(vec_col))))
+        )
+        w = Window.partitionBy("_vkey")
+        star = (
+            grp.withColumn("_keep", F.min(id_col).over(w))
+            .where(F.col(id_col) != F.col("_keep"))
+            .select(
+                F.col("_keep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(1.0).alias("cosine_sim"),
+            )
+        )
+        pairs = pairs.unionByName(star).dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 # ------------------------------------------------------------- SQL oracle
@@ -357,6 +432,8 @@ def lsh_oracle_sql(table: str = "embeddings", id_col: str = "vec_id",
         ), base AS (
           SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS e
           FROM {table}
+          WHERE list_sum(list_transform(CAST({vec_col} AS DOUBLE[]),
+                                        x -> x * x)) > 0
         ), sigs AS (
           SELECT vec_id, e, {sig_expr} AS sig FROM base, planes
         ), q AS (
@@ -401,6 +478,8 @@ def embedding_near_dup_oracle_sql(
         ), base AS (
           SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS e
           FROM {table}
+          WHERE list_sum(list_transform(CAST({vec_col} AS DOUBLE[]),
+                                        x -> x * x)) > 0
         ), sigs AS (
           SELECT vec_id, e, {sig_expr} AS sig FROM base, planes
         )
@@ -431,6 +510,8 @@ def ivf_oracle_sql(table: str = "embeddings", id_col: str = "vec_id",
         WITH base AS (
           SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS e
           FROM {table}
+          WHERE list_sum(list_transform(CAST({vec_col} AS DOUBLE[]),
+                                        x -> x * x)) > 0
         ), seeds AS (
           SELECT e, row_number() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell

@@ -41,6 +41,10 @@ def main(argv=None) -> int:
     ap.add_argument("--no-sort", action="store_true",
                     help="input already clustered by (conv_id, turn_idx): "
                          "skip the range shuffle entirely")
+    ap.add_argument("--quarantine", default="",
+                    help="parquet path for malformed-payload rows; "
+                         "without it quarantined rows are counted and "
+                         "DROPPED (stated in the summary line)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -80,11 +84,17 @@ def main(argv=None) -> int:
         ),
         sink=sink,
     )
-    n_quarantined = res.quarantined.count()
+    if args.quarantine:
+        res.quarantined.write.mode("overwrite").parquet(args.quarantine)
+        n_quarantined = spark.read.parquet(args.quarantine).count()
+    else:
+        n_quarantined = res.quarantined.count()
     print(json.dumps({
         "run_id": res.run_id,
         "rows_written": res.rows_written,
         "quarantined": n_quarantined,
+        "quarantine_path": args.quarantine or None,
+        "quarantined_rows_dropped": not args.quarantine,
     }))
     spark.stop()
     return 0
