@@ -420,14 +420,35 @@ def _events_as_turns(ev):
 
 
 def conv_render_plain(spark, sf_dir):
-    """F2/F3 template render: events-as-turns -> one prompt per conversation
-    (ordered collect + fold; string_agg oracle)."""
+    """F2/F3 template render, reference-exact plain style (mod.rs:117-128 +
+    the registered plain template mod.rs:223-237): bare content +
+    seps[idx % 2] with BOTH separators empty -> ordered concatenation."""
     from deepseek_ocr_rs_spark.operators.compaction import render_conversation
 
     ev = _t(spark, sf_dir, "events")
     return render_conversation(_events_as_turns(ev), "plain").select(
         "conv_id", "rendered_prompt"
     )
+
+
+def conv_render_deepseek(spark, sf_dir):
+    """Reference-exact deepseek render (mod.rs:63-88 + render_prompt,
+    inference.rs:212-225): 'view' events map to EMPTY text so the corpus
+    exercises the bare `Role:` branch AND original-index separator parity
+    across the gap; the system prefix and the ('Assistant', None)
+    generation trailer are both on."""
+    from deepseek_ocr_rs_spark.operators.compaction import render_conversation
+
+    ev = _t(spark, sf_dir, "events")
+    turns = _events_as_turns(ev).withColumn(
+        "text",
+        F.when(F.col("role") == "system", F.lit("")).otherwise(F.col("text")),
+    )
+    return render_conversation(
+        turns, "deepseek",
+        system_message="You are a helpful OCR assistant.",
+        add_generation_prompt=True,
+    ).select("conv_id", "rendered_prompt", "n_turns_rendered")
 
 
 def conv_render_v2(spark, sf_dir):
@@ -927,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_distinct_types_per_user": u_distinct_types_per_user,
         "f_json_props": f_json_props,
         "conv_render_plain": conv_render_plain,
+        "conv_render_deepseek": conv_render_deepseek,
         "conv_render_v2": conv_render_v2,
         "conv_render_alignment": conv_render_alignment,
         "w_latest_event_per_user": w_latest_event_per_user,
@@ -1197,12 +1219,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "conv_render_plain": """
             SELECT CAST(user_id AS VARCHAR) AS conv_id,
-                   string_agg(
-                     CASE WHEN event_type = 'view'
-                          THEN 'System: ' || event_type
-                          ELSE event_type END,
-                     chr(10) ORDER BY event_id) AS rendered_prompt
+                   string_agg(event_type, '' ORDER BY event_id)
+                     AS rendered_prompt
             FROM events GROUP BY user_id
+        """,
+        "conv_render_deepseek": """
+            WITH t AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CASE event_type WHEN 'click' THEN 'User'
+                                     WHEN 'view' THEN 'System'
+                                     ELSE 'Assistant' END AS role_name,
+                     CASE WHEN event_type = 'view' THEN ''
+                          ELSE event_type END AS text,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY event_id) - 1 AS pos
+              FROM events
+            )
+            SELECT conv_id,
+                   'You are a helpful OCR assistant.' || chr(10) || chr(10)
+                   || string_agg(
+                        CASE WHEN trim(text) = '' THEN role_name || ':'
+                             ELSE role_name || ': ' || trim(text) ||
+                                  CASE WHEN pos % 2 = 0
+                                       THEN chr(10) || chr(10)
+                                       ELSE '<｜end▁of▁sentence｜>' END
+                        END, '' ORDER BY pos)
+                   || 'Assistant:' AS rendered_prompt,
+                   CAST(COUNT(*) AS INT) AS n_turns_rendered
+            FROM t GROUP BY conv_id
         """,
         "conv_render_v2": """
             SELECT CAST(user_id AS VARCHAR) AS conv_id,

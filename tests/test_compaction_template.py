@@ -43,7 +43,9 @@ def test_render_conversation_plain_and_order(spark):
     ])
     out = {r["conv_id"]: r["rendered_prompt"]
            for r in render_conversation(df, "plain").collect()}
-    assert out["c1"] == "System: S\nU\nA"
+    # render_plain (mod.rs:117-128) with the registered plain template
+    # (mod.rs:223-237): bare content + seps[idx % 2], both separators empty
+    assert out["c1"] == "SUA"
 
 
 def test_render_conversation_deepseek_v2(spark):
@@ -97,3 +99,111 @@ def test_render_conversation_partitioning_invariant(spark):
     b = render_conversation(df.repartition(13), "deepseek").collect()[0][1]
     assert a == b
     assert a.startswith("User: t0")
+
+
+# ---------------------------------------------------- reference parity
+
+def test_render_prompt_matches_reference():
+    """render_prompt must reproduce inference.rs:212-225 exactly: system
+    prefix + seps[0], 'User: <prompt>' + seps[0], then the ('Assistant',
+    None) trailer rendered as the bare generation prompt (mod.rs:80-85)."""
+    from deepseek_ocr_rs_spark.operators.compaction import render_prompt
+
+    got = render_prompt("deepseek", "You are an OCR engine.",
+                        "Read this page.")
+    assert got == ("You are an OCR engine.\n\n"
+                   "User: Read this page.\n\n"
+                   "Assistant:")
+    # empty system message -> system_template renders empty -> no prefix
+    assert render_prompt("deepseek", "", "hi") == "User: hi\n\nAssistant:"
+    # registered deepseekv2 (mod.rs:207-221): DeepSeek STYLE, sep=""
+    assert render_prompt("deepseekv2", "", "hi") == "User: hiAssistant:"
+
+
+def test_render_messages_empty_turn_parity():
+    """Hand-computed mod.rs:72-87 outputs: empty turns emit a bare `Role:`
+    (no space, no separator) but still consume an enumerate index, so the
+    NEXT turn's separator parity follows the ORIGINAL index — the exact
+    case where kept-line parity (the old repo semantics) diverges."""
+    from deepseek_ocr_rs_spark.operators.compaction import render_messages
+
+    got = render_messages("deepseek", "", [
+        ("User", "a"),        # idx 0 -> seps[0] = "\n\n"
+        ("Assistant", None),  # idx 1 -> bare "Assistant:"
+        ("User", "b"),        # idx 2 -> seps[0] = "\n\n"  (NOT sep2!)
+        ("Assistant", "c"),   # idx 3 -> seps[1] = EOS
+    ])
+    assert got == ("User: a\n\n"
+                   "Assistant:"
+                   "User: b\n\n"
+                   "Assistant: c<｜end▁of▁sentence｜>")
+    # whitespace-only counts as empty (m.trim() filter, mod.rs:74)
+    assert render_messages("deepseek", "", [("User", "  \t ")]) == "User:"
+
+
+def test_render_conversation_matches_pure_model(spark):
+    """The distributed renderer and the pure render_messages model are the
+    SAME function, including empty turns, system prefix, and the
+    generation trailer."""
+    from deepseek_ocr_rs_spark.operators.compaction import render_messages
+
+    rows = [
+        ("c1", 0, "user", "first question"),
+        ("c1", 1, "assistant", ""),           # empty -> bare Assistant:
+        ("c1", 2, "user", "  second  "),      # trimmed
+        ("c1", 3, "assistant", "answer"),
+        ("c2", 0, "system", "ctx"),
+        ("c2", 1, "user", "q"),
+    ]
+    df = _turns(spark, rows)
+    for template in ("deepseek", "deepseekv2", "plain", "alignment"):
+        got = {
+            r["conv_id"]: r["rendered_prompt"]
+            for r in render_conversation(
+                df, template, system_message="SYS",
+                add_generation_prompt=True,
+            ).collect()
+        }
+        for conv in ("c1", "c2"):
+            msgs = [(_disp(r), t) for (c, _, r, t) in rows if c == conv]
+            msgs.append(("Assistant", None))
+            want = render_messages(template, "SYS", msgs)
+            assert got[conv] == want, (template, conv, got[conv], want)
+
+
+def _disp(role):
+    from deepseek_ocr_rs_spark.operators.compaction import _role_display
+    return _role_display(role)
+
+
+def test_template_registry_register_override():
+    """register_conv_template semantics (mod.rs:178-186): duplicate name
+    without override raises; with override it replaces; get returns a copy."""
+    import pytest
+
+    from deepseek_ocr_rs_spark.operators.compaction import (
+        TEMPLATES,
+        get_template,
+        register_template,
+        render_messages,
+    )
+
+    params = {"style": "deepseek", "system_template": "{system_message}",
+              "sep": " | ", "sep2": " # "}
+    register_template("custom_t", params)
+    try:
+        with pytest.raises(ValueError, match="has been registered"):
+            register_template("custom_t", params)
+        register_template("custom_t",
+                          {**params, "sep": " ~ "}, override_existing=True)
+        assert get_template("custom_t")["sep"] == " ~ "
+        # returned dict is a copy: mutation must not leak into the registry
+        get_template("custom_t")["sep"] = "XX"
+        assert get_template("custom_t")["sep"] == " ~ "
+        assert render_messages("custom_t", "", [("User", "x"),
+                                                ("Assistant", "y")]) \
+            == "User: x ~ Assistant: y # "
+    finally:
+        TEMPLATES.pop("custom_t", None)
+    with pytest.raises(KeyError):
+        get_template("custom_t")
