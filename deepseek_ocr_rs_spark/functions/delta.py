@@ -48,8 +48,10 @@ class DeltaTracker:
 
     __slots__ = ("_previous",)
 
-    def __init__(self) -> None:
-        self._previous = ""
+    def __init__(self, initial: str = "") -> None:
+        # ``initial`` lets a stateful streaming operator resume the tracker
+        # from its stored per-key snapshot across micro-batches/restarts
+        self._previous = initial
 
     @property
     def snapshot(self) -> str:

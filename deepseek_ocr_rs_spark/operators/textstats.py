@@ -172,25 +172,45 @@ _FP_BASE = np.uint64(1099511628211)      # FNV-ish polynomial base
 _FP_OFFSET = np.uint64(14695981039346656037)
 
 
-def rolling_fingerprint(t) -> int:
-    """fp(t) = ((sum_i cp_i * BASE^(n-1-i)) mod 2^64 + OFFSET) mod 2^63.
-
-    Additive polynomial rolling hash over unicode CODEPOINTS — fully
-    vectorized (one numpy cumprod + dot per document; uint64 wrap-around
-    gives the mod-2^64 for free) and exactly replicable in DuckDB HUGEINT
-    SQL (``fingerprint_oracle_sql``), which is the driver's oracle."""
-    if t is None:
-        return 0
-    b = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-    n = b.size
-    if n == 0:
-        return 0
+def fingerprint_batch(texts) -> np.ndarray:
+    """fp(t) = ((sum_i cp_i * BASE^(n-1-i)) mod 2^64 + OFFSET) mod 2^63,
+    for a WHOLE Arrow batch in one numpy pass (no per-document Python):
+    one utf-32 encode of the joined batch, ONE shared powers table
+    (cumprod to the max doc length; uint64 wrap-around gives mod 2^64 for
+    free), a flat exponent vector (doc_len - 1 - offset, the same
+    segmented construction as dedup's _batch_word_hashes), then a
+    segmented ``np.add.reduceat``.  None/empty docs fingerprint to 0.
+    Exactly replicable in DuckDB HUGEINT SQL (``fingerprint_oracle_sql``),
+    which is the driver's oracle."""
+    n_docs = len(texts)
+    out = np.zeros(n_docs, dtype=np.int64)
+    if n_docs == 0:
+        return out
+    strs = [(t or "") for t in texts]
+    joined = "".join(strs)
+    if not joined:
+        return out
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32
+                        ).astype(np.uint64)
+    lens = np.fromiter((len(t) for t in strs), dtype=np.int64, count=n_docs)
+    present = np.flatnonzero(lens)
+    plens = lens[present]
     with np.errstate(over="ignore"):
-        p = np.full(n, _FP_BASE, dtype=np.uint64)
-        p[0] = np.uint64(1)
-        powers = np.cumprod(p)  # BASE^0..BASE^(n-1), wrapping mod 2^64
-        h = np.sum(b * powers[::-1], dtype=np.uint64) + _FP_OFFSET
-    return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+        pw = np.full(int(plens.max()), _FP_BASE, dtype=np.uint64)
+        pw[0] = np.uint64(1)
+        np.cumprod(pw, out=pw)  # BASE^0..BASE^(max-1), wrapping mod 2^64
+        starts = np.cumsum(plens) - plens
+        off = np.arange(cps.size, dtype=np.int64) - np.repeat(starts, plens)
+        exp = np.repeat(plens, plens) - 1 - off
+        terms = cps * pw[exp]
+        h = np.add.reduceat(terms, starts) + _FP_OFFSET
+    out[present] = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    return out
+
+
+def rolling_fingerprint(t) -> int:
+    """Single-doc convenience wrapper over the batch kernel."""
+    return int(fingerprint_batch([t])[0])
 
 
 _TWO64 = 1 << 64
@@ -227,11 +247,13 @@ def fingerprint_oracle_sql(table: str = "documents", id_col: str = "doc_id",
 
 
 def fingerprint_udf():
-    """Arrow-batched rolling-hash fingerprint; int64 (63-bit) output."""
+    """Arrow-batched rolling-hash fingerprint; int64 (63-bit) output.
+    The whole batch vectorizes through ``fingerprint_batch`` — no
+    per-document Python in the UDF body."""
 
     @F.pandas_udf(LongType())
     def _fp(batch: pd.Series) -> pd.Series:
-        return batch.map(rolling_fingerprint)
+        return pd.Series(fingerprint_batch(batch.tolist()))
 
     return _fp
 

@@ -106,3 +106,106 @@ def run_stateful_conversation_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------- incremental text deltas
+
+DELTA_INPUT_SCHEMA = (
+    "conv_id string, seq int, snapshot string, is_final boolean"
+)
+DELTA_OUTPUT_SCHEMA = "conv_id string, seq int, delta string"
+DELTA_STATE_SCHEMA = "prev string, last_seq int"
+
+
+def _delta_update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """X1/X2 live path: per-conversation incremental delta emission.
+
+    The reference streams each request's growing text through
+    DeltaTracker::advance (crates/core/src/streaming.rs:20-68), emitting
+    only the new clean suffix per tick and holding back a trailing U+FFFD
+    until more bytes arrive.  Here the SAME pure tracker
+    (functions/delta.py, pytest-pinned reference-exact) runs inside
+    applyInPandasWithState: state = (full text so far, last seq), each
+    micro-batch replays its arrivals in seq order through the tracker and
+    emits one (conv_id, seq, delta) row per non-empty delta.  Replayed or
+    out-of-order snapshots (seq <= last_seq) are ignored — the
+    stream.rs:277-280 duplicate guard."""
+    from deepseek_ocr_rs_spark.functions.delta import DeltaTracker
+
+    if state.exists:
+        prev, last_seq = state.get
+    else:
+        prev, last_seq = "", -1
+    tracker = DeltaTracker(prev or "")
+    arrivals = []
+    for pdf in pdfs:
+        for seq, snap, fin in zip(pdf["seq"], pdf["snapshot"],
+                                  pdf["is_final"]):
+            arrivals.append((int(seq),
+                             snap if isinstance(snap, str) else "",
+                             bool(fin)))
+    out_seq, out_delta = [], []
+    for seq, snap, fin in sorted(arrivals):
+        if seq <= last_seq:
+            continue
+        delta = tracker.advance(snap, is_final=fin)
+        last_seq = seq
+        if delta:
+            out_seq.append(seq)
+            out_delta.append(delta)
+    state.update((tracker.snapshot, last_seq))
+    if out_seq:
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]] * len(out_seq),
+                "seq": out_seq,
+                "delta": out_delta,
+            }
+        )
+
+
+def run_delta_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    available_now: bool = True,
+):
+    """File stream of growing per-conversation text snapshots ->
+    incremental deltas (the distributed analog of the reference's
+    token-streaming emission path).  State per key is the accumulated
+    text — bounded by one conversation's length, independent of corpus
+    size; emitted deltas concatenate (in seq order) to exactly the final
+    snapshot, which is the pytest contract."""
+    stream = (
+        spark.readStream.schema(DELTA_INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(source_dir)
+    )
+    updated = stream.groupBy("conv_id").applyInPandasWithState(
+        _delta_update,
+        outputStructType=DELTA_OUTPUT_SCHEMA,
+        stateStructType=DELTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn(
+            "epoch", F.lit(epoch_id)
+        ).write.mode("append").parquet(output_dir)
+
+    writer = (
+        updated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

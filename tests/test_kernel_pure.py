@@ -183,3 +183,32 @@ def test_extract_payload_chunk_size_invariance():
     results = [extract_payload(html, chunk_bytes=cb) for cb in (1, 3, 7, 4096)]
     assert all(r == results[0] for r in results)
     assert results[0]["text_md"] == "# Tïtle 🙂\n\nbody & text with 日本語 chars"
+
+
+# ------------------------------------------------------------ fingerprint
+
+def test_fingerprint_batch_matches_single_doc_model():
+    """The batch kernel (one numpy pass over the whole Arrow batch) must
+    agree with the direct per-document definition
+    fp = ((sum cp_i * B^(n-1-i)) mod 2^64 + OFFSET) mod 2^63."""
+    from deepseek_ocr_rs_spark.operators.textstats import (
+        _FP_BASE,
+        _FP_OFFSET,
+        fingerprint_batch,
+        rolling_fingerprint,
+    )
+
+    def direct(t):
+        if not t:
+            return 0
+        h = 0
+        for i, ch in enumerate(t):
+            h = (h + ord(ch) * pow(int(_FP_BASE), len(t) - 1 - i, 1 << 64)) \
+                % (1 << 64)
+        return (h + int(_FP_OFFSET)) % (1 << 64) & ((1 << 63) - 1)
+
+    texts = ["hello world", "", None, "a", "日本語テキスト🙂", "x" * 3000,
+             " ", "\n\t", "mixed 日本 text 123", "€ sign"]
+    got = list(fingerprint_batch(texts))
+    assert got == [direct(t) for t in texts]
+    assert got == [rolling_fingerprint(t) for t in texts]
