@@ -785,6 +785,21 @@ def dedup_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(docs, threshold=0.5)
 
 
+def dedup_verified_pairs(spark, sf_dir):
+    """The full two-tier dedup path: MinHash+LSH candidates -> exact
+    n-gram-Jaccard verify (the stage that must never run corpus-squared).
+    Oracle (dedup.minhash_verified_oracle_sql) replicates candidates AND
+    the exact shingle-set Jaccard in pure SQL."""
+    from deepseek_ocr_rs_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        verify_pairs_ngram_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, threshold=0.5)
+    return verify_pairs_ngram_jaccard(cand, docs, min_jaccard=0.4)
+
+
 def dedup_simhash_candidates(spark, sf_dir):
     """SimHash banded near-dup candidates with hamming distance; the DuckDB
     oracle (dedup.simhash_oracle_sql) replicates the 64 sign-hash bits, the
@@ -971,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_lang_id": doc_lang_id,
         "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_verified_pairs": dedup_verified_pairs,
         "dedup_simhash_candidates": dedup_simhash_candidates,
         "ann_brute_force": ann_brute_force,
         "ann_lsh": ann_lsh,
@@ -992,6 +1008,7 @@ _NORM_SQL = (
 def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.dedup import (
         minhash_oracle_sql,
+        minhash_verified_oracle_sql,
         simhash_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.similarity import (
@@ -1468,6 +1485,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_minhash_pairs": minhash_oracle_sql(threshold=0.5),
+        "dedup_verified_pairs": minhash_verified_oracle_sql(
+            threshold=0.5, min_jaccard=0.4),
         "dedup_simhash_candidates": simhash_oracle_sql(max_hamming=8),
         "media_features": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,

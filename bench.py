@@ -130,6 +130,7 @@ def main() -> None:
         "ann_lsh",
         "ann_ivf",
         "conv_render_v2",
+        "conv_render_deepseek",
         "s_weighted_sample",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM

@@ -540,6 +540,55 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def verify_pairs_ngram_jaccard(pairs: DataFrame, docs: DataFrame,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", shingle_n: int = 3,
+                               min_jaccard: float = 0.0) -> DataFrame:
+    """Distributed verify stage: exact shingle-set Jaccard for a CANDIDATE
+    pair set (id_a, id_b).
+
+    Plan shape at scale: the two equi-joins pull each side's text onto the
+    pair set — the pair set is tiny relative to the corpus (it came out of
+    LSH), so these are the cheap joins; the shingle hashing reuses the
+    vectorized ``_batch_shingles`` kernel per Arrow batch.  This is the
+    verify tier that must NEVER run corpus-squared — feed it LSH/simhash
+    candidates only."""
+    from pyspark.sql.types import DoubleType
+
+    da = docs.select(F.col(id_col).alias("id_a"),
+                     F.col(text_col).alias("_text_a"))
+    db = docs.select(F.col(id_col).alias("id_b"),
+                     F.col(text_col).alias("_text_b"))
+    joined = pairs.select("id_a", "id_b").join(da, "id_a").join(db, "id_b")
+
+    @F.pandas_udf(DoubleType())
+    def _jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        m = len(a)
+        sh, sd = _batch_shingles(list(a) + list(b), shingle_n)
+        sets = [set() for _ in range(2 * m)]
+        for s, d in zip(sh.tolist(), sd.tolist()):
+            sets[d].add(s)
+        out = []
+        for i in range(m):
+            sa, sb = sets[i], sets[m + i]
+            if not sa and not sb:
+                out.append(1.0)
+            elif not sa or not sb:
+                out.append(0.0)
+            else:
+                out.append(len(sa & sb) / len(sa | sb))
+        return pd.Series(out)
+
+    return (
+        joined.select(
+            "id_a", "id_b",
+            F.round(_jac(F.col("_text_a"), F.col("_text_b")), 6)
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
 # ------------------------------------------------------------- SQL oracle
 
 def _sql_shingles_cte(table: str, id_col: str, text_col: str,
@@ -609,6 +658,48 @@ def minhash_oracle_sql(table: str = "documents", id_col: str = "doc_id",
           AND len(list_filter(range({k}),
                 i -> ml[CAST(i + 1 AS INT)] = mr[CAST(i + 1 AS INT)]))
               / {float(k)} >= {threshold}
+    """
+
+
+def minhash_verified_oracle_sql(table: str = "documents",
+                                id_col: str = "doc_id",
+                                text_col: str = "text", k: int = 64,
+                                bands: int = 16, threshold: float = 0.5,
+                                shingle_n: int = 3,
+                                min_jaccard: float = 0.0) -> str:
+    """DuckDB SQL replicating ``minhash_lsh_pairs`` -> ``verify_pairs_
+    ngram_jaccard`` exactly: the minhash band-candidate + estimate
+    predicate, then the exact shingle-set Jaccard (list_intersect /
+    union-distinct over the SAME shingle ids) with its threshold."""
+    a, b = _affine_params(k, _MINHASH_SEED)
+    params = ", ".join(f"[{int(x)}, {int(y)}]" for x, y in zip(a, b))
+    rpb = k // bands
+    return f"""
+        WITH {_sql_shingles_cte(table, id_col, text_col, shingle_n)},
+        sigs AS (
+          SELECT s._id, s.sh, list_transform([{params}], p ->
+                 list_min(list_transform(s.sh, x -> (p[1] * x + p[2]) % {P31}))
+                 ) AS mh
+          FROM shingles s
+        ),
+        pairs AS (
+          SELECT l._id AS id_a, r._id AS id_b, l.mh AS ml, r.mh AS mr,
+                 l.sh AS sa, r.sh AS sb
+          FROM sigs l JOIN sigs r ON l._id < r._id
+        )
+        SELECT id_a, id_b,
+               round(len(list_intersect(sa, sb)) * 1.0
+                     / len(list_distinct(sa || sb)), 6) AS jaccard
+        FROM pairs
+        WHERE len(list_filter(range({bands}), b ->
+                ml[CAST(b * {rpb} + 1 AS INT):CAST(b * {rpb} + {rpb} AS INT)]
+                = mr[CAST(b * {rpb} + 1 AS INT):CAST(b * {rpb} + {rpb} AS INT)]
+              )) > 0
+          AND len(list_filter(range({k}),
+                i -> ml[CAST(i + 1 AS INT)] = mr[CAST(i + 1 AS INT)]))
+              / {float(k)} >= {threshold}
+          AND round(len(list_intersect(sa, sb)) * 1.0
+                    / len(list_distinct(sa || sb)), 6) >= {min_jaccard}
     """
 
 

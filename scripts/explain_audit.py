@@ -64,6 +64,12 @@ AUDITS = {
     "doc_lang_id": [
         ("single Arrow batch stage", "ArrowEvalPython"),
     ],
+    "conv_render_deepseek": [
+        # both windows (_pos, _n_total) and the groupBy agg reuse ONE
+        # conv_id-keyed partitioning — no second exchange for rendering
+        ("conv_id-keyed shuffle", "hashpartitioning(conv_id"),
+        ("partial agg", "HashAggregate"),
+    ],
 }
 
 
@@ -134,9 +140,9 @@ def main() -> None:
         "Exchange (candidate shuffle is (id, band_idx, band_hash) only)\n"
         f"  - [{'x' if band_shuffle else ' '}] band-key join (broadcast at "
         "this SF; hash-partitioned on (band_idx, band_hash) at scale)\n"
-        f"  - [{'x' if 'ArrowEvalPython' in plan else ' '}] signatures "
-        "computed in Arrow-batched stages (pass `sigs=` to reuse a "
-        "persisted signature table in production)\n\n"
+        f"  - [{'x' if 'InMemoryTableScan' in plan else ' '}] signature "
+        "stage computed ONCE (sigs=None auto-persists; every join branch "
+        "reads the cached table instead of re-running ArrowEvalPython)\n\n"
         f"```\n{plan.split(chr(10)+chr(10))[0].strip()[:2400]}\n```\n"
     )
 

@@ -92,6 +92,24 @@ print(json.dumps({"cpus": cpus, "n_turns": n, "map_s": map_phase,
 spark.stop()
 """ % {"repo": REPO}
 
+PROBE = r"""
+import sys, time
+from multiprocessing import Process
+cpus = int(sys.argv[1]); iters = int(sys.argv[2])
+def spin(n):
+    x = 1
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+def run():
+    ps = [Process(target=spin, args=(iters,)) for _ in range(cpus)]
+    t0 = time.perf_counter()
+    for p in ps: p.start()
+    for p in ps: p.join()
+    return time.perf_counter() - t0
+run()  # warm the fork machinery
+print(min(run() for _ in range(2)))
+"""
+
 GEN = r"""
 import sys
 src = sys.argv[1]; n_convs = int(sys.argv[2])
@@ -135,31 +153,47 @@ def main() -> None:
     print(f"generating corpus ({n_convs} convs) ...", file=sys.stderr)
     run_py(GEN, src, str(n_convs))
 
-    trials = int(os.environ.get("SCALE_TRIALS", "3"))
+    trials = int(os.environ.get("SCALE_TRIALS", "5"))
+    probe_iters = int(os.environ.get("SCALE_PROBE_ITERS", "20000000"))
     cores = sorted({c for p in pairs for c in p})
     results = {c: [] for c in cores}
+    probes = {c: [] for c in cores}
     for t in range(trials):  # interleaved to average out host noise
         for cpus in cores:
             print(f"trial {t} local[{cpus}] ...", file=sys.stderr)
             results[cpus].append(json.loads(run_py(
                 WORKER, str(cpus), src, "1" if t == 0 else "0")))
+            # co-measured pure-CPU probe (no Spark): cpus processes each
+            # doing FIXED work — on ideally-scaling hardware wall time is
+            # flat across core counts; the per-trial ratio quantifies this
+            # window's hypervisor steal / oversubscription, putting the
+            # steal-adjusted numbers IN the artifact rather than in prose
+            probes[cpus].append(float(run_py(
+                PROBE, str(cpus), str(probe_iters))))
 
     def best(cpus, key):  # min wall = least noise-contaminated observation
         return min(r[key] for r in results[cpus])
 
-    def med_ratio(n_small, n_big, key):
-        """Median of PER-TRIAL ratios.  The host's effective per-core speed
-        drifts minute-to-minute (hypervisor steal + turbo), so a best-of
-        that picks numerator and denominator from different time windows
-        measures the drift, not the scaling.  Within one trial the two
-        configs run back-to-back — their ratio cancels the window's speed."""
-        import statistics
+    import statistics
 
-        ratios = [
-            results[n_small][t][key] / results[n_big][t][key]
-            for t in range(len(results[n_small]))
-        ]
-        return statistics.median(ratios)
+    def ratio_spread(n_small, n_big, key, scale):
+        """(min, median, max) of PER-TRIAL efficiency ratios.  The host's
+        effective per-core speed drifts minute-to-minute (hypervisor steal
+        + turbo), so a best-of that picks numerator and denominator from
+        different time windows measures the drift, not the scaling.  Within
+        one trial the two configs run back-to-back — their ratio cancels
+        the window's speed."""
+        if key == "probe":
+            ratios = [probes[n_small][t] / probes[n_big][t]
+                      for t in range(len(probes[n_small]))]
+        else:
+            ratios = [
+                results[n_small][t][key] / results[n_big][t][key]
+                for t in range(len(results[n_small]))
+            ]
+        effs = sorted(r / scale for r in ratios)
+        return (round(effs[0], 3), round(statistics.median(effs), 3),
+                round(effs[-1], 3))
 
     n_turns = results[cores[0]][0]["n_turns"]
     same = len({r["checksum"] for rs in results.values()
@@ -168,26 +202,43 @@ def main() -> None:
 
     summary = {"n_turns": n_turns, "outputs_identical": same, "pairs": [],
                "trials": {str(c): [[r["map_s"], r["e2e_s"]] for r in rs]
-                          for c, rs in results.items()}}
+                          for c, rs in results.items()},
+               "probe_walls": {str(c): [round(x, 3) for x in ps]
+                               for c, ps in probes.items()}}
     rows = []
     for n_small, n_big in pairs:
         ratio = n_big / n_small
+        map_eff = ratio_spread(n_small, n_big, "map_s", ratio)
+        e2e_eff = ratio_spread(n_small, n_big, "e2e_s", ratio)
+        # probe ideal: wall time FLAT across core counts (fixed work per
+        # core), so the ideal ratio is 1 — the spread below is this box's
+        # measured core-scaling ceiling during the same trial windows
+        probe_eff = ratio_spread(n_small, n_big, "probe", 1.0)
         p = {
             "cores": f"{n_small}->{n_big}",
             "map_s": [round(best(n_small, "map_s"), 2),
                       round(best(n_big, "map_s"), 2)],
             "e2e_s": [round(best(n_small, "e2e_s"), 2),
                       round(best(n_big, "e2e_s"), 2)],
-            "map_eff": round(med_ratio(n_small, n_big, "map_s") / ratio, 3),
-            "e2e_eff": round(med_ratio(n_small, n_big, "e2e_s") / ratio, 3),
+            "map_eff_min_med_max": map_eff,
+            "e2e_eff_min_med_max": e2e_eff,
+            "cpu_probe_eff_min_med_max": probe_eff,
+            "e2e_eff_steal_adjusted_median":
+                round(e2e_eff[1] / probe_eff[1], 3) if probe_eff[1] else None,
         }
         summary["pairs"].append(p)
+
+        def band(e):
+            return f"{e[1]} [{e[0]}..{e[2]}]"
+
         rows.append(
             f"| local[{n_small}] -> local[{n_big}] | map "
             f"{p['map_s'][0]} s -> {p['map_s'][1]} s "
             f"({tps(p['map_s'][0])} -> {tps(p['map_s'][1])} turns/s) | "
-            f"**{p['map_eff']}** | e2e {p['e2e_s'][0]} s -> {p['e2e_s'][1]} s | "
-            f"**{p['e2e_eff']}** |"
+            f"**{band(map_eff)}** | e2e {p['e2e_s'][0]} s -> "
+            f"{p['e2e_s'][1]} s | **{band(e2e_eff)}** | "
+            f"{band(probe_eff)} | "
+            f"**{p['e2e_eff_steal_adjusted_median']}** |"
         )
     print(json.dumps(summary))
 
@@ -198,19 +249,28 @@ def main() -> None:
 No multi-node cluster exists in this sandbox, so N vs 4N executors is
 evidenced (per the driver instruction) by running the identical extraction
 job at two parallelism levels on the same pre-generated input
-({n_turns:,} turns, seed 42).  Efficiencies are MEDIANS OF PER-TRIAL
-PAIRED RATIOS over {trials} interleaved trials: each trial runs every
-config back-to-back inside one host-speed window, so the ratio cancels the
-shared VM's minute-scale speed drift (hypervisor steal + turbo) that a
-best-of-runs comparison would conflate with scaling.  Each fresh JVM first
-runs a FULL untimed pass of both topologies (JIT, python-worker forks,
-page cache all warm before any timing); input in /dev/shm and noop sink
-(no shared-single-disk noise).  Absolute seconds shown are per-config
-minima.  Two phases measured: the zero-shuffle extraction map, and
-end-to-end (range-partition input -> extract -> globally ordered output).
+({n_turns:,} turns, seed 42).  Efficiencies are PER-TRIAL PAIRED RATIOS
+over {trials} interleaved trials, reported as median [min..max]: each
+trial runs every config back-to-back inside one host-speed window, so the
+ratio cancels the shared VM's minute-scale speed drift (hypervisor steal
++ turbo) that a best-of-runs comparison would conflate with scaling.
+Each fresh JVM first runs a FULL untimed pass of both topologies (JIT,
+python-worker forks, page cache all warm before any timing); input in
+/dev/shm and noop sink (no shared-single-disk noise).  Absolute seconds
+shown are per-config minima.  Two phases measured: the zero-shuffle
+extraction map, and end-to-end (range-partition input -> extract ->
+globally ordered output).
 
-| pair (N -> 4N) | extraction map | map efficiency | end-to-end | e2e efficiency |
-|---|---|---|---|---|
+The **CPU probe** column is co-measured in every trial window: N (resp.
+4N) plain processes — no Spark, no JVM — each doing identical fixed work;
+on ideally-scaling hardware its wall time is flat, so its efficiency is
+this box's measured core-scaling CEILING at that moment.  The
+steal-adjusted column divides the median e2e efficiency by the median
+probe efficiency — the scaling attributable to the JOB rather than to the
+oversubscribed shared VM.
+
+| pair (N -> 4N) | extraction map | map eff med [min..max] | end-to-end | e2e eff med [min..max] | CPU probe eff | e2e / probe |
+|---|---|---|---|---|---|---|
 {chr(10).join(rows)}
 
 Outputs at ALL parallelism levels are identical
@@ -221,11 +281,11 @@ Outputs at ALL parallelism levels are identical
 
 * The **2 -> 8 pair is the representative one**: both configurations run
   uncontended, which is how adding executors to a non-saturated cluster
-  behaves.  The 8 -> 32 pair saturates this single shared VM: a pure-CPU
-  probe (32 spinning processes, no Spark) achieves only ~0.81 efficiency
-  from 8 to 32 on this box (hypervisor steal ~17%), and local-mode Spark
-  additionally duplicates every core between a JVM task thread and a Python
-  worker — a real cluster provisions executors with dedicated cores.
+  behaves.  The 8 -> 32 pair saturates this single shared VM — see the CPU
+  probe column: even plain processes with zero coordination lose that much
+  efficiency going to 32 "cores" here, and local-mode Spark additionally
+  duplicates every core between a JVM task thread and a Python worker — a
+  real cluster provisions executors with dedicated cores.
 * The extraction map phase is the 100 TB bottleneck and is embarrassingly
   parallel (zero shuffle); the end-to-end number includes the job's single
   shuffle, which in this sandbox crosses ONE shared memory bus/disk — on a
@@ -240,7 +300,10 @@ per-stage timing (metrics table), strict equality gate (pytest fixtures),
 and a two-configuration matrix.
 
 Regenerate: `python scripts/scaling_run.py`  (env: SCALE_PAIRS, SCALE_CONVS,
-SCALE_TRIALS)
+SCALE_TRIALS, SCALE_PROBE_ITERS)
+
+Raw per-trial walls (seconds) are in the JSON line this script prints
+(`trials` = [map, e2e] per config, `probe_walls` per config).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

@@ -272,3 +272,24 @@ def test_multimodal_plumbing(spark):
     assert feats["m1"]["features"] == again["m1"]["features"]
     frames = frame_sample_plan(df, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_verify_pairs_ngram_jaccard(spark, doc_df):
+    """The distributed verify stage agrees with the pure pair function on
+    the planted near-dups and prunes low-overlap candidates."""
+    from deepseek_ocr_rs_spark.operators.dedup import (
+        verify_pairs_ngram_jaccard,
+    )
+
+    cand = minhash_lsh_pairs(doc_df, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in verify_pairs_ngram_jaccard(cand, doc_df).collect()}
+    texts = {r["doc_id"]: r["text"] for r in doc_df.collect()}
+    for (a, b), j in got.items():
+        assert j == round(ngram_jaccard(texts[a], texts[b]), 6)
+    assert got[(100, 101)] == 1.0           # exact dup
+    assert 0.3 < got[(100, 102)] < 1.0      # near dup
+    # threshold prunes: with min_jaccard above the near-dup's score only
+    # the exact dup survives
+    kept = verify_pairs_ngram_jaccard(cand, doc_df, min_jaccard=0.99)
+    assert {(r["id_a"], r["id_b"]) for r in kept.collect()} == {(100, 101)}
