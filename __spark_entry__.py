@@ -800,6 +800,19 @@ def dedup_verified_pairs(spark, sf_dir):
     return verify_pairs_ngram_jaccard(cand, docs, min_jaccard=0.4)
 
 
+def dedup_components(spark, sf_dir):
+    """Near-dup CLUSTER resolution: minhash pairs -> connected components
+    (component id = min doc id, the keeper).  The DuckDB oracle computes
+    the same fixed point with a recursive CTE over the same pair SQL."""
+    from deepseek_ocr_rs_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return connected_components(minhash_lsh_pairs(docs, threshold=0.5))
+
+
 def dedup_simhash_candidates(spark, sf_dir):
     """SimHash banded near-dup candidates with hamming distance; the DuckDB
     oracle (dedup.simhash_oracle_sql) replicates the 64 sign-hash bits, the
@@ -987,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": doc_lang_id,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_verified_pairs": dedup_verified_pairs,
+        "dedup_components": dedup_components,
         "dedup_simhash_candidates": dedup_simhash_candidates,
         "ann_brute_force": ann_brute_force,
         "ann_lsh": ann_lsh,
@@ -1007,6 +1021,7 @@ _NORM_SQL = (
 
 def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.dedup import (
+        components_oracle_sql,
         minhash_oracle_sql,
         minhash_verified_oracle_sql,
         simhash_oracle_sql,
@@ -1487,6 +1502,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": minhash_oracle_sql(threshold=0.5),
         "dedup_verified_pairs": minhash_verified_oracle_sql(
             threshold=0.5, min_jaccard=0.4),
+        "dedup_components": components_oracle_sql(
+            minhash_oracle_sql(threshold=0.5)),
         "dedup_simhash_candidates": simhash_oracle_sql(max_hamming=8),
         "media_features": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -589,6 +589,70 @@ def verify_pairs_ngram_jaccard(pairs: DataFrame, docs: DataFrame,
     )
 
 
+# ------------------------------------------------- component resolution
+
+def connected_components(pairs: DataFrame, max_iter: int = 25
+                         ) -> DataFrame:
+    """Near-dup CLUSTER resolution: (id_a, id_b) pairs -> (doc_id,
+    component_id) where component_id = min doc id in the connected
+    component.  This is the step that turns a pair set into an actual
+    keep/drop decision (keeper = the doc whose id equals its component).
+
+    Algorithm: min-label propagation — each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(diameter)
+    rounds.  Near-dup components out of LSH are stars/cliques (diameter
+    <= ~4), so rounds stay small even at 100 TB; each round is one
+    id-keyed join + map-side-combinable min aggregation, and
+    ``localCheckpoint`` cuts the lineage so plans don't grow with rounds.
+    (For adversarial long-chain graphs, swap in large-star/small-star —
+    same join primitive, O(log^2 n) rounds.)
+
+    Deterministic: the fixed point (min id per component) is unique, so
+    the result is partitioning- and engine-independent — the DuckDB oracle
+    (``components_oracle_sql``) computes it with a recursive CTE."""
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("id").alias("dst"),
+                              F.col("comp").alias("dcomp")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dcomp").alias("ncomp"))
+        )
+        new = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("comp"),
+                        F.coalesce(F.col("ncomp"), F.col("comp")))
+                .alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("comp").alias("component_id"))
+
+
 # ------------------------------------------------------------- SQL oracle
 
 def _sql_shingles_cte(table: str, id_col: str, text_col: str,
@@ -658,6 +722,28 @@ def minhash_oracle_sql(table: str = "documents", id_col: str = "doc_id",
           AND len(list_filter(range({k}),
                 i -> ml[CAST(i + 1 AS INT)] = mr[CAST(i + 1 AS INT)]))
               / {float(k)} >= {threshold}
+    """
+
+
+def components_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB SQL replicating ``connected_components`` over the pair set
+    produced by ``pairs_sql`` (any SELECT yielding id_a, id_b): symmetric
+    closure, transitive reachability via a recursive CTE (UNION dedup
+    terminates cycles), min reachable id = component id."""
+    return f"""
+        WITH RECURSIVE pairset AS (
+          SELECT id_a, id_b FROM ({pairs_sql})
+        ), edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairset
+          UNION
+          SELECT id_b, id_a FROM pairset
+        ), walk(src, node) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT w.src, e.b FROM walk w JOIN edges e ON w.node = e.a
+        )
+        SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS component_id
+        FROM walk GROUP BY src
     """
 
 

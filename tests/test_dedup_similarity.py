@@ -293,3 +293,25 @@ def test_verify_pairs_ngram_jaccard(spark, doc_df):
     # the exact dup survives
     kept = verify_pairs_ngram_jaccard(cand, doc_df, min_jaccard=0.99)
     assert {(r["id_a"], r["id_b"]) for r in kept.collect()} == {(100, 101)}
+
+
+def test_connected_components_resolution(spark):
+    """Cluster resolution over adversarial shapes: a long chain (worst-case
+    diameter for label propagation), a cycle, and a star must all collapse
+    to min-id components; the fixed point is unique so the result is
+    partitioning-independent."""
+    from deepseek_ocr_rs_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10, 20)]          # 10-11-..-20
+    cycle = [(30, 31), (31, 32), (32, 30)]
+    star = [(40, 41), (40, 42), (40, 43)]
+    pairs = spark.createDataFrame(chain + cycle + star,
+                                  "id_a long, id_b long")
+    got = {r["doc_id"]: r["component_id"]
+           for r in connected_components(pairs.repartition(7)).collect()}
+    assert all(got[i] == 10 for i in range(10, 21))
+    assert all(got[i] == 30 for i in (30, 31, 32))
+    assert all(got[i] == 40 for i in (40, 41, 42, 43))
+    # keeper semantics: exactly one node per component labels itself
+    keepers = [d for d, c in got.items() if d == c]
+    assert sorted(keepers) == [10, 30, 40]
