@@ -955,6 +955,364 @@ def conv_compaction(spark, sf_dir):
     return compact_latest_user(turns).select("conv_id", "turn_idx", "role")
 
 
+# ------------------------------------------------- relational breadth (r3)
+# Adapted TPC-H shapes over the slimmed testdata schema (no partsupp /
+# shipmode / commitdate columns -> predicates substituted, operator class
+# preserved).  Each demonstrates a distinct plan pattern the reference's
+# operator families map onto; every aggregate is aliased identically in the
+# oracle and doubles are rounded before they can reach the hash.
+#
+# Money-sum discipline: SUM over doubles is accumulation-order-dependent
+# (Spark's partial aggregation vs DuckDB's sequential scan), and revenue
+# sums routinely land EXACTLY on half-cent boundaries (the per-item product
+# has 4 decimal digits), where a 1e-9 ordering difference flips round(.,2).
+# Fix: cast each term to DECIMAL(28,4) — the cast of bit-identical doubles
+# is deterministic on both engines, and decimal summation is exact integer
+# arithmetic, hence order-independent.  The same discipline holds at
+# 100 TB: Spark decimal aggregation stays in Tungsten codegen.
+
+
+def _money_sum(col, dp: int = 2):
+    """Exact order-independent money aggregate: per-row cast to
+    DECIMAL(28,4), exact decimal SUM, round, surface as double."""
+    return F.round(F.sum(col.cast("decimal(28,4)")), dp).cast("double")
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part): correlated-min
+    re-expressed as ONE window pass (row_number over (unit_cost, suppkey))
+    instead of the textbook self-join against a per-part MIN subquery —
+    half the shuffles at 100 TB.  Unit cost is a per-row IEEE division, so
+    cross-engine ordering is exact; ties break on suppkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    offers = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_cost", "l_suppkey")
+    best = offers.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "p_partkey",
+            F.col("l_suppkey").alias("best_suppkey"),
+            F.round("unit_cost", 4).alias("min_unit_cost"),
+            "n_name",
+        )
+    )
+
+
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: bidirectional nation-pair trade volume by ship year.
+    Dims (supplier, customer-nation map) broadcast; the only shuffle is
+    lineitem->orders, then the final tiny groupBy."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: one nation's supplier share of a region's order revenue per
+    year — conditional-sum ratio over a 5-table join; all dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    cn = n.select(F.col("n_nationkey").alias("cnk"), "n_regionkey")
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+    )
+    dec = lambda c: F.sum(c.cast("decimal(28,4)"))  # noqa: E731 — exact sums
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            dec(F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(0.0))
+            .cast("double")
+            / dec(rev).cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape (product profit by supplier nation x order year);
+    supplycost is absent from the slim schema so profit = discounted
+    revenue; part filter is a LIKE that must push into the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(
+        _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_profit"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose value exceeds a scalar-subquery
+    fraction of the corpus total (HAVING vs global agg).  The scalar is a
+    one-row broadcast cross-join, not a collect; both sides of the
+    comparison are rounded so accumulation order can't flip membership."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        _money_sum(F.col("l_extendedprice")).alias("part_value")
+    )
+    threshold = per_part.agg(
+        F.round(
+            F.sum(F.col("part_value").cast("decimal(28,4)")).cast("double")
+            / F.count(F.lit(1)) * 1.1,
+            2,
+        ).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+def q12_priority_by_returnflag(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode absent -> returnflag): conditional counts
+    of high/low order priority per lineitem class within a date window."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13: customer order-count distribution via LEFT OUTER join +
+    double aggregation (customers with zero orders must survive)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "P")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) whose windowed revenue equals the global max
+    (scalar-subquery equality on ROUNDED revenue — deterministic across
+    engines)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_supplier_count_by_attrs(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier count per part attribute class,
+    minus a NOT-IN supplier blacklist (negative acctbal) — the blacklist is
+    a broadcast LEFT ANTI join, never a collected IN-list."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#1")
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_suppkey")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == F.col("bad_suppkey"), "left_anti")
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: correlated per-part AVG — re-expressed as an aggregate
+    join (per-part avg once, joined back) instead of a correlated subquery
+    per row.  Quantities are small integers stored as doubles, so avg is
+    IEEE-exact and the comparison is engine-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    avgs = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avgs, li.l_partkey == F.col("ap"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(28,4)"))
+            .cast("double") / 7.0,
+            2,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19: OR-of-conjuncts predicate (brand x size x quantity
+    bands) — the classic disjunctive-pushdown test; one broadcast join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    pred = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(pred).agg(
+        _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q20_promo_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers that shipped > threshold quantity of
+    PROMO parts in a year — nested IN re-expressed as agg + SEMI join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("promo_qty"))
+        .where(F.col("promo_qty") > 100)
+    )
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def q21_sole_return_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: in multi-supplier orders, the supplier who is the
+    ONLY one with returned ('R') lines.  The textbook EXISTS + NOT EXISTS
+    self-join pair collapses to ONE aggregation per order (distinct
+    supplier count, distinct R-supplier count) — one shuffle instead of
+    three lineitem self-joins at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("nr"),
+        F.min(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("rs"),
+    )
+    waiting = per_order.where((F.col("ns") >= 2) & (F.col("nr") == 1))
+    return (
+        waiting.join(F.broadcast(s), F.col("rs") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+def q22_idle_customer_balance(spark, sf_dir):
+    """TPC-H Q22: customers with above-average positive balance and no
+    RECENT orders (every customer has *some* order in this corpus), grouped
+    by a name-code substring.  The average is a broadcast scalar computed
+    in exact decimal; no-recent-orders is a LEFT ANTI join."""
+    c = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(28,4)")).cast("double")
+            / F.count(F.lit(1)),
+            2,
+        ).alias("avg_bal")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return rich.groupBy(
+        F.substring("c_name", 10, 2).alias("code")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        _money_sum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_docs_plain": q_extract_docs_plain,
@@ -968,6 +1326,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority_exists": q4_order_priority_exists,
         "q18_large_volume_customers": q18_large_volume_customers,
         "q14_promo_revenue": q14_promo_revenue,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "q11_important_parts": q11_important_parts,
+        "q12_priority_by_returnflag": q12_priority_by_returnflag,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_count_by_attrs": q16_supplier_count_by_attrs,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_promo_excess_suppliers": q20_promo_excess_suppliers,
+        "q21_sole_return_supplier": q21_sole_return_supplier,
+        "q22_idle_customer_balance": q22_idle_customer_balance,
         "set_suppliers_only_nations": set_suppliers_only_nations,
         "t_topk_events_per_user": t_topk_events_per_user,
         "t_top_p_cutoff": t_top_p_cutoff,
@@ -1186,6 +1558,204 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem GROUP BY l_orderkey
               HAVING round(SUM(l_quantity), 2) > 250
             ) JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "q2_min_cost_supplier": """
+            SELECT p_partkey, best_suppkey,
+                   round(unit_cost, 4) AS min_unit_cost, n_name
+            FROM (
+              SELECT p_partkey, l_suppkey AS best_suppkey,
+                     l_extendedprice / l_quantity AS unit_cost,
+                     row_number() OVER (PARTITION BY p_partkey
+                       ORDER BY l_extendedprice / l_quantity ASC,
+                                l_suppkey ASC) AS rn
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_size <= 10
+            ) JOIN supplier ON best_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+            WHERE rn = 1
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_5'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE)
+                         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(28,4))) AS DOUBLE), 6)
+                     AS mkt_share,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region ON cn.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY year(o_orderdate)
+        """,
+        "q9_profit_by_nation_year": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_profit,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        "q11_important_parts": """
+            WITH per AS (
+              SELECT l_partkey,
+                     CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(28,4))),
+                          2) AS DOUBLE) AS part_value
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, part_value FROM per
+            WHERE part_value > (
+              SELECT round(CAST(SUM(CAST(part_value AS DECIMAL(28,4)))
+                           AS DOUBLE) / COUNT(*) * 1.1, 2)
+              FROM per
+            )
+        """,
+        "q12_priority_by_returnflag": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag
+        """,
+        "q13_order_count_distribution": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (
+              SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(28,4))), 2) AS DOUBLE) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """,
+        "q16_supplier_count_by_attrs": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)))
+                         AS DOUBLE) / 7.0, 2) AS avg_yearly,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN (
+                SELECT l_partkey AS ap, AVG(l_quantity) AS avg_qty
+                FROM lineitem GROUP BY l_partkey
+              ) ON l_partkey = ap
+            WHERE p_brand = 'Brand#3' AND l_quantity < 0.5 * avg_qty
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q20_promo_excess_suppliers": """
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'PROMO'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_suppkey
+              HAVING round(SUM(l_quantity), 2) > 100
+            )
+        """,
+        "q21_sole_return_supplier": """
+            WITH per_order AS (
+              SELECT l_orderkey,
+                     COUNT(DISTINCT l_suppkey) AS ns,
+                     COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                           THEN l_suppkey END) AS nr,
+                     MIN(CASE WHEN l_returnflag = 'R'
+                         THEN l_suppkey END) AS rs
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM per_order JOIN supplier ON rs = s_suppkey
+            WHERE ns >= 2 AND nr = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 10
+        """,
+        "q22_idle_customer_balance": """
+            SELECT substr(c_name, 10, 2) AS code,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(round(SUM(CAST(c_acctbal AS DECIMAL(28,4))), 2)
+                        AS DOUBLE) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (
+                SELECT round(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4)))
+                             AS DOUBLE) / COUNT(*), 2)
+                FROM customer WHERE c_acctbal > 0.0
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01'
+              )
+            GROUP BY substr(c_name, 10, 2)
         """,
         "t_topk_events_per_user": """
             SELECT user_id, event_id, round(value, 2) AS value_r, rnk

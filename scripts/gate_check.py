@@ -1,0 +1,96 @@
+"""Quick local replica of the driver correctness gate for a subset of
+queries: run queries()[name] on Spark and oracle_sql()[name] on DuckDB at a
+given sf dir, compare rows/columns/values.  Usage:
+
+    python scripts/gate_check.py [--sf /root/testdata/sf0.001] [name ...]
+
+No names -> all oracle-checked queries.
+"""
+import argparse
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _normalize_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def _as_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_normalize_cell(r[i]) for i in order) for r in rows)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .appName("gate-check")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    oracles = entry_mod.oracle_sql()
+    queries = entry_mod.queries()
+    names = args.names or sorted(oracles)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    n_fail = 0
+    for name in names:
+        try:
+            sdf = queries[name](spark, args.sf)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+            ok_cols = sorted(spark_cols) == sorted(duck_cols)
+            ok_rows = len(spark_rows) == len(duck_rows)
+            a = _as_multiset(spark_cols, spark_rows)
+            b = _as_multiset(duck_cols, duck_rows)
+            ok_vals = a == b
+            if ok_cols and ok_rows and ok_vals:
+                print(f"PASS {name} ({len(spark_rows)} rows)")
+            else:
+                n_fail += 1
+                print(f"FAIL {name}: cols={ok_cols} rows={ok_rows} "
+                      f"({len(spark_rows)} vs {len(duck_rows)}) vals={ok_vals}")
+                if not ok_cols:
+                    print(f"  spark: {sorted(spark_cols)}\n  duck:  {sorted(duck_cols)}")
+                if ok_cols and not ok_vals:
+                    diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                    print(f"  first diffs: {diffs}")
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            print(f"ERR  {name}: {type(e).__name__}: {str(e)[:300]}")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
