@@ -1313,6 +1313,121 @@ def q22_idle_customer_balance(spark, sf_dir):
     )
 
 
+# ---------------------------------------------- pipeline composition (r3)
+
+def pipeline_curation(spark, sf_dir):
+    """END-TO-END curation chain — the shape a 100 TB training-data run
+    takes: plant exact duplicates -> exact dedup (keep min doc_id) ->
+    token/quality scoring (all JVM) -> threshold filter -> deterministic
+    hash sample.  One declarative plan: Catalyst fuses the scoring+filter
+    into the scan-side stage, the only shuffles are the dedup window and
+    nothing else; the sampler is a map-side predicate.  Oracle replicates
+    every stage in one CTE chain."""
+    from deepseek_ocr_rs_spark.operators.sampling import (
+        seeded_weighted_sample,
+    )
+    from deepseek_ocr_rs_spark.operators.textstats import (
+        quality_cols,
+        with_token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 7, F.lit(("dup " * 40).strip()))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    uniq = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    punct, stop, mwl = quality_cols(F.col("text"))
+    scored = with_token_counts(uniq).select(
+        "doc_id", "n_ws_tokens", punct, stop, mwl
+    )
+    kept = scored.where(
+        (F.col("n_ws_tokens") >= 30) & (F.col("punct_ratio") <= 0.2)
+        & (F.col("mean_word_len") <= 4.8)
+    )
+    sampled = seeded_weighted_sample(
+        kept.withColumn("w_const", F.lit(1.0)),
+        weight_col="w_const", fraction=0.5, key_col="doc_id", seed=7,
+    )
+    return sampled.select(
+        "doc_id", "n_ws_tokens", "punct_ratio", "stopword_ratio"
+    )
+
+
+def ann_batch_topk(spark, sf_dir):
+    """Batch exact k-NN: top-3 neighbors for EVERY query row (vec_id%50==0)
+    in one plan — broadcast the query set, JVM-side cosine, one window.
+    The oracle replicates the cross product and rerank in SQL.  This is
+    the correctness baseline for ann_batch_lsh (the scale path)."""
+    from deepseek_ocr_rs_spark.operators.similarity import _nonzero_norm
+
+    emb = _nonzero_norm(_t(spark, sf_dir, "embeddings"), "embedding")
+    qs = emb.where(F.pmod("vec_id", F.lit(50)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    j = emb.crossJoin(F.broadcast(qs)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_vec",
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    cos = F.round(
+        dot / (norm(F.col("embedding")) * norm(F.col("q_vec"))), 6
+    )
+    scored = j.select("query_id", "vec_id", cos.alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 3
+    )
+
+
+def ann_batch_lsh(spark, sf_dir):
+    """Batch ANN at scale: every query row top-3 via ONE bucket-keyed join
+    (multiprobe hamming-1), exact rerank only within matched buckets.
+    Oracle (similarity.batch_lsh_oracle_sql) replicates both sides'
+    signatures, the probe expansion, the join, and the rerank in SQL."""
+    from deepseek_ocr_rs_spark.operators.similarity import (
+        _nonzero_norm,
+        batch_lsh_topk,
+        build_lsh_index,
+    )
+
+    emb = _nonzero_norm(_t(spark, sf_dir, "embeddings"), "embedding")
+    indexed = build_lsh_index(emb, dim=64, bits=8)
+    queries_idx = indexed.where(F.pmod("vec_id", F.lit(50)) == 0)
+    return batch_lsh_topk(indexed, queries_idx, k=3, bits=8)
+
+
+def emb_dedup_components(spark, sf_dir):
+    """Semantic near-dup CLUSTERS: embedding-cosine pair graph -> connected
+    components (keeper = min vec id) — the embedding analog of
+    dedup_components, closing the pairs->decision gap for the vector path.
+    Oracle: recursive CTE over the same pair SQL."""
+    from deepseek_ocr_rs_spark.operators.dedup import connected_components
+    from deepseek_ocr_rs_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.25, bits=8, dim=64)
+    return connected_components(pairs.select("id_a", "id_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_docs_plain": q_extract_docs_plain,
@@ -1377,7 +1492,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": ann_brute_force,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "ann_batch_topk": ann_batch_topk,
+        "ann_batch_lsh": ann_batch_lsh,
         "emb_near_dup": emb_near_dup,
+        "emb_dedup_components": emb_dedup_components,
+        "pipeline_curation": pipeline_curation,
         "emb_norms": emb_norms,
         "conv_compaction": conv_compaction,
         "media_features": media_features,
@@ -1399,6 +1518,7 @@ def oracle_sql() -> dict[str, str]:
         simhash_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.similarity import (
+        batch_lsh_oracle_sql,
         embedding_near_dup_oracle_sql,
         ivf_oracle_sql,
         lsh_oracle_sql,
@@ -2040,6 +2160,82 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_near_dup": embedding_near_dup_oracle_sql(
             dim=64, bits=8, threshold=0.25),
+        "emb_dedup_components": components_oracle_sql(
+            f"SELECT id_a, id_b FROM ({embedding_near_dup_oracle_sql(dim=64, bits=8, threshold=0.25)})"
+        ),
+        "ann_batch_lsh": batch_lsh_oracle_sql(
+            dim=64, bits=8, k=3, query_pred="vec_id % 50 = 0"),
+        "ann_batch_topk": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings
+              WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> x * x)) > 0
+            ), qs AS (
+              SELECT vec_id AS query_id, e AS qe
+              FROM base WHERE vec_id % 50 = 0
+            ), scored AS (
+              SELECT query_id, vec_id,
+                     round(list_sum(list_transform(range(64), j ->
+                             e[CAST(j + 1 AS INT)] * qe[CAST(j + 1 AS INT)]))
+                           / (sqrt(list_sum(list_transform(e, x -> x * x)))
+                              * sqrt(list_sum(list_transform(qe,
+                                              x -> x * x)))), 6)
+                       AS cosine_sim
+              FROM base, qs WHERE vec_id <> query_id
+            )
+            SELECT query_id, vec_id, cosine_sim, CAST(rnk AS INT) AS rnk
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
+              FROM scored
+            )
+            WHERE rnk <= 3
+        """,
+        "pipeline_curation": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 7
+                          THEN trim(repeat('dup ', 40))
+                          ELSE text END AS text
+              FROM documents
+            ), uniq AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM planted
+              ) WHERE rn = 1
+            ), scored AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_ws_tokens,
+                     round((length(trim(text)) -
+                            length(regexp_replace(trim(text), '[^\\w\\s]',
+                                                  '', 'g')))
+                           / greatest(CAST(length(trim(text)) AS DOUBLE),
+                                      1.0), 6) AS punct_ratio,
+                     round(len(regexp_extract_all(lower(trim(text)),
+                            '\\b(the|a|of|and|to|in|is|on|for|it)\\b'))
+                           / greatest(CAST(CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text),
+                                                               '\\s+'))
+                                END AS DOUBLE), 1.0), 6) AS stopword_ratio,
+                     round(length(regexp_replace(trim(text), '\\s+', '',
+                                                 'g'))
+                           / greatest(CAST(CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text),
+                                                               '\\s+'))
+                                END AS DOUBLE), 1.0), 6) AS mean_word_len
+              FROM uniq
+            )
+            SELECT doc_id, n_ws_tokens, punct_ratio, stopword_ratio
+            FROM scored
+            WHERE n_ws_tokens >= 30 AND punct_ratio <= 0.2
+              AND mean_word_len <= 4.8
+              AND {weighted_sample_oracle_predicate("1.0", 0.5, "doc_id", seed=7)}
+        """,
         "ann_lsh": lsh_oracle_sql(dim=64, bits=8, k=10),
         "ann_ivf": ivf_oracle_sql(dim=64, n_cells=8, nprobe=4, k=10),
         "ann_brute_force": """

@@ -129,6 +129,8 @@ def main() -> None:
         "ann_brute_force",
         "ann_lsh",
         "ann_ivf",
+        "ann_batch_lsh",
+        "pipeline_curation",
         "conv_render_v2",
         "conv_render_deepseek",
         "s_weighted_sample",

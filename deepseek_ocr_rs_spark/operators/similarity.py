@@ -53,7 +53,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -201,6 +201,77 @@ def lsh_bucket_topk(
     indexed = build_lsh_index(df, len(query), bits, vec_col)
     return lsh_query(indexed, query, k, bits, id_col, vec_col,
                      multiprobe_hamming, round_to)
+
+
+def batch_lsh_topk(
+    indexed: DataFrame,
+    indexed_queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """BATCH ANN: top-k neighbors for EVERY query row at once — the scale
+    path for corpus-wide retrieval (dedup mining, hard-negative mining),
+    where per-query ``lsh_query`` round-trips would be driver-bound.
+
+    Topology: each query row explodes into its multiprobe bucket set
+    (1 + bits int64 values), then ONE equi-join on ``lsh_bucket`` pairs
+    queries with candidates — the shuffle key is a single int64, never a
+    vector; vectors travel only on the matched pairs into the exact-cosine
+    rerank, and the per-query top-k is one window pass.  At 100 TB the
+    corpus side can be pre-partitioned/bucketed by ``lsh_bucket`` so the
+    join co-locates, and AQE handles hot buckets (skew-join split).
+
+    Both inputs must carry the ``lsh_bucket`` column from
+    ``build_lsh_index`` with the SAME (dim, bits) planes.  A corpus row can
+    match a query through at most one probe (probes are distinct bucket
+    values, each row has one bucket), so no pair dedup is needed."""
+    q = indexed_queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("lsh_bucket").alias("q_bucket"),
+    )
+    probe_cols = [F.col("q_bucket")]
+    if multiprobe_hamming >= 1:
+        probe_cols += [
+            F.col("q_bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)
+        ]
+    qp = q.select(
+        "query_id", "q_vec", F.explode(F.array(*probe_cols)).alias("probe")
+    )
+    cand = indexed.join(
+        qp,
+        (F.col("lsh_bucket") == F.col("probe"))
+        & (F.col(id_col) != F.col("query_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("q_vec"),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(c, F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double") * x.cast("double"))
+        )
+
+    cos = dot / (_norm(F.col(vec_col)) * _norm(F.col("q_vec")))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = cand.select(
+        "query_id", F.col(id_col), cos.alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
+    )
 
 
 # -------------------------------------------------------------------- IVF
@@ -452,6 +523,67 @@ def lsh_oracle_sql(table: str = "embeddings", id_col: str = "vec_id",
         WHERE s.sig IN (SELECT p FROM probes)
         ORDER BY cosine_sim DESC, s.vec_id ASC
         LIMIT {k}
+    """
+
+
+def batch_lsh_oracle_sql(table: str = "embeddings", id_col: str = "vec_id",
+                         vec_col: str = "embedding", dim: int = 64,
+                         bits: int = 8, k: int = 3,
+                         query_pred: str = "vec_id % 50 = 0",
+                         multiprobe_hamming: int = 1) -> str:
+    """DuckDB SQL replicating ``batch_lsh_topk`` EXACTLY for a query set
+    selected by ``query_pred``: signatures for both sides from the same
+    inlined hyperplanes, per-query multiprobe expansion, bucket equi-join,
+    6dp cosine rerank, per-query row_number top-k."""
+    planes = _hyperplanes(dim, bits)
+    planes_sql = "[" + ", ".join(_sql_double_list(p) for p in planes) + "]"
+    sig_expr = (
+        f"list_sum(list_transform(range({bits}), b -> CASE WHEN "
+        f"list_sum(list_transform(range({dim}), j -> "
+        f"planes.pl[CAST(b + 1 AS INT)][CAST(j + 1 AS INT)] * "
+        f"e[CAST(j + 1 AS INT)])) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END))"
+    )
+    n_flips = bits if multiprobe_hamming >= 1 else 0
+    probe_expr = (
+        f"list_transform(range(-1, {n_flips}), i -> CASE WHEN i = -1 "
+        f"THEN qsig ELSE xor(qsig, CAST(1 AS BIGINT) << CAST(i AS INT)) END)"
+    )
+    return f"""
+        WITH planes AS (
+          SELECT {planes_sql} AS pl
+        ), base AS (
+          SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS e
+          FROM {table}
+          WHERE list_sum(list_transform(CAST({vec_col} AS DOUBLE[]),
+                                        x -> x * x)) > 0
+        ), sigs AS (
+          SELECT vec_id, e, {sig_expr} AS sig FROM base, planes
+        ), qs AS (
+          SELECT vec_id AS query_id, e AS qe, sig AS qsig
+          FROM sigs WHERE {query_pred}
+        ), probes AS (
+          SELECT query_id, qe, unnest({probe_expr}) AS p FROM qs
+        ), cand AS (
+          SELECT q.query_id, q.qe, s.vec_id, s.e
+          FROM probes q JOIN sigs s
+            ON s.sig = q.p AND s.vec_id <> q.query_id
+        ), scored AS (
+          SELECT query_id, vec_id,
+                 round(list_sum(list_transform(range({dim}), j ->
+                         e[CAST(j + 1 AS INT)] * qe[CAST(j + 1 AS INT)]))
+                       / (sqrt(list_sum(list_transform(e, x -> x * x)))
+                          * sqrt(list_sum(list_transform(qe, x -> x * x)))),
+                       6) AS cosine_sim
+          FROM cand
+        )
+        SELECT query_id, vec_id, cosine_sim, CAST(rnk AS INT) AS rnk
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
+          FROM scored
+        )
+        WHERE rnk <= {k}
     """
 
 
