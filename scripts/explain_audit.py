@@ -70,6 +70,36 @@ AUDITS = {
         ("conv_id-keyed shuffle", "hashpartitioning(conv_id"),
         ("partial agg", "HashAggregate"),
     ],
+    "q2_min_cost_supplier": [
+        # correlated-min as ONE window pass: a single part-keyed shuffle
+        # replaces the textbook MIN-subquery self-join
+        ("broadcast part dim", "BroadcastHashJoin"),
+        ("one window shuffle on the part key", "hashpartitioning(p_partkey"),
+        ("size filter pushed to the part scan", "PushedFilters"),
+    ],
+    "q21_sole_return_supplier": [
+        # EXISTS + NOT EXISTS collapsed to one per-order aggregation:
+        # exactly one lineitem shuffle, no self-joins
+        ("single per-order shuffle", "hashpartitioning(l_orderkey"),
+        ("partial agg before the shuffle", "HashAggregate"),
+        ("top-10 without a full sort", "TakeOrderedAndProject"),
+    ],
+    "q16_supplier_count_by_attrs": [
+        ("NOT IN as broadcast anti join", "BroadcastHashJoin"),
+        ("anti semantics", "LeftAnti"),
+    ],
+    "pipeline_curation": [
+        # the whole curation chain is one plan: dedup window shuffle on
+        # text, scoring+filter+sampler fused map-side
+        ("dedup window keyed on content", "hashpartitioning(text"),
+        ("sampler is a map-side filter", "* Filter"),
+    ],
+    "ann_batch_lsh": [
+        # batch ANN: the candidate join is keyed on the int64 bucket;
+        # the per-query top-k is one window pass
+        ("bucket-keyed candidate join", "lsh_bucket"),
+        ("per-query topk window", "hashpartitioning(query_id"),
+    ],
 }
 
 
