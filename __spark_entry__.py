@@ -1428,6 +1428,20 @@ def emb_dedup_components(spark, sf_dir):
     return connected_components(pairs.select("id_a", "id_b"))
 
 
+def j_salted_skew_join(spark, sf_dir):
+    """Skew-defused equi-join through the gate: events carry only 5
+    distinct event_type values (every key is hot), joined to a computed
+    per-type dim via salted_join — big side salted by row hash, dim
+    replicated per salt, join on (key, salt).  The oracle is the PLAIN
+    join: salting must be invisible in the result."""
+    from deepseek_ocr_rs_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_n"))
+    out = salted_join(ev, dim, on="event_type", n_salts=8)
+    return out.select("event_id", "event_type", "type_n")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_docs_plain": q_extract_docs_plain,
@@ -1456,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_return_supplier": q21_sole_return_supplier,
         "q22_idle_customer_balance": q22_idle_customer_balance,
         "set_suppliers_only_nations": set_suppliers_only_nations,
+        "j_salted_skew_join": j_salted_skew_join,
         "t_topk_events_per_user": t_topk_events_per_user,
         "t_top_p_cutoff": t_top_p_cutoff,
         "t_best_supplier_per_nation": t_best_supplier_per_nation,
@@ -1876,6 +1891,13 @@ def oracle_sql() -> dict[str, str]:
                   AND o_orderdate >= TIMESTAMP '2000-01-01'
               )
             GROUP BY substr(c_name, 10, 2)
+        """,
+        "j_salted_skew_join": """
+            SELECT event_id, event_type, type_n
+            FROM events JOIN (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_n
+              FROM events GROUP BY event_type
+            ) USING (event_type)
         """,
         "t_topk_events_per_user": """
             SELECT user_id, event_id, round(value, 2) AS value_r, rnk

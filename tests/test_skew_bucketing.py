@@ -1,0 +1,86 @@
+"""Skew defenses: salted join correctness + topology, and bucketed
+co-located joins with no exchange on the bucketed sides."""
+
+import pyspark.sql.functions as F
+
+from deepseek_ocr_rs_spark.operators.skew import salted_join, write_bucketed
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Adversarially skewed input: 90% of big rows share ONE key.  The
+    salted join must return exactly the plain join's multiset, for inner
+    and left, including keys missing from the small side."""
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1800, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 7).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("k1", 2.0), ("k2", 3.0), ("unmatched", 9.0)],
+        "k string, attr double",
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r) for r in salted_join(big, small, "k", 8, how).collect()
+        )
+        want = sorted(tuple(r) for r in big.join(small, "k", how).collect())
+        assert got == want, how
+    # left join keeps big rows whose key has no small-side match
+    left = salted_join(big, small, "k", 8, "left")
+    assert left.where(F.col("attr").isNull()).count() == \
+        big.join(small, "k", "left").where(F.col("attr").isNull()).count() > 0
+
+
+def test_salted_join_key_includes_salt(spark):
+    """The physical join keys must include the salt column — that's the
+    whole defense: a hot key hashes to n_salts distinct reducer keys."""
+    big = spark.range(0, 100).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([("hot", 1)], "k string, a int")
+    plan = _executed_plan(salted_join(big, small, "k", 4))
+    assert "_skew_salt" in plan
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    import pytest
+
+    big = spark.range(1).select(F.lit("x").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(big, big, "k", 4, "full_outer")
+
+
+def test_bucketed_join_skips_exchange(spark):
+    """Two tables bucketed on the same key join WITHOUT any exchange on
+    the bucketed sides — the co-location pattern that amortizes the big
+    shuffle across every downstream join at 100 TB."""
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bkt_a", "k", n_buckets=4, sort_col="k")
+    write_bucketed(b, "bkt_b", "k", n_buckets=4, sort_col="k")
+    try:
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = ta.join(tb, "k")
+            assert j.count() == 1000
+            plan = _executed_plan(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # bucketed scan IS the partitioning
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # and the same join WITHOUT bucketing does exchange both sides
+        plain = a.join(b.withColumnRenamed("vb", "vb2"), "k")
+        assert "Exchange" in _executed_plan(plain) or \
+            "Broadcast" in _executed_plan(plain)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
