@@ -1428,6 +1428,22 @@ def emb_dedup_components(spark, sf_dir):
     return connected_components(pairs.select("id_a", "id_b"))
 
 
+def s_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (EDBT'19 stratified sampling,
+    hash-stable): rebalance the event corpus — cap 'view' at 10%, keep all
+    'purchase', 50% of 'click', 5% of everything else — as a pure map-side
+    filter whose sampled set the oracle reproduces row-for-row."""
+    from deepseek_ocr_rs_spark.operators.sampling import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")
+    out = stratified_sample(
+        ev, "event_type",
+        {"click": 0.5, "view": 0.1, "purchase": 1.0},
+        key_col="event_id", seed=11, default_fraction=0.05,
+    )
+    return out.select("event_id", "event_type", "user_id")
+
+
 def j_salted_skew_join(spark, sf_dir):
     """Skew-defused equi-join through the gate: events carry only 5
     distinct event_type values (every key is hot), joined to a computed
@@ -1492,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_rollup_orders": a_rollup_orders,
         "w_events_per_day": w_events_per_day,
         "s_weighted_sample": s_weighted_sample,
+        "s_stratified_sample": s_stratified_sample,
         "extract_missing_image_fallback": extract_missing_image_fallback,
         "extract_base64_payload": extract_base64_payload,
         "doc_exact_dedup": doc_exact_dedup,
@@ -1546,9 +1563,14 @@ def oracle_sql() -> dict[str, str]:
         MISSING_IMAGE_MARKDOWN as _FALLBACK_MD,
     )
     from deepseek_ocr_rs_spark.operators.sampling import (
+        stratified_sample_oracle_predicate,
         weighted_sample_oracle_predicate,
     )
 
+    _strat_pred = stratified_sample_oracle_predicate(
+        "event_type", {"click": 0.5, "view": 0.1, "purchase": 1.0},
+        key_col="event_id", seed=11, default_fraction=0.05,
+    )
     _w_pred = weighted_sample_oracle_predicate(
         weight_col="value", fraction=0.005, key_col="event_id", seed=42
     )
@@ -2107,6 +2129,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, round(value, 2) AS value_r
             FROM events
             WHERE {_w_pred}
+        """,
+        "s_stratified_sample": f"""
+            SELECT event_id, event_type, user_id
+            FROM events
+            WHERE {_strat_pred}
         """,
         "extract_missing_image_fallback": f"""
             WITH p AS (

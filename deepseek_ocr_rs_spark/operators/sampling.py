@@ -59,3 +59,48 @@ def weighted_sample_oracle_predicate(
         f"CAST(floor(least(1.0, {float(fraction)!r} * "
         f"CAST({weight_col} AS DOUBLE)) * {_BUCKETS}) AS BIGINT)"
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep each row of stratum s with
+    probability fractions[s] (default_fraction for unlisted strata), as a
+    pure map-side filter — the stored-data half of EDBT'19 'Stratified
+    Random Sampling over Streaming and Stored Data', with the RNG replaced
+    by the same hash discipline as ``seeded_weighted_sample`` so the
+    sampled set is retry/partitioning-stable and SQL-replicable.
+
+    The classic use at 100 TB: rebalancing a curated corpus (e.g. cap the
+    dominant language at 10%, keep 100% of a rare one) without a shuffle —
+    per-stratum counts need no pre-pass because inclusion is per-row."""
+    frac = F.lit(float(default_fraction))
+    for s, f_ in fractions.items():
+        frac = F.when(F.col(strata_col) == s, F.lit(float(f_))).otherwise(frac)
+    thresh = F.floor(
+        F.least(F.lit(1.0), frac) * _BUCKETS
+    ).cast("long")
+    u = _u_col(F.col(key_col), seed)
+    return df.where((u % _BUCKETS) < thresh)
+
+
+def stratified_sample_oracle_predicate(
+    strata_col: str, fractions: dict, key_col: str, seed: int = 42,
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB WHERE-clause replicating ``stratified_sample``."""
+    cases = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {float(f_)!r}"
+        for s, f_ in fractions.items()
+    )
+    frac = f"(CASE {cases} ELSE {float(default_fraction)!r} END)"
+    return (
+        f"(CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR) || ':{seed}'),"
+        f" 1, 15) AS BIGINT) % {_BUCKETS}) < "
+        f"CAST(floor(least(1.0, {frac}) * {_BUCKETS}) AS BIGINT)"
+    )

@@ -84,3 +84,23 @@ def test_bucketed_join_skips_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Per-stratum rates land near their targets, unlisted strata use the
+    default, and the sampled set is identical across partitionings."""
+    from deepseek_ocr_rs_spark.operators.sampling import stratified_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = stratified_sample(df, "s", {"a": 1.0, "b": 0.2}, "k", seed=3,
+                            default_fraction=0.0)
+    counts = {r["s"]: r["n"] for r in
+              out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 1000            # fraction 1.0 keeps everything
+    assert 140 <= counts.get("b", 0) <= 260   # ~200 of 1000
+    assert "c" not in counts              # default 0.0 drops the stratum
+    again = stratified_sample(df.repartition(13), "s", {"a": 1.0, "b": 0.2},
+                              "k", seed=3, default_fraction=0.0)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, again.collect()))
