@@ -445,8 +445,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", shingle_n: int = 2,
-                       bucket_cap: Optional[int] = DEFAULT_BUCKET_CAP
-                       ) -> DataFrame:
+                       bucket_cap: Optional[int] = DEFAULT_BUCKET_CAP,
+                       sigs: Optional[DataFrame] = None) -> DataFrame:
     """Candidate near-dup pairs: any equal 16-bit band of the simhash
     (guarantees recall for hamming distance <= 3).  The simhash itself (one
     int64) rides the band shuffle so hamming needs no second join.
@@ -456,8 +456,16 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     and instead emit a LINEAR (keeper, other) star per identical FULL
     simhash (hamming 0, which is what a mega-bucket is made of).  Cross
     pairs between distinct simhashes inside an over-cap bucket are dropped
-    (documented recall tradeoff).  ``bucket_cap=None`` opts out."""
-    sh = with_simhash(df, id_col, text_col, shingle_n)
+    (documented recall tradeoff).  ``bucket_cap=None`` opts out.
+
+    ``sigs``: a persisted ``with_simhash`` output; the ``sigs=None`` path
+    auto-persists (same rationale as ``minhash_lsh_pairs`` — without it
+    the Arrow simhash stage re-runs on both self-join branches and the
+    over-cap star path).  Zero simhashes (wordless docs) are filtered
+    defensively regardless of provenance."""
+    if sigs is None:
+        sigs = with_simhash(df, id_col, text_col, shingle_n).persist()
+    sh = sigs.where(F.col("simhash") != 0)
     banded = sh.select(
         F.col(id_col),
         "simhash",
