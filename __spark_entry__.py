@@ -1408,7 +1408,9 @@ def ann_batch_lsh(spark, sf_dir):
     )
 
     emb = _nonzero_norm(_t(spark, sf_dir, "embeddings"), "embedding")
-    indexed = build_lsh_index(emb, dim=64, bits=8)
+    # persist: the corpus branch and the (filtered) query branch of the
+    # bucket join otherwise each re-run the Arrow signature stage
+    indexed = build_lsh_index(emb, dim=64, bits=8).persist()
     queries_idx = indexed.where(F.pmod("vec_id", F.lit(50)) == 0)
     return batch_lsh_topk(indexed, queries_idx, k=3, bits=8)
 
@@ -1426,6 +1428,61 @@ def emb_dedup_components(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(emb, threshold=0.25, bits=8, dim=64)
     return connected_components(pairs.select("id_a", "id_b"))
+
+
+def w_value_decile(spark, sf_dir):
+    """NTILE bucketing: decile of each event's value within its type,
+    under a fully tie-broken total order (value desc, event_id) so bucket
+    assignment is engine-independent."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return ev.select(
+        "event_id", "event_type", F.ntile(10).over(w).alias("decile")
+    )
+
+
+def w_rolling_hour_value(spark, sf_dir):
+    """RANGE-frame window: per-user rolling 1-hour value sum over event
+    time (rangeBetween on epoch seconds).  Frames hold a handful of 2dp
+    values, so the 2dp-rounded sum is exact on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("hour_value"),
+    )
+
+
+def t_dense_rank_suppliers(spark, sf_dir):
+    """DENSE_RANK over rounded balances within nation: equal balances
+    share a rank with no gaps (vs row_number in t_best_supplier)."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc(F.round("s_acctbal", 2))
+    )
+    return s.select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nationkey"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.dense_rank().over(w).alias("bal_rank"),
+    )
+
+
+def a_cube_orders(spark, sf_dir):
+    """CUBE grouping over (priority, status): all 4 grouping-set
+    combinations with exact decimal money totals."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _money_sum(F.col("o_totalprice")).alias("total_price"),
+    )
 
 
 def s_stratified_sample(spark, sf_dir):
@@ -1498,6 +1555,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_render_v2": conv_render_v2,
         "conv_render_alignment": conv_render_alignment,
         "w_latest_event_per_user": w_latest_event_per_user,
+        "w_value_decile": w_value_decile,
+        "w_rolling_hour_value": w_rolling_hour_value,
+        "t_dense_rank_suppliers": t_dense_rank_suppliers,
+        "a_cube_orders": a_cube_orders,
         "w_running_value": w_running_value,
         "w_sessionize": w_sessionize,
         "set_customers_without_orders": set_customers_without_orders,
@@ -2054,6 +2115,35 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "w_value_decile": """
+            SELECT event_id, event_type,
+                   CAST(ntile(10) OVER (PARTITION BY event_type
+                        ORDER BY value DESC, event_id ASC) AS INT) AS decile
+            FROM events
+        """,
+        "w_rolling_hour_value": """
+            SELECT event_id, user_id,
+                   round(SUM(value) OVER (PARTITION BY user_id
+                         ORDER BY epoch(ts)
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+                     AS hour_value
+            FROM events
+        """,
+        "t_dense_rank_suppliers": """
+            SELECT s_suppkey, s_nationkey AS nationkey,
+                   round(s_acctbal, 2) AS acctbal,
+                   CAST(dense_rank() OVER (PARTITION BY s_nationkey
+                        ORDER BY round(s_acctbal, 2) DESC) AS INT)
+                     AS bal_rank
+            FROM supplier
+        """,
+        "a_cube_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(round(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 2)
+                        AS DOUBLE) AS total_price
+            FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         """,
         "w_running_value": """
             SELECT user_id, event_id,
