@@ -111,6 +111,41 @@ def q_extract_html_wrapped(spark, sf_dir):
     return out.select("conv_id", "payload_kind", "text_md", "n_blocks")
 
 
+def q_extract_html_table(spark, sf_dir):
+    """HTML TABLE + heading extraction path with a SQL-expressible
+    expectation: each doc becomes a page with an h1, a 2x2 table (header
+    row + one data row derived from the doc), and a body paragraph; the
+    extractor must render '# heading', '| a | b |' rows, and the paragraph
+    in document order."""
+    from deepseek_ocr_rs_spark.operators.extract import extract_turns
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").rlike("^[^&<>]*$") & (F.trim("text") != "")
+    )
+    w1 = F.element_at(F.split(F.trim("text"), r"\s+"), 1)
+    payload = F.concat(
+        F.lit('<html><head><title>t</title></head><body><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><table><tr><th>A</th><th>B</th></tr><tr><td>"),
+        w1,
+        F.lit("</td><td>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</td></tr></table><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    wrapped = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        payload.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    out = extract_turns(wrapped)
+    return out.select("conv_id", "payload_kind", "text_md", "n_blocks")
+
+
 def q_extract_pdf_layout(spark, sf_dir):
     """PDF layout path with a SQL-expressible expectation: each doc becomes
     a PDF-JSON payload whose blocks are listed OUT of reading order (body
@@ -1519,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_docs_plain": q_extract_docs_plain,
         "extract_html_wrapped": q_extract_html_wrapped,
+        "extract_html_table": q_extract_html_table,
         "extract_pdf_layout": q_extract_pdf_layout,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1654,6 +1690,18 @@ def oracle_sql() -> dict[str, str]:
                    'html' AS payload_kind,
                    {_NORM_SQL} AS text_md,
                    CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE 1 END AS n_blocks
+            FROM documents
+            WHERE regexp_full_match(text, '[^&<>]*') AND trim(text) <> ''
+        """,
+        "extract_html_table": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+                   'html' AS payload_kind,
+                   '# Doc ' || doc_id || chr(10) || chr(10)
+                     || '| A | B |' || chr(10) || chr(10)
+                     || '| ' || regexp_split_to_array(trim(text), '\\s+')[1]
+                     || ' | ' || n_chars || ' |' || chr(10) || chr(10)
+                     || {_NORM_SQL} AS text_md,
+                   4 AS n_blocks
             FROM documents
             WHERE regexp_full_match(text, '[^&<>]*') AND trim(text) <> ''
         """,
