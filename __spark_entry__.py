@@ -1372,7 +1372,10 @@ def pipeline_curation(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    w = Window.partitionBy("text").orderBy("doc_id")
+    # dedup window keyed on the md5 DIGEST, not the text itself: the
+    # shuffle/sort comparator then works on a 32-char key instead of
+    # multi-KB documents (same groups barring md5 collisions)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     uniq = (
         docs.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -2389,7 +2392,7 @@ def oracle_sql() -> dict[str, str]:
             ), uniq AS (
               SELECT doc_id, text FROM (
                 SELECT doc_id, text,
-                       row_number() OVER (PARTITION BY text
+                       row_number() OVER (PARTITION BY md5(text)
                                           ORDER BY doc_id) AS rn
                 FROM planted
               ) WHERE rn = 1

@@ -89,9 +89,12 @@ AUDITS = {
         ("anti semantics", "LeftAnti"),
     ],
     "pipeline_curation": [
-        # the whole curation chain is one plan: dedup window shuffle on
-        # text, scoring+filter+sampler fused map-side
-        ("dedup window keyed on content", "hashpartitioning(text"),
+        # the whole curation chain is one plan: dedup window shuffle keyed
+        # on the md5 digest (32 chars, not multi-KB documents),
+        # scoring+filter+sampler fused map-side
+        # Spark projects the partition expression to _w0 before the
+        # Exchange, so assert the digest projection itself
+        ("dedup window keyed on content digest", "md5(cast(text"),
         ("sampler is a map-side filter", "* Filter"),
     ],
     "ann_batch_lsh": [
