@@ -127,3 +127,44 @@ def test_iceberg_merge_idempotent_resume(spark, tmp_path):
     for _ in range(3):  # re-merge: WHEN NOT MATCHED inserts nothing new
         sink.merge(df)
     assert spark.table("lake.db.extracted").count() == 2
+
+
+def test_jsonl_source_with_quarantine(spark, tmp_path):
+    """JSONL transcripts parse to the canonical schema; malformed lines
+    and null-required-field rows route to quarantine with the raw line."""
+    from deepseek_ocr_rs_spark.sources.formats import read_transcripts_jsonl
+
+    p = tmp_path / "t.jsonl"
+    p.write_text("\n".join([
+        '{"conv_id":"c1","turn_idx":0,"role":"user","text":"hello",'
+        '"tool":null,"ts":"2025-03-01T10:00:00"}',
+        '{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"hi"}',
+        'this is not json at all {{{',
+        '{"conv_id":null,"turn_idx":2,"role":"user","text":"orphan"}',
+    ]) + "\n")
+    good, quar = read_transcripts_jsonl(spark, str(p))
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in good.collect()}
+    assert set(rows) == {("c1", 0), ("c1", 1)}
+    assert rows[("c1", 0)]["ts"] is not None
+    assert good.schema["turn_idx"].dataType.simpleString() == "int"
+    q = {r["reason"] for r in quar.collect()}
+    assert q == {"malformed_json", "null_required_field"}
+    raws = [r["raw"] for r in quar.collect()]
+    assert any("not json" in r for r in raws)  # raw line preserved
+
+
+def test_csv_source_with_quarantine(spark, tmp_path):
+    from deepseek_ocr_rs_spark.sources.formats import read_transcripts_csv
+
+    p = tmp_path / "t.csv"
+    p.write_text(
+        "conv_id,turn_idx,role,text,tool,ts\n"
+        "c9,0,user,hello world,,2025-03-01 10:00:00\n"
+        "c9,notanint,user,bad type,,\n"
+        "c9,1,assistant,reply,,\n"
+    )
+    good, quar = read_transcripts_csv(spark, str(p))
+    assert {(r["conv_id"], r["turn_idx"]) for r in good.collect()} == \
+        {("c9", 0), ("c9", 1)}
+    assert quar.count() == 1
+    assert quar.first()["reason"] in ("malformed_csv", "null_required_field")
