@@ -170,98 +170,103 @@ class HtmlTokenizer:
     # -- internals ---------------------------------------------------------
 
     def _drain(self, final: bool) -> List[Event]:
+        # consumed bytes are tracked by a cursor and compacted ONCE on exit:
+        # the previous del-buf[:n]-per-event form was an O(buffer) memmove
+        # per tag, i.e. quadratic in chunk size on tag-dense documents
         out: List[Event] = []
         buf = self._buf
-        while True:
-            if self._rawtext_until is not None:
-                idx = bytes(buf).lower().find(self._rawtext_until)
-                if idx < 0:
-                    if final:
-                        # unterminated rawtext: drop it (boilerplate anyway)
-                        buf.clear()
-                    else:
-                        # keep a tail so a split close-tag can still match
-                        keep = len(self._rawtext_until) - 1
-                        if len(buf) > keep:
-                            del buf[: len(buf) - keep]
-                    break
-                tag = self._rawtext_until[2:].decode("ascii")
-                # rawtext body is dropped entirely (script/style is never content)
-                gt = bytes(buf).find(b">", idx)
-                if gt < 0:
-                    if final:
-                        buf.clear()
-                        out.append(("close", tag))
-                        self._rawtext_until = None
-                    break
-                del buf[: gt + 1]
-                out.append(("close", tag))
-                self._rawtext_until = None
-                continue
-
-            if self._in_tag:
-                gt = buf.find(b">")
-                if gt < 0:
-                    if final:
-                        buf.clear()
-                        self._in_tag = False
-                    break
-                raw = bytes(buf[:gt]).decode("utf-8", errors="replace")
-                del buf[: gt + 1]
-                self._in_tag = False
-                if raw.startswith("!--"):
-                    # comment: _enter_comment handled below via re-scan;
-                    # a '>' inside the comment body ended it only if '-->'
-                    if not raw.endswith("--"):
-                        # '>' was inside the comment; push back a comment marker
-                        self._swallow_comment(buf, raw, final)
-                        continue
-                    continue
-                parsed = _parse_tag(raw)
-                if parsed is None:
-                    continue
-                kind, tag, attrs, self_closing = parsed
-                if kind == "open":
-                    out.append(("open", tag, attrs))
-                    if tag in VOID_TAGS or self_closing:
-                        out.append(("close", tag))
-                    elif tag in _RAWTEXT_TAGS:
-                        self._rawtext_until = b"</" + tag.encode("ascii")
-                else:
+        pos = 0
+        try:
+            while True:
+                if self._rawtext_until is not None:
+                    low = bytes(buf[pos:]).lower()
+                    idx = low.find(self._rawtext_until)
+                    if idx < 0:
+                        if final:
+                            # unterminated rawtext: drop it (boilerplate)
+                            pos = len(buf)
+                        else:
+                            # keep a tail so a split close-tag still matches
+                            keep = len(self._rawtext_until) - 1
+                            if len(buf) - pos > keep:
+                                pos = len(buf) - keep
+                        break
+                    tag = self._rawtext_until[2:].decode("ascii")
+                    # rawtext body dropped entirely (script/style is never
+                    # content)
+                    gt = buf.find(b">", pos + idx)
+                    if gt < 0:
+                        if final:
+                            pos = len(buf)
+                            out.append(("close", tag))
+                            self._rawtext_until = None
+                        break
+                    pos = gt + 1
                     out.append(("close", tag))
-                continue
+                    self._rawtext_until = None
+                    continue
 
-            lt = buf.find(b"<")
-            if lt < 0:
-                if final:
-                    if buf:
-                        out.append(("text", decode_entities(
-                            bytes(buf).decode("utf-8", errors="replace"))))
-                        buf.clear()
-                break
-            if lt > 0:
-                out.append(("text", decode_entities(
-                    bytes(buf[:lt]).decode("utf-8", errors="replace"))))
-            del buf[: lt + 1]
-            self._in_tag = True
+                if self._in_tag:
+                    gt = buf.find(b">", pos)
+                    if gt < 0:
+                        if final:
+                            pos = len(buf)
+                            self._in_tag = False
+                        break
+                    raw = buf[pos:gt].decode("utf-8", errors="replace")
+                    pos = gt + 1
+                    self._in_tag = False
+                    if raw.startswith("!--"):
+                        # a '>' inside the comment body ended it only if '-->'
+                        if not raw.endswith("--"):
+                            end = buf.find(b"-->", pos)
+                            if end >= 0:
+                                pos = end + 3
+                                continue
+                            if final:
+                                pos = len(buf)
+                                break
+                            # keep tail to catch a split '-->' and stay in
+                            # comment mode by re-prepending the opener
+                            keep = min(len(buf) - pos, 2)
+                            tail = bytes(buf[len(buf) - keep:]) if keep else b""
+                            del buf[:]
+                            buf.extend(b"<!--" + tail)
+                            pos = 0
+                            continue
+                        continue
+                    parsed = _parse_tag(raw)
+                    if parsed is None:
+                        continue
+                    kind, tag, attrs, self_closing = parsed
+                    if kind == "open":
+                        out.append(("open", tag, attrs))
+                        if tag in VOID_TAGS or self_closing:
+                            out.append(("close", tag))
+                        elif tag in _RAWTEXT_TAGS:
+                            self._rawtext_until = b"</" + tag.encode("ascii")
+                    else:
+                        out.append(("close", tag))
+                    continue
+
+                lt = buf.find(b"<", pos)
+                if lt < 0:
+                    if final:
+                        if pos < len(buf):
+                            out.append(("text", decode_entities(
+                                buf[pos:].decode("utf-8", errors="replace"))))
+                            pos = len(buf)
+                    break
+                if lt > pos:
+                    out.append(("text", decode_entities(
+                        buf[pos:lt].decode("utf-8", errors="replace"))))
+                pos = lt + 1
+                self._in_tag = True
+        finally:
+            if pos:
+                del buf[:pos]
         # drop empty text events for determinism
         return [e for e in out if not (e[0] == "text" and e[1] == "")]
-
-    def _swallow_comment(self, buf: bytearray, consumed: str, final: bool) -> None:
-        """We hit '>' inside a '<!--' comment; skip until '-->'."""
-        end = bytes(buf).find(b"-->")
-        if end >= 0:
-            del buf[: end + 3]
-        else:
-            if final:
-                buf.clear()
-            else:
-                # keep tail to catch a split '-->' and stay in comment mode by
-                # re-prepending the comment opener
-                keep = min(len(buf), 2)
-                tail = bytes(buf[len(buf) - keep:]) if keep else b""
-                buf.clear()
-                buf.extend(b"<!--" + tail)
 
 
 def tokenize_html(payload: str, chunk_size: int = 0) -> List[Event]:
