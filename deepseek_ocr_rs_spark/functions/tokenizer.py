@@ -90,12 +90,36 @@ _EMPTY_ATTRS: Dict[str, str] = {}
 _HREF_PROBE_RE = re.compile(r"href", re.IGNORECASE)
 
 
+# memo for attribute-free tags: real documents repeat a handful of raw tag
+# strings ('p', '/p', 'div', ...) tens of thousands of times; the cached
+# value is immutable to callers (attrs is the shared empty dict, which the
+# DOM builder only reads).  Bounded: href-bearing and long raws skip it.
+_TAG_MEMO: Dict[str, Optional[Tuple[str, str, Dict[str, str], bool]]] = {}
+_TAG_MEMO_MAX = 8192
+
+
 def _parse_tag(raw: str) -> Optional[Tuple[str, str, Dict[str, str], bool]]:
     """Parse the inside of ``<...>``.
 
     Returns (kind, tag, attrs, self_closing) with kind in {open, close},
     or None for markup we skip (comments, doctype, processing instructions).
     """
+    memo_key = raw if len(raw) <= 32 else None
+    if memo_key is not None:
+        hit = _TAG_MEMO.get(memo_key, _TAG_MEMO)  # sentinel: miss
+        if hit is not _TAG_MEMO:
+            return hit
+    result = _parse_tag_uncached(raw)
+    if memo_key is not None and (result is None or not result[2]):
+        if len(_TAG_MEMO) >= _TAG_MEMO_MAX:
+            _TAG_MEMO.clear()
+        _TAG_MEMO[memo_key] = result
+    return result
+
+
+def _parse_tag_uncached(
+    raw: str,
+) -> Optional[Tuple[str, str, Dict[str, str], bool]]:
     raw = raw.strip()
     if not raw:
         return None
