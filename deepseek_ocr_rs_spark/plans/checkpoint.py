@@ -115,3 +115,55 @@ class IcebergMergeSink:
             f"MERGE INTO {self.table} t USING {view} s ON {on} "
             "WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+def iceberg_table_ddl(
+    table: str = "catalog.db.extracted",
+    n_buckets: int = 512,
+) -> str:
+    """The production table layout, pinned as DDL (the storage analog of
+    the reference's self-describing DSQ container, SURVEY §1.1 S8/S9).
+
+    Layout rationale at 100 TB:
+
+    * ``bucket(N, conv_id)`` — co-locates every turn of a conversation in
+      one bucket, so the resume MERGE's ON keys prune to one bucket per
+      incoming conversation and repeated conv-level joins can co-locate.
+    * ``days(ts)`` — time-partition pruning for incremental/backfill runs.
+    * sort order ``(conv_id, turn_idx)`` — matches the pipeline's output
+      ordering, so re-extraction with ``sort_output=False`` skips its one
+      shuffle, and range scans read turns in order.
+    * parquet + zstd — engine-provided columnar encodings stand in for the
+      reference's quantized tensor blocks (SURVEY §4).
+    """
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} (\n"
+        "  conv_id STRING NOT NULL,\n"
+        "  turn_idx INT NOT NULL,\n"
+        "  payload_kind STRING,\n"
+        "  text_md STRING,\n"
+        "  text_plain STRING,\n"
+        "  spans ARRAY<STRUCT<start: INT, end: INT, kind: STRING,"
+        " block_idx: INT>>,\n"
+        "  n_blocks INT,\n"
+        "  n_chars BIGINT,\n"
+        "  ok BOOLEAN,\n"
+        "  run_id STRING,\n"
+        "  ts TIMESTAMP\n"
+        ") USING iceberg\n"
+        f"PARTITIONED BY (bucket({n_buckets}, conv_id), days(ts))\n"
+        "TBLPROPERTIES (\n"
+        "  'write.format.default' = 'parquet',\n"
+        "  'write.parquet.compression-codec' = 'zstd',\n"
+        "  'write.distribution-mode' = 'hash',\n"
+        "  'write.target-file-size-bytes' = '536870912'\n"
+        ")"
+    )
+
+
+def iceberg_sort_order_ddl(table: str = "catalog.db.extracted") -> str:
+    """Companion WRITE ORDERED BY — Iceberg sort orders are set via ALTER."""
+    return (
+        f"ALTER TABLE {table} "
+        "WRITE ORDERED BY conv_id ASC, turn_idx ASC"
+    )

@@ -168,3 +168,22 @@ def test_csv_source_with_quarantine(spark, tmp_path):
         {("c9", 0), ("c9", 1)}
     assert quar.count() == 1
     assert quar.first()["reason"] in ("malformed_csv", "null_required_field")
+
+
+def test_iceberg_ddl_pinned():
+    """The production table layout is pinned: bucket+days partitioning,
+    zstd parquet, hash distribution, and the (conv_id, turn_idx) write
+    order that lets re-extraction skip its one shuffle."""
+    from deepseek_ocr_rs_spark.plans.checkpoint import (
+        iceberg_sort_order_ddl,
+        iceberg_table_ddl,
+    )
+
+    ddl = iceberg_table_ddl("cat.db.t", n_buckets=256)
+    assert "PARTITIONED BY (bucket(256, conv_id), days(ts))" in ddl
+    assert "USING iceberg" in ddl
+    assert "'write.parquet.compression-codec' = 'zstd'" in ddl
+    assert "'write.distribution-mode' = 'hash'" in ddl
+    assert "conv_id STRING NOT NULL" in ddl and "turn_idx INT NOT NULL" in ddl
+    assert iceberg_sort_order_ddl("cat.db.t") == \
+        "ALTER TABLE cat.db.t WRITE ORDERED BY conv_id ASC, turn_idx ASC"
