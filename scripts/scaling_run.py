@@ -79,8 +79,14 @@ mk_e2e = lambda: extract_turns(
 # round-1 numbers showed e2e@2 FASTER than map@2 from exactly this bias.
 measure(mk_map)
 measure(mk_e2e)
-map_phase = measure(mk_map)
-end_to_end = measure(mk_e2e)
+# min-of-2 timed runs per phase WITHIN this trial window: hypervisor-steal
+# bursts on this shared box hit individual runs asymmetrically (identical
+# local[8] work observed swinging 18.9 s -> 73.7 s across windows); the min
+# is the least-contaminated observation of fixed work — the same insurance
+# bench.py uses — and pairing mins from the same window still cancels
+# slow host drift
+map_phase = min(measure(mk_map) for _ in range(2))
+end_to_end = min(measure(mk_e2e) for _ in range(2))
 chk = 0
 if with_checksum:  # one output-equality checksum per config is enough
     chk = int(extract_turns(corpus, chunk_bytes=65536)
@@ -254,6 +260,12 @@ over {trials} interleaved trials, reported as median [min..max]: each
 trial runs every config back-to-back inside one host-speed window, so the
 ratio cancels the shared VM's minute-scale speed drift (hypervisor steal
 + turbo) that a best-of-runs comparison would conflate with scaling.
+Within each config's window the timed phase runs TWICE and the min is
+taken (bench.py's bursty-steal insurance): steal bursts hit individual
+runs asymmetrically — identical local[8] work has been observed at
+18.9 s and 73.7 s minutes apart — and the min is the least-contaminated
+observation of fixed work, so paired ratios stop inheriting one-sided
+burst noise.
 Each fresh JVM first runs a FULL untimed pass of both topologies (JIT,
 python-worker forks, page cache all warm before any timing); input in
 /dev/shm and noop sink (no shared-single-disk noise).  Absolute seconds
