@@ -1167,7 +1167,9 @@ def q12_priority_by_returnflag(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+            # complementary branches (NOT when(~high)): a NULL priority must
+            # count as low on both engines, mirroring the oracle's CASE ELSE
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
         )
     )
 
@@ -1549,7 +1551,7 @@ def j_salted_skew_join(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_n"))
-    out = salted_join(ev, dim, on="event_type", n_salts=8)
+    out = salted_join(ev, dim, on="event_type", n_salts=8, row_key="event_id")
     return out.select("event_id", "event_type", "type_n")
 
 

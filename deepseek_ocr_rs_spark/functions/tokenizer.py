@@ -25,12 +25,16 @@ Determinism notes:
 
 from __future__ import annotations
 
+import html.entities
 import re
 from typing import Dict, Iterator, List, Optional, Tuple
 
 Event = Tuple  # ("open", tag, attrs) | ("close", tag) | ("text", str)
 
-_NAMED_ENTITIES = {
+# Pipeline-normalization overrides kept case-insensitive and ahead of the
+# spec table: nbsp deliberately decodes to ASCII space (the extraction
+# contract normalizes whitespace; fixtures and hashes pin this).
+_LEGACY_ENTITIES = {
     "amp": "&",
     "lt": "<",
     "gt": ">",
@@ -50,6 +54,25 @@ _NAMED_ENTITIES = {
     "rdquo": "”",
     "ldquo": "“",
 }
+
+# Full HTML5 named-entity map (public spec data via the stdlib): ~2.2k names
+# like eacute/Ouml/frac12.  Only the ';'-terminated forms — our regex requires
+# the semicolon, matching the reference's strict text handling
+# (crates/core/src/streaming.rs:43-62: exact, never-guessing decode).
+# Case-SENSITIVE per spec ('&Ouml;' != '&ouml;'), with a lowercase fallback
+# only through the legacy overrides above.
+_NAMED_ENTITIES: Dict[str, str] = {
+    name[:-1]: value
+    for name, value in html.entities.html5.items()
+    if name.endswith(";")
+}
+_NAMED_ENTITIES.update(
+    {k: v for k, v in _LEGACY_ENTITIES.items()}
+)
+_NAMED_ENTITIES.update(
+    {k.upper(): v for k, v in _LEGACY_ENTITIES.items()
+     if k.upper() not in _NAMED_ENTITIES}
+)
 
 _ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z][a-zA-Z0-9]{1,31});")
 
@@ -79,7 +102,12 @@ def decode_entities(s: str) -> str:
             except ValueError:
                 return m.group(0)
             return chr(cp) if 0 < cp <= 0x10FFFF else m.group(0)
-        return _NAMED_ENTITIES.get(body.lower(), m.group(0))
+        hit = _NAMED_ENTITIES.get(body)
+        if hit is not None:
+            return hit
+        # legacy names stay case-insensitive (&Amp; &NbSp; ...) — the spec
+        # table is case-sensitive, so only the overrides get this fallback
+        return _LEGACY_ENTITIES.get(body.lower(), m.group(0))
 
     return _ENTITY_RE.sub(_sub, s)
 
@@ -175,11 +203,12 @@ class HtmlTokenizer:
     byte string (the X5 invariant of SURVEY.md §2.9).
     """
 
-    __slots__ = ("_buf", "_events", "_in_tag", "_rawtext_until")
+    __slots__ = ("_buf", "_events", "_in_tag", "_in_comment", "_rawtext_until")
 
     def __init__(self) -> None:
         self._buf = bytearray()  # unconsumed bytes
         self._in_tag = False
+        self._in_comment = False  # inside <!-- ... -->, seeking '-->'
         self._rawtext_until: Optional[bytes] = None  # e.g. b"</script"
 
     def feed(self, chunk: bytes) -> List[Event]:
@@ -202,6 +231,26 @@ class HtmlTokenizer:
         pos = 0
         try:
             while True:
+                if self._in_comment:
+                    # explicit comment state: scan for '-->' with a retained
+                    # 2-byte tail across chunk boundaries.  Never re-prepends
+                    # a synthesized '<!--' opener — doing so could fabricate
+                    # '-->' from the opener's '--' plus a tail byte and leak
+                    # comment text as a text event (round-3 ADVICE).
+                    end = buf.find(b"-->", pos)
+                    if end >= 0:
+                        pos = end + 3
+                        self._in_comment = False
+                        continue
+                    if final:
+                        # unterminated comment: drop it
+                        pos = len(buf)
+                        self._in_comment = False
+                    else:
+                        keep = min(len(buf) - pos, 2)
+                        pos = len(buf) - keep
+                    break
+
                 if self._rawtext_until is not None:
                     low = bytes(buf[pos:]).lower()
                     idx = low.find(self._rawtext_until)
@@ -243,21 +292,7 @@ class HtmlTokenizer:
                     if raw.startswith("!--"):
                         # a '>' inside the comment body ended it only if '-->'
                         if not raw.endswith("--"):
-                            end = buf.find(b"-->", pos)
-                            if end >= 0:
-                                pos = end + 3
-                                continue
-                            if final:
-                                pos = len(buf)
-                                break
-                            # keep tail to catch a split '-->' and stay in
-                            # comment mode by re-prepending the opener
-                            keep = min(len(buf) - pos, 2)
-                            tail = bytes(buf[len(buf) - keep:]) if keep else b""
-                            del buf[:]
-                            buf.extend(b"<!--" + tail)
-                            pos = 0
-                            continue
+                            self._in_comment = True
                         continue
                     parsed = _parse_tag(raw)
                     if parsed is None:

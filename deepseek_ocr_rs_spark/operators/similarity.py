@@ -229,6 +229,11 @@ def batch_lsh_topk(
     ``build_lsh_index`` with the SAME (dim, bits) planes.  A corpus row can
     match a query through at most one probe (probes are distinct bucket
     values, each row has one bucket), so no pair dedup is needed."""
+    # zero-norm vectors yield 0/0 = NaN cosine, and Spark orders NaN
+    # GREATEST under desc — without this filter they'd squat in every
+    # top-k.  Mirrors brute_force_topk and batch_lsh_oracle_sql.
+    indexed = _nonzero_norm(indexed, vec_col)
+    indexed_queries = _nonzero_norm(indexed_queries, vec_col)
     q = indexed_queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

@@ -42,23 +42,37 @@ def salted_join(
     on: Union[str, Sequence[str]],
     n_salts: int = 16,
     how: str = "inner",
+    row_key: Optional[Union[str, Sequence[str]]] = None,
 ) -> DataFrame:
     """Skew-defused equi-join of ``big`` against ``small`` on ``on``.
 
-    The salt is ``pmod(hash(<all big columns>), n_salts)`` — deterministic
-    per row content (retry/partitioning-safe, no nondeterministic rand()),
-    uniform enough to spread a hot key.  The small side explodes into all
-    n_salts values, so each (key, salt) bucket holds the complete
-    small-side group: the join result is row-for-row identical to the
-    unsalted join.  Cost: small side is materialized n_salts times — size
-    the salt count to (hot-key rows / target task size), not higher.
+    The salt is deterministic per row (retry/partitioning-safe, no
+    nondeterministic rand()) and uniform enough to spread a hot key.  The
+    small side explodes into all n_salts values, so each (key, salt)
+    bucket holds the complete small-side group: the join result is
+    row-for-row identical to the unsalted join.  Cost: small side is
+    materialized n_salts times — size the salt count to
+    (hot-key rows / target task size), not higher.
+
+    ``row_key`` names the column(s) whose hash drives the salt.  Pass a
+    unique per-row id (file/offset, event_id, monotonically-increasing id)
+    when the hot key's rows may be *exact duplicates*: the default salts
+    by a hash of ALL big-side columns, so identical rows always draw the
+    same salt and a hot key made of boilerplate duplicate rows would still
+    land on a single (key, salt) reducer — correct but un-spread.  With a
+    unique row_key the spread is uniform regardless of content duplication.
 
     ``how`` supports 'inner' and 'left' (every big row carries a salt and
     the small side covers all salts, so left semantics are preserved)."""
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys: List[str] = [on] if isinstance(on, str) else list(on)
-    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    if row_key is None:
+        salt_cols = [F.col(c) for c in big.columns]
+    else:
+        names = [row_key] if isinstance(row_key, str) else list(row_key)
+        salt_cols = [F.col(c) for c in names]
+    salt = F.pmod(F.hash(*salt_cols), F.lit(n_salts))
     b = big.withColumn(_SALT, salt)
     s = small.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -30,9 +30,19 @@ def _normalize_cell(v):
     return v
 
 
+def _sort_key(row):
+    # None-safe: Python can't compare None with non-None, so rows that tie
+    # on leading columns and mix NULL/non-NULL later (CUBE grouping nulls,
+    # outer-join nulls) would raise TypeError under plain sorted()
+    return tuple((v is None, type(v).__name__, v) for v in row)
+
+
 def _as_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_normalize_cell(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(_normalize_cell(r[i]) for i in order) for r in rows),
+        key=_sort_key,
+    )
 
 
 def main():

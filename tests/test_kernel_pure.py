@@ -69,6 +69,74 @@ def test_tokenizer_entities():
     assert decode_entities("&bogus; &unknown123;") == "&bogus; &unknown123;"
 
 
+def test_tokenizer_html5_named_entities():
+    """Full HTML5 named-entity coverage (round-3 verdict item 5): the spec
+    table is ~2.2k names, case-SENSITIVE (&Ouml; is not &ouml;), while the
+    legacy pipeline names stay case-insensitive and nbsp still normalizes
+    to ASCII space (the fixture-pinned contract)."""
+    assert decode_entities("caf&eacute;") == "café"
+    assert decode_entities("&Ouml;l &ouml;l") == "Öl öl"
+    assert decode_entities("&frac12; cup") == "½ cup"
+    assert decode_entities("&Aacute;&agrave;&ccedil;&szlig;&euro;&deg;") == "Áàçß€°"
+    assert decode_entities("&alpha;&Omega;&rarr;&times;&divide;") == "αΩ→×÷"
+    # legacy overrides keep their case-insensitive behavior + nbsp→' '
+    assert decode_entities("a&NbSp;b") == "a b"
+    assert decode_entities("&AMP;&Amp;") == "&&"
+    # unknown names still pass through untouched
+    assert decode_entities("&zzznotreal;") == "&zzznotreal;"
+    # spot-check table size: the stdlib spec map really is loaded
+    from deepseek_ocr_rs_spark.functions.tokenizer import _NAMED_ENTITIES
+    assert len(_NAMED_ENTITIES) > 2000
+
+
+# Adversarial streaming corpus (round-3 verdict item 8): fuzz-shaped FIXED
+# fixtures hitting every nasty chunk-boundary case — unterminated comments
+# and rawtext, '>' and '->' inside comments (the fabricated-terminator bug),
+# attribute quotes spanning chunks, tags around the 32-char memo threshold.
+# The X5 invariant: the event stream is byte-identical under ANY chunking.
+ADVERSARIAL_DOCS = [
+    "<p>a</p><!-- x > b->still comment--><p>c</p>",       # ADVICE repro
+    "<p>a</p><!-- never closed",                          # unterminated comment
+    "<p>a</p><!-- never > closed -",                      # unterminated, with '>'
+    "<!--x--><p>ok</p>",                                  # minimal comment
+    "<!--->abrupt<p>t</p>",                               # abrupt close <!--->
+    "<!-->abrupt2<p>t</p>",                               # abrupt close <!-->
+    "<!-- a -- b --- c --><p>d</p>",                      # '--' runs inside
+    "<!-- tail-dash -→--><p>z</p>",                  # multibyte near '-->'
+    "<p>a</p><script>var s='</scr'+'ipt>';</script><p>b</p>",  # fake close
+    "<p>a</p><script>unterminated rawtext",               # unterminated rawtext
+    "<style>p{}</style><p>s</p>",                         # style rawtext
+    '<a href="http://example.com/a?b=c&amp;d=e#frag-with-dashes">x</a>',
+    '<a href="val>with-gt">x</a>',                        # '>' in quoted attr
+    "<" + "verylongtagname" * 3 + ">x</p>",               # >32-char tag (no memo)
+    "<div12345678901234567890123456789>x</div12345678901234567890123456789>",
+    "<p>caf&eacute; &frac12; &#x1F600; é日本</p>",  # entities+mb
+    "<p><<b>>x</b></p>",                                  # nested '<'
+    "<![CDATA[not html]]><p>after</p>",                   # CDATA-ish markup
+    "text before <p>mid</p> text after",                  # leading/trailing text
+    "<!-- c1 --><!-- c2 --><!-- c3 -->gap<p>e</p>",       # back-to-back comments
+]
+
+
+def test_tokenizer_adversarial_chunking_invariance():
+    for doc in ADVERSARIAL_DOCS:
+        base = tokenize_html(doc)
+        n = len(doc.encode("utf-8"))
+        for cs in range(1, min(n, 24) + 1):
+            assert tokenize_html(doc, chunk_size=cs) == base, (doc, cs)
+
+
+def test_tokenizer_comment_never_leaks_text():
+    """Comment bodies must never surface as text events, under any
+    chunking — the fabricated '-->' bug leaked 'still comment'."""
+    doc = "<p>a</p><!-- x > b->still comment--><p>c</p>"
+    for cs in list(range(1, 12)) + [0]:
+        evs = tokenize_html(doc, chunk_size=cs)
+        texts = "".join(e[1] for e in evs if e[0] == "text")
+        assert "comment" not in texts and "still" not in texts, cs
+        assert texts == "ac", cs
+
+
 def test_tokenizer_rawtext_and_comment():
     evs = tokenize_html(HTML)
     texts = [e[1] for e in evs if e[0] == "text"]

@@ -46,6 +46,44 @@ def test_salted_join_key_includes_salt(spark):
     assert "_skew_salt" in plan
 
 
+def test_salted_join_row_key_spreads_duplicate_rows(spark):
+    """Round-3 ADVICE: the default salt hashes ALL big-side columns, so
+    exact-duplicate hot rows all draw ONE salt and the skew defense is
+    silently ineffective.  With row_key=<unique id> the spread is uniform
+    regardless of content duplication — and the result is still exactly
+    the plain join."""
+    n_salts = 8
+    # 800 rows, all with IDENTICAL content columns except a unique rid
+    big = spark.range(0, 800).select(
+        F.col("id").alias("rid"),
+        F.lit("hot").alias("k"),
+        F.lit("same-payload").alias("payload"),
+    )
+    small = spark.createDataFrame([("hot", 1.0)], "k string, attr double")
+
+    # content-hash salt (the documented default contract) is constant on
+    # duplicate rows; the rid-hash salt covers all n_salts buckets
+    content_salts = big.select(
+        F.pmod(F.hash("rid", "k", "payload"), F.lit(n_salts)).alias("s")
+    ).distinct().count()
+    rid_salts = big.select(
+        F.pmod(F.hash("rid"), F.lit(n_salts)).alias("s")
+    ).distinct().count()
+    assert rid_salts == n_salts
+    # (content columns alone — what duplicate rows share — give ONE salt)
+    dup_only_salts = big.select(
+        F.pmod(F.hash("k", "payload"), F.lit(n_salts)).alias("s")
+    ).distinct().count()
+    assert dup_only_salts == 1
+    assert content_salts == n_salts  # rid participates in default too
+
+    for how in ("inner", "left"):
+        got = sorted(tuple(r) for r in salted_join(
+            big, small, "k", n_salts, how, row_key="rid").collect())
+        want = sorted(tuple(r) for r in big.join(small, "k", how).collect())
+        assert got == want, how
+
+
 def test_salted_join_rejects_unsupported_how(spark):
     import pytest
 
