@@ -393,8 +393,11 @@ def t_best_supplier_per_nation(spark, sf_dir):
 
 
 def w_repeated_ngrams(spark, sf_dir):
-    """W3 banned-ngram window analog: word trigrams repeated >= 3 times
-    within a document (sliding window over token arrays, JVM-side)."""
+    """W3 banned-ngram window analog: word trigrams repeated >= 2 times
+    within a document (sliding window over token arrays, JVM-side).
+    Threshold 2, not 3: the synthetic corpus has no >=3 repeats at any SF,
+    which made the r02/r03 green rows vacuous (0 = 0 hash match proves
+    nothing) — round-3 verdict item 2."""
     docs = _t(spark, sf_dir, "documents")
     arr = F.split(F.trim("text"), r"\s+")
     docs = docs.select("doc_id", arr.alias("w")).where(F.size("w") >= 3)
@@ -411,7 +414,7 @@ def w_repeated_ngrams(spark, sf_dir):
     return (
         tg.groupBy("doc_id", "trigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") >= 3)
+        .where(F.col("cnt") >= 2)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_repeated_trigrams"))
     )
@@ -541,13 +544,48 @@ def q14_promo_revenue(spark, sf_dir):
 
 
 def set_suppliers_only_nations(spark, sf_dir):
-    """EXCEPT set op: nations having suppliers but no customers."""
+    """EXCEPT set op: nations having suppliers but no high-balance
+    AUTOMOBILE-segment customers.  The unrestricted r03 form (suppliers
+    but no customers at all) was vacuous — every nation has both at every
+    SF, so the green row proved only 0 = 0 (round-3 verdict item 2); the
+    segment+balance restriction makes the EXCEPT non-empty at sf0.001
+    (10 rows) and sf0.01 (8 rows) while keeping the operator shape."""
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where((F.col("c_mktsegment") == "AUTOMOBILE")
+               & (F.col("c_acctbal") > 9000))
+        .select(F.col("c_nationkey").alias("nk"))
+    )
     n = _t(spark, sf_dir, "nation")
     only = s.distinct().subtract(c.distinct())  # EXCEPT (set semantics)
     return only.join(F.broadcast(n), only.nk == n.n_nationkey).select(
         "n_name", F.col("nk").alias("nationkey")
+    )
+
+
+def conv_flatten_parts(spark, sf_dir):
+    """P3 multi-part content flatten through the gate (round-3 verdict
+    item 7): per user, the ordered event_type list becomes a parts array
+    ('view' mapped to '' so the empty-part filter branch is exercised),
+    then flatten_parts joins the non-empty parts in REVERSE order with
+    newlines — exactly flatten_content (crates/server/src/
+    generation.rs:246-268).  Oracle: DuckDB list_filter + list_reverse +
+    array_to_string."""
+    from deepseek_ocr_rs_spark.operators.compaction import flatten_parts
+
+    ev = _t(spark, sf_dir, "events")
+    part = F.when(F.col("event_type") == "view", F.lit("")).otherwise(
+        F.col("event_type")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", part.alias("p")))),
+            lambda s: s["p"],
+        ).alias("parts")
+    )
+    return flatten_parts(per_user, "parts", "text").select(
+        "user_id", "text", F.size("parts").alias("n_parts")
     )
 
 
@@ -599,9 +637,16 @@ def w_sessionize(spark, sf_dir):
 
 
 def set_customers_without_orders(spark, sf_dir):
-    """J7-style anti-join (mismatch set = expected EXCEPT actual)."""
+    """J7-style anti-join (mismatch set = expected EXCEPT actual):
+    customers who never placed a 1-URGENT order.  The r03 form (customers
+    with no orders at all) was vacuous — the synthetic orders table covers
+    every customer at every SF (round-3 verdict item 2); the priority
+    restriction keeps the anti-join shape and yields 18 rows at sf0.001,
+    203 at sf0.01."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -1556,7 +1601,17 @@ def j_salted_skew_join(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the external driver CORRECTNESS-checks the FIRST 50
+    # entries.  Round 4 rotates in the seven operators that never received
+    # a driver row in r01-r03 (ann_batch_*, dedup_verified_pairs,
+    # dedup_components, emb_dedup_components, pipeline_curation,
+    # s_stratified_sample — round-3 verdict item 1) plus the new
+    # conv_flatten_parts gate, displacing eight rows already green in
+    # three prior rounds (q4/q6/q14/q18/t_topk/u_distinct/w_sessionize/
+    # a_median); those stay below for the in-repo full gate
+    # (scripts/gate_check.py --all, tests/test_entry_gate.py).
     return {
+        # -- 1-22: extraction + relational core -------------------------
         "extract_docs_plain": q_extract_docs_plain,
         "extract_html_wrapped": q_extract_html_wrapped,
         "extract_html_table": q_extract_html_table,
@@ -1564,11 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_items": q10_returned_items,
-        "q4_order_priority_exists": q4_order_priority_exists,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q14_promo_revenue": q14_promo_revenue,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -1583,34 +1634,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_promo_excess_suppliers": q20_promo_excess_suppliers,
         "q21_sole_return_supplier": q21_sole_return_supplier,
         "q22_idle_customer_balance": q22_idle_customer_balance,
+        # -- 23-43: sets / joins / windows / templates -------------------
         "set_suppliers_only_nations": set_suppliers_only_nations,
         "j_salted_skew_join": j_salted_skew_join,
-        "t_topk_events_per_user": t_topk_events_per_user,
         "t_top_p_cutoff": t_top_p_cutoff,
         "t_best_supplier_per_nation": t_best_supplier_per_nation,
         "w_repeated_ngrams": w_repeated_ngrams,
-        "u_distinct_types_per_user": u_distinct_types_per_user,
         "f_json_props": f_json_props,
         "conv_render_plain": conv_render_plain,
         "conv_render_deepseek": conv_render_deepseek,
         "conv_render_v2": conv_render_v2,
         "conv_render_alignment": conv_render_alignment,
+        "conv_flatten_parts": conv_flatten_parts,
         "w_latest_event_per_user": w_latest_event_per_user,
         "w_value_decile": w_value_decile,
         "w_rolling_hour_value": w_rolling_hour_value,
         "t_dense_rank_suppliers": t_dense_rank_suppliers,
         "a_cube_orders": a_cube_orders,
         "w_running_value": w_running_value,
-        "w_sessionize": w_sessionize,
         "set_customers_without_orders": set_customers_without_orders,
         "set_nations_with_both": set_nations_with_both,
         "a_event_type_totals": a_event_type_totals,
         "a_order_priority_summary": a_order_priority_summary,
+        # -- 44-50: the seven never-driver-checked operators -------------
+        "ann_batch_lsh": ann_batch_lsh,
+        "ann_batch_topk": ann_batch_topk,
+        "dedup_verified_pairs": dedup_verified_pairs,
+        "dedup_components": dedup_components,
+        "emb_dedup_components": emb_dedup_components,
+        "pipeline_curation": pipeline_curation,
+        "s_stratified_sample": s_stratified_sample,
+        # -- 51+: green in >=2 prior rounds; covered by the in-repo gate --
+        "q4_order_priority_exists": q4_order_priority_exists,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "t_topk_events_per_user": t_topk_events_per_user,
+        "u_distinct_types_per_user": u_distinct_types_per_user,
+        "w_sessionize": w_sessionize,
         "a_median_value": a_median_value,
         "a_rollup_orders": a_rollup_orders,
         "w_events_per_day": w_events_per_day,
         "s_weighted_sample": s_weighted_sample,
-        "s_stratified_sample": s_stratified_sample,
         "extract_missing_image_fallback": extract_missing_image_fallback,
         "extract_base64_payload": extract_base64_payload,
         "doc_exact_dedup": doc_exact_dedup,
@@ -1620,17 +1685,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_lang_id": doc_lang_id,
         "dedup_minhash_pairs": dedup_minhash_pairs,
-        "dedup_verified_pairs": dedup_verified_pairs,
-        "dedup_components": dedup_components,
         "dedup_simhash_candidates": dedup_simhash_candidates,
         "ann_brute_force": ann_brute_force,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
-        "ann_batch_topk": ann_batch_topk,
-        "ann_batch_lsh": ann_batch_lsh,
         "emb_near_dup": emb_near_dup,
-        "emb_dedup_components": emb_dedup_components,
-        "pipeline_curation": pipeline_curation,
         "emb_norms": emb_norms,
         "conv_compaction": conv_compaction,
         "media_features": media_features,
@@ -1813,6 +1872,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT s_nationkey AS nk FROM supplier
               EXCEPT
               SELECT c_nationkey AS nk FROM customer
+              WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000
             ) JOIN nation ON nk = n_nationkey
         """,
         "q4_order_priority_exists": """
@@ -2078,7 +2138,7 @@ def oracle_sql() -> dict[str, str]:
               FROM w, LATERAL UNNEST(generate_series(1, len(arr) - 2)) AS t(i)
             ), rep AS (
               SELECT doc_id, trigram, COUNT(*) AS cnt
-              FROM tg GROUP BY doc_id, trigram HAVING COUNT(*) >= 3
+              FROM tg GROUP BY doc_id, trigram HAVING COUNT(*) >= 2
             )
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_repeated_trigrams
             FROM rep GROUP BY doc_id
@@ -2159,6 +2219,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE trim(text) <> ''
             GROUP BY conv_id
         """,
+        "conv_flatten_parts": """
+            SELECT user_id,
+                   array_to_string(
+                     list_reverse(
+                       list_filter(
+                         list(CASE WHEN event_type = 'view' THEN ''
+                                   ELSE event_type END
+                              ORDER BY ts, event_id),
+                         x -> trim(x) <> '')),
+                     chr(10)) AS text,
+                   CAST(COUNT(*) AS INT) AS n_parts
+            FROM events
+            GROUP BY user_id
+        """,
         "w_latest_event_per_user": """
             SELECT user_id, event_id, event_type,
                    round(value, 2) AS value_r
@@ -2223,7 +2297,9 @@ def oracle_sql() -> dict[str, str]:
         "set_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE NOT EXISTS (
-              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT'
             )
         """,
         "set_nations_with_both": """
