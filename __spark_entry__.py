@@ -971,6 +971,22 @@ def emb_norms(spark, sf_dir):
     )
 
 
+def moe_topk_dispatch(spark, sf_dir):
+    """T3 MoE routing through the gate (upgraded from concept-only in
+    round 4): each embedding row is a token, its first 8 dims are the
+    router logits; top-2 experts per token, per-expert capacity 100 with
+    best-score-first drop — the reference's gate/top-k/dispatch
+    (crates/infer-deepseek/src/transformer/block.rs:1215-1301) as two
+    window passes over an exploded (token, expert, score) table."""
+    from deepseek_ocr_rs_spark.operators.moe import topk_expert_dispatch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return topk_expert_dispatch(
+        emb, n_experts=8, k=2, capacity=100,
+        id_col="vec_id", scores_col="embedding",
+    )
+
+
 def media_features(spark, sf_dir):
     """Multimodal plumbing through the gate: documents become binary media
     payloads; the REAL mapInPandas feature stage runs and its deterministic
@@ -1691,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": ann_ivf,
         "emb_near_dup": emb_near_dup,
         "emb_norms": emb_norms,
+        "moe_topk_dispatch": moe_topk_dispatch,
         "conv_compaction": conv_compaction,
         "media_features": media_features,
         "media_frame_plan": media_frame_plan,
@@ -1716,6 +1733,7 @@ def oracle_sql() -> dict[str, str]:
         ivf_oracle_sql,
         lsh_oracle_sql,
     )
+    from deepseek_ocr_rs_spark.operators.moe import moe_dispatch_oracle_sql
     from deepseek_ocr_rs_spark.operators.textstats import (
         fingerprint_oracle_sql,
     )
@@ -2526,6 +2544,9 @@ def oracle_sql() -> dict[str, str]:
                    label
             FROM embeddings
         """,
+        "moe_topk_dispatch": moe_dispatch_oracle_sql(
+            table="embeddings", n_experts=8, k=2, capacity=100
+        ),
         "doc_fingerprint": fingerprint_oracle_sql(),
         "doc_lang_id": f"""
             SELECT doc_id,

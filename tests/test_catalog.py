@@ -59,6 +59,29 @@ def test_sink_writes_metrics_and_lineage_sidecars(spark, tmp_path):
     assert lineage.agg(F.sum("n_turns")).first()[0] == transcripts.count()
 
 
+def test_parquet_merge_sink_bucket_pruned_resume(spark, tmp_path):
+    """The merge anti-join must read only the bucket partitions the batch
+    can touch (partition pruning visible in the scan), and stay
+    idempotent."""
+    from deepseek_ocr_rs_spark.plans.checkpoint import ParquetMergeSink
+
+    sink = ParquetMergeSink(str(tmp_path / "m"),
+                            keys=["conv_id", "turn_idx"], n_buckets=8)
+    df = spark.createDataFrame(
+        [(f"c{i}", j, f"t{i}-{j}") for i in range(20) for j in range(2)],
+        "conv_id string, turn_idx int, text_md string")
+    assert sink.merge(df) == 40
+
+    one_conv = df.where(F.col("conv_id") == "c3")
+    keys = sink.existing_keys(spark, for_batch=one_conv)
+    plan = keys._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # pruned read still sees exactly the keys that can collide
+    assert keys.where(F.col("conv_id") == "c3").count() == 2
+    # idempotency unchanged: re-merging the full batch inserts nothing
+    assert sink.merge(df) == 0
+
+
 # ----------------------------------------------------------- Iceberg MERGE
 
 def _iceberg_available(spark) -> bool:

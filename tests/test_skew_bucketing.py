@@ -124,6 +124,46 @@ def test_bucketed_join_skips_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS bkt_b")
 
 
+def test_moe_topk_dispatch_semantics(spark):
+    """T3 dispatch: each token lands on exactly its k best experts
+    (tie -> lower expert id), each expert batch respects capacity and
+    keeps the highest scores, and the result is partitioning-invariant."""
+    from deepseek_ocr_rs_spark.operators.moe import topk_expert_dispatch
+
+    # 6 tokens x 4 experts; token 0 ties experts 0 and 1 at 9.0
+    rows = [
+        (0, [9.0, 9.0, 1.0, 0.0]),
+        (1, [0.0, 8.0, 7.0, 1.0]),
+        (2, [5.0, 0.0, 6.0, 1.0]),
+        (3, [0.1, 0.2, 0.3, 0.4]),
+        (4, [4.0, 4.0, 4.0, 4.0]),
+        (5, [1.0, 2.0, 3.0, 9.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = topk_expert_dispatch(df, n_experts=4, k=2, capacity=2,
+                               id_col="vec_id")
+    got = {(r["vec_id"], r["expert_id"]): (r["score"], r["slot"])
+           for r in out.collect()}
+    by_tok = {}
+    for (tok, exp) in got:
+        by_tok.setdefault(tok, []).append(exp)
+    # token 0's tie resolves to experts 0 and 1 (lower index wins)
+    assert sorted(by_tok[0]) == [0, 1]
+    # per-token at most k experts
+    assert all(len(v) <= 2 for v in by_tok.values())
+    # expert 3: candidates are tokens 5 (9.9), 3 (0.4) -> both fit cap 2
+    assert (5, 3) in got and got[(5, 3)][1] == 1
+    # capacity drops the WORST scores: expert 0's candidates are
+    # tokens 0 (9.0), 2 (5.0), 4 (4.0); cap 2 keeps 0 and 2, drops 4
+    exp0 = [t for (t, e) in got if e == 0]
+    assert sorted(exp0) == [0, 2]
+    # partitioning invariance
+    again = topk_expert_dispatch(df.repartition(7), n_experts=4, k=2,
+                                 capacity=2, id_col="vec_id")
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, again.collect()))
+
+
 def test_stratified_sample_rates_and_determinism(spark):
     """Per-stratum rates land near their targets, unlisted strata use the
     default, and the sampled set is identical across partitionings."""
