@@ -134,6 +134,11 @@ def main() -> None:
         "conv_render_v2",
         "conv_render_deepseek",
         "s_weighted_sample",
+        # round-4 additions: star-based component resolution, MoE dispatch,
+        # reverse-order part flatten
+        "dedup_components",
+        "moe_topk_dispatch",
+        "conv_flatten_parts",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

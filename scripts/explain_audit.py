@@ -103,6 +103,20 @@ AUDITS = {
         ("bucket-keyed candidate join", "lsh_bucket"),
         ("per-query topk window", "hashpartitioning(query_id"),
     ],
+    "moe_topk_dispatch": [
+        # T3 dispatch: two window shuffles (token key, then expert key),
+        # both on narrow (id, expert, score) rows — the score arrays never
+        # ride a shuffle, and the scan is pruned to the two used columns
+        ("per-token topk window", "hashpartitioning(vec_id"),
+        ("per-expert capacity window", "hashpartitioning(expert_id"),
+        ("pruned scan", "ReadSchema: struct<vec_id:bigint,embedding"),
+    ],
+    "conv_flatten_parts": [
+        # P3 flatten: ONE user-keyed shuffle; the ordered-parts collect is
+        # a partial ObjectHashAggregate (map-side combine of list buffers)
+        ("single user-keyed shuffle", "hashpartitioning(user_id"),
+        ("partial collect agg", "ObjectHashAggregate"),
+    ],
 }
 
 

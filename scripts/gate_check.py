@@ -48,6 +48,9 @@ def _as_multiset(cols, rows):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--json", default=None,
+                    help="also write per-query results to this JSON file "
+                         "(the per-round GATE_ALL artifact)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -71,6 +74,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
     n_fail = 0
+    record = {}
     for name in names:
         try:
             sdf = queries[name](spark, args.sf)
@@ -84,6 +88,11 @@ def main():
             a = _as_multiset(spark_cols, spark_rows)
             b = _as_multiset(duck_cols, duck_rows)
             ok_vals = a == b
+            record[name] = {
+                "rows_match": ok_rows, "schema_match": ok_cols,
+                "values_match": ok_vals, "spark_rows": len(spark_rows),
+                "oracle_rows": len(duck_rows), "err": None,
+            }
             if ok_cols and ok_rows and ok_vals:
                 print(f"PASS {name} ({len(spark_rows)} rows)")
             else:
@@ -97,7 +106,20 @@ def main():
                     print(f"  first diffs: {diffs}")
         except Exception as e:  # noqa: BLE001
             n_fail += 1
+            record[name] = {
+                "rows_match": False, "schema_match": False,
+                "values_match": False, "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(e).__name__}: {str(e)[:300]}",
+            }
             print(f"ERR  {name}: {type(e).__name__}: {str(e)[:300]}")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump({"sf": args.sf, "n_queries": len(names),
+                       "n_fail": n_fail, "results": record}, fh, indent=1)
+        print(f"wrote {args.json} ({len(names)} queries, {n_fail} failures)")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
