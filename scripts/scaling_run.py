@@ -318,9 +318,21 @@ Raw per-trial walls (seconds) are in the JSON line this script prints
 (`trials` = [map, e2e] per config, `probe_walls` per config).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
-    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+    # Everything below the hand-maintained marker (throughput history,
+    # cross-run evidence) survives regeneration — only the generated
+    # scaling tables above it are replaced.
+    marker = ("<!-- hand-maintained: scaling_run.py preserves everything "
+              "below this marker when it regenerates this file -->\n")
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if marker in prev:
+            tail = prev.split(marker, 1)[1]
+    with open(out_path, "w") as f:
+        f.write(md + marker + tail)
+    print("wrote BENCH/BASELINE.md (hand-maintained tail preserved)",
+          file=sys.stderr)
 
     import shutil
 
