@@ -1031,6 +1031,66 @@ def media_frame_plan(spark, sf_dir):
     return frame_sample_plan(media, every_ms=1000)
 
 
+def _bicubic_oracle_sql() -> str:
+    """Pure-integer DuckDB replay of media_bicubic_resample.
+
+    The per-axis coefficient tables (deterministic integers quantized at
+    2**22) are embedded as VALUES literals; both separable passes are
+    BIGINT sums with an arithmetic >> 22 (DuckDB, numpy and Rust agree on
+    floor semantics for negative operands) and a 0..255 clamp."""
+    from deepseek_ocr_rs_spark.functions.resample import coeff_values_sql
+
+    wx = coeff_values_sql(12, 5, "wx", "dx", "sx")
+    wy = coeff_values_sql(9, 4, "wy", "dy", "sy")
+    return f"""
+        WITH docs AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS k
+          FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)
+        ), src AS (
+          SELECT d.doc_id, yy.y, xx.x, cc.c,
+                 ((d.k * 1103515245 + yy.y * 40503 + xx.x * 9973
+                   + cc.c * 131 + 12345) % 2147483647) % 256 AS v
+          FROM docs d, range(0, 9) yy(y), range(0, 12) xx(x),
+               range(0, 3) cc(c)
+        ), hor AS (
+          SELECT s.doc_id, s.y, wx.dx AS x, s.c,
+                 LEAST(GREATEST((2097152 + SUM(s.v * wx.w)) >> 22, 0), 255)
+                   AS v
+          FROM src s JOIN {wx} ON wx.sx = s.x
+          GROUP BY s.doc_id, s.y, wx.dx, s.c
+        )
+        SELECT h.doc_id,
+               CAST(wy.dy AS INTEGER) AS y,
+               CAST(h.x AS INTEGER) AS x,
+               CAST(h.c AS INTEGER) AS chan,
+               CAST(LEAST(GREATEST((2097152 + SUM(h.v * wy.w)) >> 22, 0),
+                          255) AS INTEGER) AS v
+        FROM hor h JOIN {wy} ON wy.sy = h.y
+        GROUP BY h.doc_id, wy.dy, h.x, h.c
+    """
+
+
+def media_bicubic_resample(spark, sf_dir):
+    """F7: PIL-exact fixed-point bicubic resize (PRECISION_BITS=22,
+    half-away coefficient quantization, arithmetic-shift clip8 —
+    resample.rs:1-160) over deterministic 12x9 images synthesized from a
+    per-doc md5-derived key, downscaled to 5x4 and exploded to one row per
+    output pixel channel.  The oracle replays the SAME integer arithmetic
+    in DuckDB with the coefficient table embedded as a VALUES literal, so
+    every output byte is cross-checked exactly."""
+    from deepseek_ocr_rs_spark.operators.multimodal import bicubic_pixel_grid
+
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
+    keyed = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long").alias("k"),
+    )
+    return bicubic_pixel_grid(keyed, src_h=9, src_w=12, dst_w=5, dst_h=4)
+
+
 def conv_compaction(spark, sf_dir):
     """P1/W1 chat compaction over events reinterpreted as turns: latest
     'user' event + preceding 'system' events per user (oracle-checked)."""
@@ -1622,9 +1682,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a driver row in r01-r03 (ann_batch_*, dedup_verified_pairs,
     # dedup_components, emb_dedup_components, pipeline_curation,
     # s_stratified_sample — round-3 verdict item 1) plus the new
-    # conv_flatten_parts gate, displacing eight rows already green in
-    # three prior rounds (q4/q6/q14/q18/t_topk/u_distinct/w_sessionize/
-    # a_median); those stay below for the in-repo full gate
+    # conv_flatten_parts gate and the two round-4 additions
+    # (moe_topk_dispatch, media_bicubic_resample), displacing rows already
+    # green in >=2 prior rounds (q4/q6/q8/q9/q14/q18/t_topk/u_distinct/
+    # w_sessionize/a_median); those stay below for the in-repo full gate
     # (scripts/gate_check.py --all, tests/test_entry_gate.py).
     return {
         # -- 1-22: extraction + relational core -------------------------
@@ -1638,8 +1699,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_profit_by_nation_year": q9_profit_by_nation_year,
         "q11_important_parts": q11_important_parts,
         "q12_priority_by_returnflag": q12_priority_by_returnflag,
         "q13_order_count_distribution": q13_order_count_distribution,
@@ -1672,7 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_nations_with_both": set_nations_with_both,
         "a_event_type_totals": a_event_type_totals,
         "a_order_priority_summary": a_order_priority_summary,
-        # -- 44-50: the seven never-driver-checked operators -------------
+        # -- 42-48: the seven never-driver-checked operators -------------
         "ann_batch_lsh": ann_batch_lsh,
         "ann_batch_topk": ann_batch_topk,
         "dedup_verified_pairs": dedup_verified_pairs,
@@ -1680,7 +1739,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dedup_components": emb_dedup_components,
         "pipeline_curation": pipeline_curation,
         "s_stratified_sample": s_stratified_sample,
+        # -- 49-50: new this round (MoE capacity dispatch, F7 bicubic) ----
+        "moe_topk_dispatch": moe_topk_dispatch,
+        "media_bicubic_resample": media_bicubic_resample,
         # -- 51+: green in >=2 prior rounds; covered by the in-repo gate --
+        "q8_market_share": q8_market_share,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
         "q4_order_priority_exists": q4_order_priority_exists,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q14_promo_revenue": q14_promo_revenue,
@@ -1707,7 +1771,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": ann_ivf,
         "emb_near_dup": emb_near_dup,
         "emb_norms": emb_norms,
-        "moe_topk_dispatch": moe_topk_dispatch,
         "conv_compaction": conv_compaction,
         "media_features": media_features,
         "media_frame_plan": media_frame_plan,
@@ -2567,6 +2630,7 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha256
             FROM documents
         """,
+        "media_bicubic_resample": _bicubic_oracle_sql(),
         "media_frame_plan": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,
                    CAST(unnest(range(0, (doc_id % 7) * 1000 + 501, 1000))

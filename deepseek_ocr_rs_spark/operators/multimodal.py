@@ -128,3 +128,70 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+PIXEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("y", IntegerType(), False),
+        StructField("x", IntegerType(), False),
+        StructField("chan", IntegerType(), False),
+        StructField("v", IntegerType(), False),
+    ]
+)
+
+
+def bicubic_pixel_grid(
+    df: DataFrame,
+    src_h: int,
+    src_w: int,
+    dst_w: int,
+    dst_h: int,
+    id_col: str = "doc_id",
+    key_col: str = "k",
+) -> DataFrame:
+    """Fixed-point bicubic resize over deterministic per-row images (F7).
+
+    Each input row carries an int64 key in [0, 2**32); the key synthesizes
+    an (src_h, src_w, 3) uint8 grid (the codec slot's deterministic
+    stand-in — see DecodeNotAvailable), the whole Arrow batch is resized to
+    (dst_h, dst_w) with ONE pair of int64 einsums (resample.rs:103-159
+    semantics, PIL-exact), and the result explodes to one row per output
+    pixel channel so a pure-integer SQL oracle can check every byte.
+
+    Scale posture: per-batch work is O(rows * H * W); no shuffle is
+    introduced (mapInPandas is a map), so this rides whatever partitioning
+    the media table already has.
+    """
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.functions.resample import (
+        resize_bicubic_batch,
+        synth_image_batch,
+    )
+
+    yy, xx, cc = np.indices((dst_h, dst_w, 3))
+    y_flat = yy.ravel().astype(np.int32)
+    x_flat = xx.ravel().astype(np.int32)
+    c_flat = cc.ravel().astype(np.int32)
+    px_per_img = y_flat.size
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[key_col].to_numpy(dtype=np.int64)
+            imgs = synth_image_batch(keys, src_h, src_w)
+            out = resize_bicubic_batch(imgs, dst_w, dst_h)  # (N,dst_h,dst_w,3)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf[id_col].to_numpy(), px_per_img),
+                    "y": np.tile(y_flat, n),
+                    "x": np.tile(x_flat, n),
+                    "chan": np.tile(c_flat, n),
+                    "v": out.reshape(n, -1).ravel().astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, key_col).mapInPandas(run, schema=PIXEL_SCHEMA)
