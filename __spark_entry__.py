@@ -1091,6 +1091,32 @@ def media_bicubic_resample(spark, sf_dir):
     return bicubic_pixel_grid(keyed, src_h=9, src_w=12, dst_w=5, dst_h=4)
 
 
+def x_sse_frames(spark, sf_dir):
+    """X3: SSE completion-event frame sequencing (stream.rs:16-374) —
+    events become per-conversation delta rows (user = conversation,
+    event_id = monotonic seq, 'view' events = empty deltas that must NOT
+    emit a frame); rows with seq % 7 == 0 are replayed to exercise the X4
+    duplicate guard.  Checks role-once initial chunk, 1-based delta frame
+    ranks, response.completed carrying the full concatenated text, and the
+    terminal [DONE] frame — all as JVM window/aggregate expressions."""
+    from deepseek_ocr_rs_spark.streaming.sse import sse_event_frames
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    deltas = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "view", F.lit(""))
+        .otherwise(F.col("event_type"))
+        .alias("delta"),
+        (F.col("event_id") == F.max("event_id").over(w)).alias("is_final"),
+    )
+    replay = deltas.where(F.col("seq") % 7 == 0)
+    return sse_event_frames(
+        deltas.unionByName(replay), kind="chat", model="deepseek-ocr"
+    )
+
+
 def conv_compaction(spark, sf_dir):
     """P1/W1 chat compaction over events reinterpreted as turns: latest
     'user' event + preceding 'system' events per user (oracle-checked)."""
@@ -1698,7 +1724,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q10_returned_items": q10_returned_items,
         "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q7_volume_shipping": q7_volume_shipping,
         "q11_important_parts": q11_important_parts,
         "q12_priority_by_returnflag": q12_priority_by_returnflag,
         "q13_order_count_distribution": q13_order_count_distribution,
@@ -1739,10 +1764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dedup_components": emb_dedup_components,
         "pipeline_curation": pipeline_curation,
         "s_stratified_sample": s_stratified_sample,
-        # -- 49-50: new this round (MoE capacity dispatch, F7 bicubic) ----
+        # -- 48-50: new this round (MoE dispatch, F7 bicubic, X3 SSE) -----
         "moe_topk_dispatch": moe_topk_dispatch,
         "media_bicubic_resample": media_bicubic_resample,
+        "x_sse_frames": x_sse_frames,
         # -- 51+: green in >=2 prior rounds; covered by the in-repo gate --
+        "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
         "q9_profit_by_nation_year": q9_profit_by_nation_year,
         "q4_order_priority_exists": q4_order_priority_exists,
@@ -2631,6 +2658,59 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "media_bicubic_resample": _bicubic_oracle_sql(),
+        "x_sse_frames": """
+            WITH deltas0 AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     event_id AS seq,
+                     CASE WHEN event_type = 'view' THEN ''
+                          ELSE event_type END AS delta,
+                     event_id = MAX(event_id) OVER (PARTITION BY user_id)
+                       AS is_final
+              FROM events
+            ), deltas AS (
+              SELECT * FROM deltas0
+              UNION ALL SELECT * FROM deltas0 WHERE seq % 7 = 0
+            ), dedup AS (
+              SELECT conv_id, seq, MIN(delta) AS delta,
+                     bool_or(is_final) AS is_final
+              FROM deltas GROUP BY conv_id, seq
+            ), enr AS (
+              SELECT conv_id, seq, delta,
+                     SUM(CASE WHEN delta <> '' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY seq) AS emit_rank
+              FROM dedup
+            ), agg AS (
+              SELECT conv_id,
+                     SUM(CASE WHEN delta <> '' THEN 1 ELSE 0 END)
+                       AS n_emitted,
+                     bool_or(is_final) AS any_final,
+                     string_agg(delta, '' ORDER BY seq) AS full_text
+              FROM dedup GROUP BY conv_id
+            )
+            SELECT conv_id, 0 AS frame_idx,
+                   'chat.completion.chunk' AS event_type,
+                   'assistant' AS role,
+                   CAST(NULL AS VARCHAR) AS payload,
+                   CAST(NULL AS VARCHAR) AS finish_reason,
+                   'deepseek-ocr' AS model
+            FROM agg
+            UNION ALL
+            SELECT conv_id, CAST(emit_rank AS INTEGER),
+                   'response.output_text.delta', CAST(NULL AS VARCHAR),
+                   delta, CAST(NULL AS VARCHAR), 'deepseek-ocr'
+            FROM enr WHERE delta <> ''
+            UNION ALL
+            SELECT conv_id, CAST(n_emitted + 1 AS INTEGER),
+                   'response.completed', CAST(NULL AS VARCHAR),
+                   full_text, 'stop', 'deepseek-ocr'
+            FROM agg WHERE any_final
+            UNION ALL
+            SELECT conv_id, CAST(n_emitted + 2 AS INTEGER),
+                   '[DONE]', CAST(NULL AS VARCHAR),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   'deepseek-ocr'
+            FROM agg WHERE any_final
+        """,
         "media_frame_plan": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,
                    CAST(unnest(range(0, (doc_id % 7) * 1000 + 501, 1000))
