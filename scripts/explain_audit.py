@@ -111,6 +111,21 @@ AUDITS = {
         ("per-expert capacity window", "hashpartitioning(expert_id"),
         ("pruned scan", "ReadSchema: struct<vec_id:bigint,embedding"),
     ],
+    "media_bicubic_resample": [
+        # F7: scan pruned to the one referenced column; the deterministic
+        # 100-doc sample is an ordered LIMIT (TakeOrderedAndProject — no
+        # global sort materialization); the kernel is ONE Arrow-batched
+        # map with zero downstream shuffles
+        ("pruned scan", "ReadSchema: struct<doc_id"),
+        ("ordered limit, not a global sort", "TakeOrderedAndProject"),
+        ("arrow-batched kernel", "MapInPandas"),
+    ],
+    "x_sse_frames": [
+        # X3: frame sequencing is pure JVM — conversation-keyed window
+        # shuffles on narrow rows, no Python stage anywhere in the plan
+        ("conv-keyed windows", "hashpartitioning(conv_id"),
+        ("pruned scan", "ReadSchema: struct<event_id:bigint,user_id:bigint"),
+    ],
     "conv_flatten_parts": [
         # P3 flatten: ONE user-keyed shuffle; the ordered-parts collect is
         # a partial ObjectHashAggregate (map-side combine of list buffers)
