@@ -1031,6 +1031,55 @@ def media_frame_plan(spark, sf_dir):
     return frame_sample_plan(media, every_ms=1000)
 
 
+def doc_repetition_signals(spark, sf_dir):
+    """Gopher-family repetition signals per document: mass fraction of the
+    most frequent word 2-/3-gram and the duplicate-occurrence fraction of
+    2-/3-grams — pure JVM lambda/explode/aggregate pipeline (no Python).
+    (n=2,3 rather than Gopher's 5..10: the synthetic corpus's repetition
+    lives at small n — dup5 is zero everywhere, a vacuous signal.)"""
+    from deepseek_ocr_rs_spark.operators.repetition import (
+        ngram_repetition_signals,
+    )
+
+    return ngram_repetition_signals(
+        _t(spark, sf_dir, "documents"), top_ns=(2, 3), dup_ns=(2, 3)
+    )
+
+
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: fraction of each corpus doc's distinct
+    word 3-grams that appear in the benchmark split (doc_id % 97 == 0);
+    the benchmark gram set is broadcast — no corpus-side shuffle beyond
+    the per-doc distinct."""
+    from deepseek_ocr_rs_spark.operators.repetition import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where("doc_id % 97 = 0")
+    corpus = docs.where("doc_id % 97 != 0")
+    return ngram_decontaminate(corpus, bench, n=3)
+
+
+def j_asof_join(spark, sf_dir):
+    """As-of (temporal) join via the union-and-window form — each click
+    event picks up the most recent prior-or-simultaneous view's value for
+    the same user (ONE shuffle, no range explosion; operators/asof.py).
+    Oracle: DuckDB's native ASOF LEFT JOIN — a genuinely independent
+    algorithm for the same semantics."""
+    from deepseek_ocr_rs_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select("user_id", "event_id", "ts")
+    views = (
+        ev.where("event_type = 'view'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return asof_join(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["view_value"],
+    )
+
+
 def _bicubic_oracle_sql() -> str:
     """Pure-integer DuckDB replay of media_bicubic_resample.
 
@@ -1743,11 +1792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_json_props": f_json_props,
         "conv_render_plain": conv_render_plain,
         "conv_render_deepseek": conv_render_deepseek,
-        "conv_render_v2": conv_render_v2,
-        "conv_render_alignment": conv_render_alignment,
         "conv_flatten_parts": conv_flatten_parts,
         "w_latest_event_per_user": w_latest_event_per_user,
-        "w_value_decile": w_value_decile,
         "w_rolling_hour_value": w_rolling_hour_value,
         "t_dense_rank_suppliers": t_dense_rank_suppliers,
         "a_cube_orders": a_cube_orders,
@@ -1764,11 +1810,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dedup_components": emb_dedup_components,
         "pipeline_curation": pipeline_curation,
         "s_stratified_sample": s_stratified_sample,
-        # -- 48-50: new this round (MoE dispatch, F7 bicubic, X3 SSE) -----
+        # -- 45-50: new this round (MoE dispatch, F7 bicubic, X3 SSE,
+        #    repetition signals, decontamination, as-of join) ------------
         "moe_topk_dispatch": moe_topk_dispatch,
         "media_bicubic_resample": media_bicubic_resample,
         "x_sse_frames": x_sse_frames,
+        "doc_repetition_signals": doc_repetition_signals,
+        "doc_decontaminate": doc_decontaminate,
+        "j_asof_join": j_asof_join,
         # -- 51+: green in >=2 prior rounds; covered by the in-repo gate --
+        "conv_render_v2": conv_render_v2,
+        "conv_render_alignment": conv_render_alignment,
+        "w_value_decile": w_value_decile,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
         "q9_profit_by_nation_year": q9_profit_by_nation_year,
@@ -2658,6 +2711,86 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "media_bicubic_resample": _bicubic_oracle_sql(),
+        "doc_repetition_signals": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, ns.n,
+                     unnest(CASE WHEN len(t) >= ns.n
+                            THEN list_transform(
+                                   generate_series(1, len(t) - ns.n + 1),
+                                   i -> array_to_string(t[i:i+ns.n-1], ' '))
+                            ELSE [] END) AS gram
+              FROM toks, (VALUES (2), (3)) ns(n)
+            ), counts AS (
+              SELECT doc_id, n, gram, COUNT(*) AS c
+              FROM grams GROUP BY doc_id, n, gram
+            ), stats AS (
+              SELECT doc_id, n, SUM(c) AS total, MAX(c) AS top,
+                     SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+              FROM counts GROUP BY doc_id, n
+            )
+            SELECT d.doc_id,
+                   ROUND(COALESCE(MAX(CASE WHEN s.n = 2
+                         THEN s.top / s.total END), 0.0), 6) AS top2_frac,
+                   ROUND(COALESCE(MAX(CASE WHEN s.n = 3
+                         THEN s.top / s.total END), 0.0), 6) AS top3_frac,
+                   ROUND(COALESCE(MAX(CASE WHEN s.n = 2
+                         THEN s.dup / s.total END), 0.0), 6) AS dup2_frac,
+                   ROUND(COALESCE(MAX(CASE WHEN s.n = 3
+                         THEN s.dup / s.total END), 0.0), 6) AS dup3_frac
+            FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+            GROUP BY d.doc_id
+        """,
+        "doc_decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(t) >= 3
+                            THEN list_transform(
+                                   generate_series(1, len(t) - 2),
+                                   i -> array_to_string(t[i:i+2], ' '))
+                            ELSE [] END) AS gram
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+            ), doc_grams AS (
+              SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0
+            ), scored AS (
+              SELECT dg.doc_id, COUNT(*) AS total_grams,
+                     SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                       AS matched_grams
+              FROM doc_grams dg LEFT JOIN bench b ON dg.gram = b.gram
+              GROUP BY dg.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.total_grams, 0) AS BIGINT) AS total_grams,
+                   CAST(COALESCE(s.matched_grams, 0) AS BIGINT)
+                     AS matched_grams,
+                   ROUND(COALESCE(s.matched_grams / s.total_grams, 0.0), 6)
+                     AS contamination_frac
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+            LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "j_asof_join": """
+            WITH clicks AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'click'
+            ), views AS (
+              SELECT user_id, ts, MAX(value) AS view_value FROM events
+              WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT c.user_id, c.event_id, c.ts, v.view_value
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
         "x_sse_frames": """
             WITH deltas0 AS (
               SELECT CAST(user_id AS VARCHAR) AS conv_id,
