@@ -126,6 +126,23 @@ AUDITS = {
         ("conv-keyed windows", "hashpartitioning(conv_id"),
         ("pruned scan", "ReadSchema: struct<event_id:bigint,user_id:bigint"),
     ],
+    "j_asof_join": [
+        # as-of via union-and-window: ONE hash shuffle on the join key,
+        # a window, and NO range-explosion join operator anywhere
+        ("key-partitioned window", "hashpartitioning(user_id"),
+        ("window operator", "Window"),
+    ],
+    "doc_decontaminate": [
+        # the benchmark gram set must be broadcast, never shuffled onto
+        # the corpus side
+        ("broadcast benchmark grams", "BroadcastHashJoin"),
+        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "doc_repetition_signals": [
+        # partial aggregation of (doc, n, gram) counts before the shuffle
+        ("map-side partial agg", "HashAggregate"),
+        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
     "conv_flatten_parts": [
         # P3 flatten: ONE user-keyed shuffle; the ordered-parts collect is
         # a partial ObjectHashAggregate (map-side combine of list buffers)

@@ -280,3 +280,26 @@ def test_fingerprint_batch_matches_single_doc_model():
     got = list(fingerprint_batch(texts))
     assert got == [direct(t) for t in texts]
     assert got == [rolling_fingerprint(t) for t in texts]
+
+
+def test_tokenizer_seeded_differential_fuzz():
+    """Grammar-based differential fuzz: 200 seeded random documents, event
+    stream byte-identical across hostile chunkings (the X5 invariant,
+    streaming.rs:43-62).  Deterministic — failures reproduce by seed."""
+    import random
+
+    rng = random.Random(0xD0C5)
+    frags = [
+        "<p>", "</p>", "<div>", "</div>", "<b>", "</b>", "<a href=\"x&y\">",
+        "</a>", "<br>", "<!--", "-->", "--", "-", ">", "<", "&amp;",
+        "&eacute;", "&#x41;", "&bogus;", "&", ";", "<script>", "</script>",
+        "<style>", "</style>", "<td>", "</td>", "<tr>", "</tr>", "<pre>",
+        "</pre>", "text ", "é", "日", "\U0001F600", "\n", "  ", "<!",
+        "<![CDATA[", "]]>", "'", '"', "=", "<p attr='v>w'>", "<h1>", "</h1>",
+    ]
+    for trial in range(200):
+        doc = "".join(rng.choice(frags) for _ in range(rng.randint(1, 40)))
+        base = tokenize_html(doc)
+        n = max(1, len(doc.encode("utf-8")))
+        for cs in (1, 2, 3, 5, 7, 13, max(1, n // 2), n):
+            assert tokenize_html(doc, chunk_size=cs) == base, (trial, doc, cs)
