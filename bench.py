@@ -135,10 +135,16 @@ def main() -> None:
         "conv_render_deepseek",
         "s_weighted_sample",
         # round-4 additions: star-based component resolution, MoE dispatch,
-        # reverse-order part flatten
+        # reverse-order part flatten, bicubic resample, SSE frames,
+        # repetition/decontamination, as-of join
         "dedup_components",
         "moe_topk_dispatch",
         "conv_flatten_parts",
+        "media_bicubic_resample",
+        "x_sse_frames",
+        "doc_repetition_signals",
+        "doc_decontaminate",
+        "j_asof_join",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -66,7 +66,11 @@ def asof_join(
             ).schema["s"].dataType
         )
     )
-    r_tagged = right.select(
+    # a NULL right timestamp can never satisfy any as-of comparison (ASOF
+    # semantics: NULL >= / <= is never true) — drop such rows up front,
+    # otherwise they'd sort FIRST in the ascending window and backward
+    # left rows would silently match them
+    r_tagged = right.where(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias(_TS),
         F.struct(*[F.col(c) for c in right_cols]).alias(_PAYLOAD),

@@ -17,7 +17,10 @@ def asof_data(spark):
         "k string, ts int, lid int",
     )
     right = spark.createDataFrame(
-        [("a", 4, 40.0), ("a", 5, 50.0), ("a", 9, None), ("b", 7, 70.0)],
+        # the NULL-ts row must be invisible to every match (ASOF semantics:
+        # a NULL timestamp never satisfies the comparison)
+        [("a", 4, 40.0), ("a", 5, 50.0), ("a", 9, None), ("b", 7, 70.0),
+         ("a", None, 999.0)],
         "k string, ts int, v double",
     )
     return left, right
