@@ -303,3 +303,31 @@ def test_tokenizer_seeded_differential_fuzz():
         n = max(1, len(doc.encode("utf-8")))
         for cs in (1, 2, 3, 5, 7, 13, max(1, n // 2), n):
             assert tokenize_html(doc, chunk_size=cs) == base, (trial, doc, cs)
+
+
+def test_extract_payload_never_raises_fuzz():
+    """C4/C5 discipline: any garbage payload yields a structured result
+    (ok flag routes to quarantine), never an exception — and span
+    invariants hold on whatever was extracted."""
+    import json as _json
+    import random
+
+    rng = random.Random(0xFA112)
+    frags = [
+        "%PDF {", '{"pages":', '[{"page":0,', '"y":', '"x":', '"text":"t"',
+        "}", "]", "{", "[", ",", '"', "\\", "<html>", "<p>", "</p>",
+        "<!--", "-->", "&#x;", "&#xZZ;", "null", "1e999", "NaN", "\x00",
+        "é", "\U0001F600", " ", "data:image/png;base64,", "!!!notb64",
+    ]
+    for trial in range(300):
+        doc = "".join(rng.choice(frags) for _ in range(rng.randint(0, 25)))
+        res = extract_payload(doc, chunk_bytes=rng.choice([3, 17, 4096]))
+        assert set(res) >= {"payload_kind", "text_md", "spans", "ok"}, trial
+        assert isinstance(res["ok"], bool)
+        prev_end = -1
+        for s in res["spans"]:
+            assert 0 <= s["start"] < s["end"] <= len(res["text_md"])
+            assert s["start"] > prev_end
+            prev_end = s["end"]
+        _json.dumps(res["spans"])  # spans stay JSON-serializable
+    assert extract_payload(None)["ok"] is True  # NULL text = empty plain
