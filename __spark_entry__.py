@@ -1059,6 +1059,38 @@ def doc_decontaminate(spark, sf_dir):
     return ngram_decontaminate(corpus, bench, n=3)
 
 
+def doc_span_dedup(spark, sf_dir):
+    """C4-style cross-corpus span dedup: every non-overlapping 3-word span
+    occurring in >=4 distinct documents is removed from all of them; docs
+    are reassembled from surviving spans in original order.  Banned set is
+    a broadcast left-anti (the corpus side never shuffles for the removal);
+    the only full shuffle is the span-frequency count distinct."""
+    from deepseek_ocr_rs_spark.operators.spandedup import span_dedup
+
+    return span_dedup(
+        _t(spark, sf_dir, "documents"), span_words=3, min_docs=4
+    )
+
+
+def pack_training_sequences(spark, sf_dir):
+    """Pretraining concat-and-cut packing plan: each document's pack id,
+    in-pack offset, and boundary spill under the global token prefix sum
+    in doc_id order — computed as a two-phase distributed scan (bucket
+    sums + tiny-table prefix + within-bucket window), never a global
+    single-reducer window.  Oracle = the naive global window (the exact
+    semantics the scalable plan must reproduce)."""
+    from deepseek_ocr_rs_spark.operators.packing import pack_sequences
+    from deepseek_ocr_rs_spark.operators.textstats import token_count_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    n_ws, _, _ = token_count_cols(F.col("text"))
+    counted = docs.select("doc_id", n_ws.alias("n_tokens"))
+    return pack_sequences(
+        counted, id_col="doc_id", tokens_col="n_tokens",
+        budget=512, bucket_size=64,
+    )
+
+
 def j_asof_join(spark, sf_dir):
     """As-of (temporal) join via the union-and-window form — each click
     event picks up the most recent prior-or-simultaneous view's value for
@@ -1789,8 +1821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_top_p_cutoff": t_top_p_cutoff,
         "t_best_supplier_per_nation": t_best_supplier_per_nation,
         "w_repeated_ngrams": w_repeated_ngrams,
-        "f_json_props": f_json_props,
-        "conv_render_plain": conv_render_plain,
         "conv_render_deepseek": conv_render_deepseek,
         "conv_flatten_parts": conv_flatten_parts,
         "w_latest_event_per_user": w_latest_event_per_user,
@@ -1818,7 +1848,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_signals": doc_repetition_signals,
         "doc_decontaminate": doc_decontaminate,
         "j_asof_join": j_asof_join,
+        "doc_span_dedup": doc_span_dedup,
+        "pack_training_sequences": pack_training_sequences,
         # -- 51+: green in >=2 prior rounds; covered by the in-repo gate --
+        "f_json_props": f_json_props,
+        "conv_render_plain": conv_render_plain,
         "conv_render_v2": conv_render_v2,
         "conv_render_alignment": conv_render_alignment,
         "w_value_decile": w_value_decile,
@@ -1877,6 +1911,8 @@ def oracle_sql() -> dict[str, str]:
         lsh_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.moe import moe_dispatch_oracle_sql
+    from deepseek_ocr_rs_spark.operators.packing import pack_sequences_oracle_sql
+    from deepseek_ocr_rs_spark.operators.spandedup import span_dedup_oracle_sql
     from deepseek_ocr_rs_spark.operators.textstats import (
         fingerprint_oracle_sql,
     )
@@ -2711,6 +2747,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "media_bicubic_resample": _bicubic_oracle_sql(),
+        "doc_span_dedup": span_dedup_oracle_sql(
+            table="documents", span_words=3, min_docs=4),
+        "pack_training_sequences": pack_sequences_oracle_sql(
+            table_expr=r"""
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            """,
+            budget=512,
+        ),
         "doc_repetition_signals": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -145,6 +145,8 @@ def main() -> None:
         "doc_repetition_signals",
         "doc_decontaminate",
         "j_asof_join",
+        "doc_span_dedup",
+        "pack_training_sequences",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -143,6 +143,22 @@ AUDITS = {
         ("map-side partial agg", "HashAggregate"),
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
+    "pack_training_sequences": [
+        # the global prefix sum must run as the two-phase scan: the only
+        # unpartitioned window is over the TINY bucket-sums aggregate;
+        # corpus rows see a bucket-partitioned window + broadcast join
+        ("bucket-partitioned corpus window", "hashpartitioning(_pack_bkt"),
+        ("broadcast bucket offsets", "BroadcastHashJoin"),
+        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "doc_span_dedup": [
+        # the banned-span set is the tiny threshold tail — it must reach
+        # the removal anti-join as a broadcast, so the corpus side never
+        # shuffles for the removal
+        ("broadcast banned-span anti-join", "BroadcastHashJoin"),
+        ("anti-join form", "LeftAnti"),
+        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
     "conv_flatten_parts": [
         # P3 flatten: ONE user-keyed shuffle; the ordered-parts collect is
         # a partial ObjectHashAggregate (map-side combine of list buffers)
