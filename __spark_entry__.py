@@ -1246,7 +1246,11 @@ def q2_min_cost_supplier(spark, sf_dir):
     re-expressed as ONE window pass (row_number over (unit_cost, suppkey))
     instead of the textbook self-join against a per-part MIN subquery —
     half the shuffles at 100 TB.  Unit cost is a per-row IEEE division, so
-    cross-engine ordering is exact; ties break on suppkey."""
+    cross-engine ordering is exact; ties break on suppkey.  The 4dp
+    rounding is floor(x*1e4 + 0.5)/1e4 SPELLED OUT on both engines:
+    engine-native round() differs at representation boundaries (Spark
+    HALF_UP on the exact binary expansion vs DuckDB rint on the scaled
+    double) — 6 of 3,919 rows flipped their last digit at sf0.1."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 10)
     s = _t(spark, sf_dir, "supplier")
@@ -1264,7 +1268,8 @@ def q2_min_cost_supplier(spark, sf_dir):
         .select(
             "p_partkey",
             F.col("l_suppkey").alias("best_suppkey"),
-            F.round("unit_cost", 4).alias("min_unit_cost"),
+            (F.floor(F.col("unit_cost") * 10000 + 0.5) / 10000)
+            .alias("min_unit_cost"),
             "n_name",
         )
     )
@@ -1713,13 +1718,18 @@ def w_value_decile(spark, sf_dir):
 
 def w_rolling_hour_value(spark, sf_dir):
     """RANGE-frame window: per-user rolling 1-hour value sum over event
-    time (rangeBetween on epoch seconds).  Frames hold a handful of 2dp
-    values, so the 2dp-rounded sum is exact on both engines."""
+    time.  The frame orders by exact integer MICROSECONDS, not truncated
+    seconds: with truncation, two events inside the same wall-clock second
+    become RANGE peers and each other's frames gain the peer's value —
+    found as a real divergence at sf0.1 (one user had such a pair) while
+    sf0.01 had none.  Integer micros make Spark and DuckDB frames
+    identical by construction.  Frames hold a handful of 2dp values, so
+    the 2dp-rounded sum is exact on both engines."""
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return ev.select(
         "event_id",
@@ -2089,7 +2099,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q2_min_cost_supplier": """
             SELECT p_partkey, best_suppkey,
-                   round(unit_cost, 4) AS min_unit_cost, n_name
+                   floor(unit_cost * 10000 + 0.5) / 10000 AS min_unit_cost,
+                   n_name
             FROM (
               SELECT p_partkey, l_suppkey AS best_suppkey,
                      l_extendedprice / l_quantity AS unit_cost,
@@ -2449,9 +2460,9 @@ def oracle_sql() -> dict[str, str]:
         "w_rolling_hour_value": """
             SELECT event_id, user_id,
                    round(SUM(value) OVER (PARTITION BY user_id
-                         ORDER BY epoch(ts)
-                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
-                     AS hour_value
+                         ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+                         2) AS hour_value
             FROM events
         """,
         "t_dense_rank_suppliers": """
