@@ -147,6 +147,10 @@ def main() -> None:
         "j_asof_join",
         "doc_span_dedup",
         "pack_training_sequences",
+        # late round-4 curation tail: PII scrub, epoch sharding, TF-IDF
+        "doc_pii_scrub",
+        "train_shard_assignment",
+        "doc_tfidf_topk",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

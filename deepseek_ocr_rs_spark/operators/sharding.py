@@ -1,0 +1,85 @@
+"""Deterministic epoch shuffle + training-shard assignment.
+
+The last step of a curation pipeline is materializing the corpus as N
+shard files in a pseudorandom order that (a) is reproducible from a seed,
+(b) changes every epoch, and (c) never routes through a single node.  The
+reference's analog is its fixed-seed generator discipline — every
+"random" choice is a pure function of explicit state
+(crates/core/src/sampling.rs:104-118), which is exactly what makes a
+killed run resumable.
+
+Design for 100 TB:
+- The shuffle key is the same 60-bit md5 family the samplers use
+  (operators/sampling.py): ``u = int(md5(key ':' epoch)[:15], 16)`` — a
+  pure per-row function, stable under retries and partitioning.
+- ``shard_id = u % n_shards`` spreads uniformly, so shards are balanced
+  to within sampling noise with NO size accounting and no coordination.
+- ``shard_pos`` is a ``row_number`` windowed BY SHARD — the only shuffle
+  is the hash exchange on shard_id, each window sorts one shard locally,
+  and there is no global single-partition window anywhere.  Writing
+  shard files is then ``partitionBy(shard_id)`` with an in-shard sort.
+- Within a shard, order is (u, key): pseudorandom first, key as the
+  total-order tiebreak so the layout is unique and both engines agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 15  # 60-bit key: fits a signed 64-bit int exactly
+
+
+def _shuffle_u(key, epoch: int):
+    """60-bit uniform hash of (key, epoch) — identical to the SQL oracle."""
+    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(epoch))))
+    return F.conv(F.substring(h, 1, _HEX_DIGITS), 16, 10).cast("long")
+
+
+def shard_assignment(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    epoch: int = 0,
+) -> DataFrame:
+    """Assign every row a ``(shard_id, shard_pos)`` for this epoch.
+
+    shard_pos is 1-based and dense within each shard; the full ordering
+    ``ORDER BY shard_id, shard_pos`` is the epoch's global pseudorandom
+    permutation (uniform over shard interleavings).  Deterministic:
+    independent of input partitioning, task retries, and row order.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    u = _shuffle_u(F.col(key_col), epoch)
+    w = Window.partitionBy("shard_id").orderBy("shuffle_u", key_col)
+    return (
+        df.withColumn("shuffle_u", u)
+        .withColumn(
+            "shard_id", F.pmod(F.col("shuffle_u"), F.lit(n_shards)).cast("int")
+        )
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("shuffle_u")
+    )
+
+
+def shard_assignment_oracle_sql(
+    table: str, key_col: str, n_shards: int, epoch: int = 0
+) -> str:
+    """DuckDB SQL replicating ``shard_assignment`` bit-for-bit (the hash
+    is exact integer arithmetic on both engines)."""
+    u = (
+        f"CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR) || ':{epoch}'),"
+        f" 1, {_HEX_DIGITS}) AS BIGINT)"
+    )
+    return f"""
+        SELECT * EXCLUDE (shuffle_u),
+               CAST(row_number() OVER (
+                    PARTITION BY shard_id ORDER BY shuffle_u, {key_col})
+                    AS BIGINT) AS shard_pos
+        FROM (
+          SELECT *, {u} AS shuffle_u,
+                 CAST({u} % {n_shards} AS INTEGER) AS shard_id
+          FROM {table}
+        )
+    """

@@ -165,6 +165,26 @@ AUDITS = {
         ("single user-keyed shuffle", "hashpartitioning(user_id"),
         ("partial collect agg", "ObjectHashAggregate"),
     ],
+    "doc_pii_scrub": [
+        # PII redaction is a pure JVM regexp chain: a shuffle-free
+        # per-row map fused into one codegen span over a pruned scan
+        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+        ("codegen", "codegen id"),
+    ],
+    "train_shard_assignment": [
+        # the ONLY shuffle is the hash exchange on shard_id; in-shard
+        # positions come from a by-shard window (no global sort anywhere)
+        ("shard-keyed window", "hashpartitioning(shard_id"),
+        ("window operator", "Window"),
+    ],
+    "doc_tfidf_topk": [
+        # tf is a map-side-combinable partial aggregate; the vocab join
+        # broadcasts at this SF (shuffle join at web-scale vocab); top-k
+        # is a doc-partitioned window, never a global one
+        ("map-side partial agg", "HashAggregate"),
+        ("broadcast vocab join", "BroadcastHashJoin"),
+        ("doc-keyed window", "hashpartitioning(doc_id"),
+    ],
 }
 
 

@@ -1,0 +1,186 @@
+"""Adversarial coverage for the round-4 curation-tail operators:
+PII redaction (typed placeholders + counts), epoch shard assignment
+(determinism, balance, density), and TF-IDF top-k (hand-checked scores,
+tie-breaks)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_rs_spark.operators.redaction import (
+    PII_PATTERNS,
+    redact_pii,
+)
+from deepseek_ocr_rs_spark.operators.sharding import shard_assignment
+from deepseek_ocr_rs_spark.operators.tfidf import tfidf_topk
+
+
+# ---------------------------------------------------------------- redaction
+
+
+def _redact_one(spark, text):
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    return redact_pii(df).collect()[0]
+
+
+@pytest.mark.parametrize(
+    "text,expect,counts",
+    [
+        # one of each type, prose-embedded
+        (
+            "mail bob.smith+tag@sub.example.co.uk ssn 123-45-6789 "
+            "host 192.168.0.1 tel 415-555-0199 done",
+            "mail <EMAIL> ssn <SSN> host <IP> tel <PHONE> done",
+            dict(n_email=1, n_ssn=1, n_ipv4=1, n_phone=1),
+        ),
+        # PII at both string edges (anchors must still fire)
+        (
+            "a@b.io mid 10.0.0.255",
+            "<EMAIL> mid <IP>",
+            dict(n_email=1, n_ssn=0, n_ipv4=1, n_phone=0),
+        ),
+        # SSN (3-2-4) and phone (3-3-4) must not shadow each other
+        (
+            "s 111-22-3333 p 111-222-3333",
+            "s <SSN> p <PHONE>",
+            dict(n_email=0, n_ssn=1, n_ipv4=0, n_phone=1),
+        ),
+        # dotted phone is NOT an IPv4 (needs 4 octets) and vice versa
+        (
+            "p 123.456.7890 ip 1.2.3.4",
+            "p <PHONE> ip <IP>",
+            dict(n_email=0, n_ssn=0, n_ipv4=1, n_phone=1),
+        ),
+        # digits glued to words carry no word boundary -> untouched
+        (
+            "code X123-45-6789Y stays",
+            "code X123-45-6789Y stays",
+            dict(n_email=0, n_ssn=0, n_ipv4=0, n_phone=0),
+        ),
+        # multiple of one type
+        (
+            "a@x.org b@y.net c@z.io",
+            "<EMAIL> <EMAIL> <EMAIL>",
+            dict(n_email=3, n_ssn=0, n_ipv4=0, n_phone=0),
+        ),
+        # clean text passes through byte-identical
+        ("no pii here at all", "no pii here at all",
+         dict(n_email=0, n_ssn=0, n_ipv4=0, n_phone=0)),
+        ("", "", dict(n_email=0, n_ssn=0, n_ipv4=0, n_phone=0)),
+    ],
+)
+def test_redact_pii_cases(spark, text, expect, counts):
+    row = _redact_one(spark, text)
+    assert row["text_redacted"] == expect
+    for k, v in counts.items():
+        assert row[k] == v, (k, row[k], v)
+
+
+def test_redact_pii_idempotent(spark):
+    """Placeholders contain no digits/@ so re-redacting is a no-op."""
+    hostile = ("a@b.io 123-45-6789 10.0.0.1 415-555-0199 and "
+               "second wave x@y.zz 1.2.3.4")
+    once = _redact_one(spark, hostile)["text_redacted"]
+    twice = _redact_one(spark, once)
+    assert twice["text_redacted"] == once
+    assert all(twice[f"n_{name}"] == 0 for name, _, _ in PII_PATTERNS)
+
+
+def test_redact_pii_count_sequencing(spark):
+    """Counts are taken on the running (already partially redacted) text:
+    digits inside an email are consumed by the email stage and must not
+    double-count as SSN/phone."""
+    row = _redact_one(spark, "reach me: 123-45-6789@mail.com")
+    # the whole thing (local part includes the digits) is one email
+    assert row["text_redacted"] == "reach me: <EMAIL>"
+    assert row["n_email"] == 1 and row["n_ssn"] == 0 and row["n_phone"] == 0
+
+
+# ---------------------------------------------------------------- sharding
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1000)], "doc_id long, text string"
+    )
+
+
+def test_shard_positions_dense_and_disjoint(spark, corpus):
+    out = shard_assignment(corpus, "doc_id", n_shards=8, epoch=0).collect()
+    assert len(out) == 1000
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard_id"] < 8
+        by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+    # every shard's positions are exactly 1..len (dense, no gaps/dups)
+    total = 0
+    for sid, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), sid
+        total += len(poss)
+    assert total == 1000
+    # uniform hash -> no empty shard and no mega-shard at n=1000, k=8
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(by_shard) == 8 and max(sizes) < 2 * min(sizes)
+
+
+def test_shard_assignment_partitioning_invariant(spark, corpus):
+    a = shard_assignment(corpus, "doc_id", 8, epoch=3)
+    b = shard_assignment(corpus.repartition(13), "doc_id", 8, epoch=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_epoch_changes_permutation(spark, corpus):
+    e0 = {r["doc_id"]: (r["shard_id"], r["shard_pos"])
+          for r in shard_assignment(corpus, "doc_id", 8, epoch=0).collect()}
+    e1 = {r["doc_id"]: (r["shard_id"], r["shard_pos"])
+          for r in shard_assignment(corpus, "doc_id", 8, epoch=1).collect()}
+    moved = sum(1 for k in e0 if e0[k] != e1[k])
+    assert moved > 900  # a fresh epoch reshuffles essentially everything
+
+
+def test_shard_rejects_bad_count(spark, corpus):
+    with pytest.raises(ValueError):
+        shard_assignment(corpus, "doc_id", 0)
+
+
+# ---------------------------------------------------------------- tfidf
+
+
+def test_tfidf_hand_checked(spark):
+    # corpus of 4 docs; "rare" appears in 1 doc, "common" in all 4
+    rows = [
+        (1, "common rare rare"),
+        (2, "common common alpha"),
+        (3, "common beta beta beta"),
+        (4, "common alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["term"]): r
+           for r in tfidf_topk(df, k=3).collect()}
+    # doc 1: rare tf=2 df=1 -> 2*(4/1)=8 ; common tf=1 df=4 -> 1
+    assert out[(1, "rare")]["tfidf"] == 8.0
+    assert out[(1, "common")]["tfidf"] == 1.0
+    # doc 3: beta tf=3 df=1 -> 12
+    assert out[(3, "beta")]["tfidf"] == 12.0
+    # doc 4 has only 2 terms -> k=3 must not fabricate rows
+    assert len([k for k in out if k[0] == 4]) == 2
+
+
+def test_tfidf_tie_break_on_term(spark):
+    # two terms with identical (tf, df) in one doc: ranked alphabetically
+    df = spark.createDataFrame(
+        [(1, "zz aa"), (2, "filler")], "doc_id long, text string"
+    )
+    got = [r["term"] for r in
+           tfidf_topk(df, k=1).where(F.col("doc_id") == 1).collect()]
+    assert got == ["aa"]
+
+
+def test_tfidf_case_and_whitespace_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "  Word   WORD word  "), (2, "other")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_topk(df, k=5).where(F.col("doc_id") == 1).collect()
+    assert len(rows) == 1  # all three collapse to one lowercase term
+    assert rows[0]["term"] == "word" and rows[0]["tf"] == 3
