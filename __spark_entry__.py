@@ -1847,6 +1847,30 @@ def doc_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+def search_posting_lists(spark, sf_dir):
+    """Inverted index over the corpus: term -> (df, sorted posting list).
+    One explode + two map-side-combinable aggregations; the posting array
+    is sort_array(collect_list(..)) so the layout is partitioning-
+    invariant (operators/search.py)."""
+    from deepseek_ocr_rs_spark.operators.search import posting_lists
+
+    return posting_lists(_t(spark, sf_dir, "documents"), min_df=2)
+
+
+def search_bm25_topk(spark, sf_dir):
+    """Top-15 documents for a 4-term keyword query under rational-idf
+    BM25 ((N-df+0.5)/(df+0.5) — log-free so cross-engine bit-exact, the
+    tfidf discipline).  Per-term scores fold-summed in term order; final
+    top-k is ORDER BY + LIMIT (TakeOrderedAndProject, no global sort)."""
+    from deepseek_ocr_rs_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        ["hash", "join", "window", "customer"],
+        k=15,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the external driver CORRECTNESS-checks the FIRST 50
     # entries.  Round 4 rotates in the seven operators that never received
@@ -1957,6 +1981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_compaction": conv_compaction,
         "media_features": media_features,
         "media_frame_plan": media_frame_plan,
+        # late round-4 search tier — rotate into the first 50 in round 5
+        "search_posting_lists": search_posting_lists,
+        "search_bm25_topk": search_bm25_topk,
     }
 
 
@@ -1996,6 +2023,10 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.tfidf import tfidf_topk_oracle_sql
 
     _red_expr, _red_counts = redaction_oracle_exprs("planted")
+    from deepseek_ocr_rs_spark.operators.search import (
+        bm25_topk_oracle_sql,
+        posting_lists_oracle_sql,
+    )
     from deepseek_ocr_rs_spark.operators.sampling import (
         stratified_sample_oracle_predicate,
         weighted_sample_oracle_predicate,
@@ -3021,6 +3052,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_tfidf_topk": tfidf_topk_oracle_sql(
             "documents", "doc_id", "text", k=3
+        ),
+        "search_posting_lists": posting_lists_oracle_sql(
+            "documents", min_df=2
+        ),
+        "search_bm25_topk": bm25_topk_oracle_sql(
+            "documents", ["hash", "join", "window", "customer"], k=15
         ),
         # rows-only (non-SQL-expressible): doc_fingerprint, doc_lang_id,
         # dedup_minhash_pairs, dedup_simhash_candidates, ann_lsh, ann_ivf

@@ -1,0 +1,238 @@
+"""Term search over the corpus: inverted index + BM25 top-k retrieval.
+
+A curation stack needs *term* search next to vector search
+(operators/similarity.py): audit queries ("which documents mention X"),
+contamination sweeps keyed on benchmark phrases, and cluster labeling all
+retrieve by keyword.  The reference's analog is its prompt/query routing
+discipline — requests address content by exact token identity, never by
+fuzzy match (crates/server/src/routes.rs request parsing), and every
+scoring decision is a pure function of explicit state
+(crates/core/src/sampling.rs:104-118).
+
+Two operators:
+
+  posting_lists   the classic inverted index: ``term -> (df, sorted
+                  doc_ids)``.  One explode + two map-side-combinable
+                  aggregations; the posting array is built with
+                  ``sort_array(collect_list(...))`` so the layout is a
+                  pure function of the data (partitioning-invariant).
+
+  bm25_topk       top-k documents for a bag of query terms under BM25
+                  with the LOG-FREE rational idf
+                  ``(N - df + 0.5) / (df + 0.5)``.  ``ln`` is
+                  libm-dependent (the last-ulp cross-engine divergence
+                  class that q2's rounding fix and tfidf's log-free score
+                  already closed); the rational idf is one subtraction
+                  and one division, both correctly-rounded IEEE and
+                  therefore bit-identical across engines.  Per-term
+                  scores are summed by a LEFT-TO-RIGHT fold in term-asc
+                  order (``F.aggregate`` over a sorted array | DuckDB
+                  ``list_reduce`` over ``list(... ORDER BY term)``), so
+                  the total is order-independent of partitioning and
+                  bit-exact cross-engine — a plain double SUM would be
+                  neither.
+
+Design for 100 TB:
+- The only corpus-wide shuffles are the (id, term) and (term) hash
+  aggregations — both partial-aggregated map-side.
+- ``bm25_topk`` filters the exploded words to the query's terms BEFORE
+  the tf aggregation, so the per-query shuffle carries only matching
+  (id, term) pairs; df for the query terms falls out of the same
+  aggregate (docs containing the term == rows of tf).
+- N and avgdl are 1-row aggregates attached as broadcast cross-joins
+  (the scalar-subquery discipline of q11/q15/q22) — never a collect.
+- The final top-k is ``ORDER BY score LIMIT k`` —
+  TakeOrderedAndProject (per-partition heap + driver merge of k rows),
+  no global sort, no single-partition window.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Lowercase whitespace tokens — the corpus-stats convention shared
+    with operators/tfidf.py and operators/textstats.py."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+
+
+def posting_lists(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Inverted index: (term, df, postings) with postings sorted asc.
+
+    ``min_df`` drops hapax terms (at web scale the df=1 tail dominates
+    the vocabulary but serves no retrieval purpose; the cut also bounds
+    the index size).  Postings for a pathological stop-word are one
+    array per term — at 100 TB cap or stripe such terms upstream
+    (they are exactly the high-df rows this operator makes visible).
+    """
+    tf = _words(df, id_col, text_col).groupBy("term", id_col).agg(
+        F.count("*").alias("tf")
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+
+
+def posting_lists_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> str:
+    """DuckDB SQL replicating ``posting_lists`` exactly."""
+    return f"""
+        WITH words AS (
+          SELECT {id_col},
+                 unnest(string_split_regex(lower({text_col}), '\\s+')) AS term
+          FROM {table}
+        ),
+        tf AS (
+          SELECT term, {id_col}, count(*) AS tf
+          FROM words WHERE term <> '' GROUP BY 1, 2
+        )
+        SELECT term, count(*) AS df,
+               list({id_col} ORDER BY {id_col}) AS postings
+        FROM tf
+        GROUP BY term
+        HAVING count(*) >= {min_df}
+    """
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents for ``query_terms`` under rational-idf BM25.
+
+    Returns (id, n_hit_terms, bm25) ordered by (bm25 desc, id); bm25 is
+    rounded to 6dp for display, ranking happens on the exact double.
+    Only documents matching >= 1 query term are scored (standard BM25
+    retrieval semantics).
+    """
+    terms = sorted({t.lower() for t in query_terms if t})
+    if not terms:
+        raise ValueError("query_terms must contain at least one term")
+    words = _words(df, id_col, text_col)
+    dl = words.groupBy(id_col).agg(F.count("*").alias("dl"))
+    tf_q = (
+        words.where(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_q = tf_q.groupBy("term").agg(F.count("*").alias("df"))
+    # N over ALL docs; avgdl = exact integer token total / N (docs with no
+    # tokens have no dl row but still count in N — dl sum is unaffected).
+    n_docs = df.agg(F.count("*").cast("double").alias("n_docs"))
+    tok_total = dl.agg(F.sum("dl").cast("double").alias("tok_total"))
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    avgdl = F.col("tok_total") / F.col("n_docs")
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+    )
+    scored = (
+        tf_q.join(F.broadcast(df_q), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(tok_total))
+        .withColumn("term_score", idf * tf_part)
+    )
+    # Order-fixed fold (term asc) => bit-exact total on every engine and
+    # every partitioning; 0.0 + x == x so the init value is harmless.
+    total = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("term", "term_score"))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["term_score"],
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            total.alias("_bm25_exact"),
+        )
+        .orderBy(F.col("_bm25_exact").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col, "n_hit_terms", F.round("_bm25_exact", 6).alias("bm25")
+        )
+    )
+
+
+def bm25_topk_oracle_sql(
+    table: str,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB SQL replicating ``bm25_topk`` bit-for-bit: same expression
+    tree, same fold order (list_reduce over list(... ORDER BY term) with
+    a 0.0 seed mirrors F.aggregate's left fold)."""
+    terms = sorted({t.lower() for t in query_terms if t})
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+        WITH words AS (
+          SELECT {id_col},
+                 unnest(string_split_regex(lower({text_col}), '\\s+')) AS term
+          FROM {table}
+        ),
+        w AS (SELECT * FROM words WHERE term <> ''),
+        dl AS (SELECT {id_col}, count(*) AS dl FROM w GROUP BY 1),
+        tf_q AS (
+          SELECT {id_col}, term, count(*) AS tf
+          FROM w WHERE term IN ({in_list}) GROUP BY 1, 2
+        ),
+        df_q AS (SELECT term, count(*) AS df FROM tf_q GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM {table}),
+        tok AS (SELECT CAST(sum(dl) AS DOUBLE) AS tok_total FROM dl),
+        scored AS (
+          SELECT t.{id_col}, t.term,
+                 ((n.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * ((t.tf * {k1 + 1.0!r}) /
+                    (t.tf + {k1!r} * ({1.0 - b!r} + {b!r}
+                     * (l.dl / (k.tok_total / n.n_docs))))) AS term_score
+          FROM tf_q t
+          JOIN df_q d USING (term)
+          JOIN dl l USING ({id_col})
+          CROSS JOIN n CROSS JOIN tok k
+        )
+        SELECT {id_col}, n_hit_terms, round(bm25_exact, 6) AS bm25
+        FROM (
+          SELECT {id_col}, count(*) AS n_hit_terms,
+                 list_reduce(
+                   list_prepend(0.0, list(term_score ORDER BY term)),
+                   (acc, s) -> acc + s) AS bm25_exact
+          FROM scored GROUP BY {id_col}
+        )
+        ORDER BY bm25_exact DESC, {id_col}
+        LIMIT {k}
+    """

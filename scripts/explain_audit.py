@@ -185,6 +185,21 @@ AUDITS = {
         ("broadcast vocab join", "BroadcastHashJoin"),
         ("doc-keyed window", "hashpartitioning(doc_id"),
     ],
+    "search_posting_lists": [
+        # inverted index: (term, doc) partial agg then term-keyed list
+        # build — the collect_list runs as a partial ObjectHashAggregate
+        ("term-keyed exchange", "hashpartitioning(term"),
+        ("partial posting-list agg", "ObjectHashAggregate"),
+        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "search_bm25_topk": [
+        # per-query shuffle carries only matching (id, term) pairs; df /
+        # N / avgdl attach as broadcasts; final top-k is a per-partition
+        # heap + driver merge, never a global sort
+        ("broadcast stats join", "BroadcastHashJoin"),
+        ("top-k without global sort", "TakeOrderedAndProject"),
+        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
 }
 
 

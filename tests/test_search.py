@@ -1,0 +1,127 @@
+"""Inverted index + BM25 retrieval (operators/search.py).
+
+Hand-scored micro-corpus checks, determinism/partitioning invariance,
+and the DuckDB-oracle parity the gate drives at sf0.001.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from deepseek_ocr_rs_spark.operators.search import (
+    bm25_topk,
+    bm25_topk_oracle_sql,
+    posting_lists,
+    posting_lists_oracle_sql,
+)
+
+CORPUS = [
+    (1, "cat cat dog"),
+    (2, "dog bird"),
+    (3, "cat bird bird bird"),
+    (4, "fish"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(CORPUS, columns=["doc_id", "text"])
+    )
+
+
+class TestPostingLists:
+    def test_hand_built_index(self, docs):
+        got = {
+            r.term: (r.df, list(r.postings))
+            for r in posting_lists(docs, min_df=1).collect()
+        }
+        assert got == {
+            "cat": (2, [1, 3]),
+            "dog": (2, [1, 2]),
+            "bird": (2, [2, 3]),
+            "fish": (1, [4]),
+        }
+
+    def test_min_df_drops_hapax(self, docs):
+        got = {r.term for r in posting_lists(docs, min_df=2).collect()}
+        assert got == {"cat", "dog", "bird"}
+
+    def test_postings_sorted_and_partition_invariant(self, spark, docs):
+        a = sorted(
+            (r.term, r.df, tuple(r.postings))
+            for r in posting_lists(docs).collect()
+        )
+        b = sorted(
+            (r.term, r.df, tuple(r.postings))
+            for r in posting_lists(docs.repartition(7)).collect()
+        )
+        assert a == b
+        for _, _, p in a:
+            assert list(p) == sorted(p)
+
+    def test_oracle_parity(self, spark, docs):
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(CORPUS, columns=["doc_id", "text"]))
+        d = sorted(
+            (t, df, tuple(p))
+            for t, df, p in con.sql(
+                posting_lists_oracle_sql("documents", min_df=1)
+            ).fetchall()
+        )
+        s = sorted(
+            (r.term, r.df, tuple(r.postings))
+            for r in posting_lists(docs, min_df=1).collect()
+        )
+        assert s == d
+
+
+class TestBm25:
+    def test_hand_scored(self, docs):
+        # N=5, toks: d1=3 d2=2 d3=4 d4=1 (d5 empty), avgdl=10/5=2.0
+        # query 'cat': df=2, idf=(5-2+0.5)/(2+0.5)=1.4
+        # d1: tf=2, dl=3 -> tf_part=2*2.2/(2+1.2*(0.25+0.75*1.5))=4.4/3.65
+        # d3: tf=1, dl=4 -> 2.2/(1+1.2*(0.25+0.75*2.0))=2.2/3.1
+        rows = bm25_topk(docs, ["cat"], k=10).collect()
+        got = {r.doc_id: (r.n_hit_terms, r.bm25) for r in rows}
+        exp1 = round(1.4 * (4.4 / (2 + 1.2 * (0.25 + 0.75 * (3 / 2.0)))), 6)
+        exp3 = round(1.4 * (2.2 / (1 + 1.2 * (0.25 + 0.75 * (4 / 2.0)))), 6)
+        assert got == {1: (1, exp1), 3: (1, exp3)}
+        assert [r.doc_id for r in rows] == [1, 3]  # ranked desc
+
+    def test_multi_term_sums_and_ranks(self, docs):
+        rows = bm25_topk(docs, ["cat", "dog"], k=10).collect()
+        assert {r.doc_id for r in rows} == {1, 2, 3}
+        d1 = next(r for r in rows if r.doc_id == 1)
+        assert d1.n_hit_terms == 2
+        # doc1 matches both terms; its score strictly exceeds its
+        # single-term 'cat' score
+        single = bm25_topk(docs, ["cat"], k=10).collect()
+        assert d1.bm25 > next(r.bm25 for r in single if r.doc_id == 1)
+
+    def test_query_dedup_and_case(self, docs):
+        a = [tuple(r) for r in bm25_topk(docs, ["CAT", "cat", "Cat"], k=5).collect()]
+        b = [tuple(r) for r in bm25_topk(docs, ["cat"], k=5).collect()]
+        assert a == b
+
+    def test_no_match_returns_empty(self, docs):
+        assert bm25_topk(docs, ["zebra"], k=5).count() == 0
+
+    def test_empty_query_raises(self, docs):
+        with pytest.raises(ValueError):
+            bm25_topk(docs, [], k=5)
+
+    def test_oracle_parity(self, spark, docs):
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(CORPUS, columns=["doc_id", "text"]))
+        q = ["cat", "dog", "bird", "fish"]
+        s = [tuple(r) for r in bm25_topk(docs, q, k=10).collect()]
+        d = [tuple(x) for x in con.sql(
+            bm25_topk_oracle_sql("documents", q, k=10)).fetchall()]
+        assert s == d
+
+    def test_partitioning_invariance(self, spark, docs):
+        a = [tuple(r) for r in bm25_topk(docs, ["cat", "bird"], k=10).collect()]
+        b = [tuple(r) for r in bm25_topk(docs.repartition(5), ["cat", "bird"], k=10).collect()]
+        assert a == b
