@@ -1847,6 +1847,16 @@ def doc_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+def doc_lm_score(spark, sf_dir):
+    """Corpus-trained bigram LM fluency per document (the CCNet/KenLM
+    perplexity-filter analog).  Per-bigram conditional frequency held as
+    exact integer floor-division so the DuckDB oracle is bit-identical
+    (operators/lm.py)."""
+    from deepseek_ocr_rs_spark.operators.lm import lm_score
+
+    return lm_score(_t(spark, sf_dir, "documents"))
+
+
 def search_posting_lists(spark, sf_dir):
     """Inverted index over the corpus: term -> (df, sorted posting list).
     One explode + two map-side-combinable aggregations; the posting array
@@ -1919,7 +1929,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_topk": doc_tfidf_topk,
         "set_customers_without_orders": set_customers_without_orders,
         "set_nations_with_both": set_nations_with_both,
-        "a_order_priority_summary": a_order_priority_summary,
         # -- 42-48: the seven never-driver-checked operators -------------
         "ann_batch_lsh": ann_batch_lsh,
         "ann_batch_topk": ann_batch_topk,
@@ -1938,10 +1947,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_join": j_asof_join,
         "doc_span_dedup": doc_span_dedup,
         "pack_training_sequences": pack_training_sequences,
-        # -- 49-50: late round-4 search tier (never driver-checked) ------
+        # -- 48-50: late round-4 tiers (never driver-checked): term
+        #    search and bigram-LM fluency scoring ------------------------
         "search_posting_lists": search_posting_lists,
         "search_bm25_topk": search_bm25_topk,
+        "doc_lm_score": doc_lm_score,
         # -- 51+: green in >=2 prior rounds; covered by the in-repo gate --
+        "a_order_priority_summary": a_order_priority_summary,
         "w_latest_event_per_user": w_latest_event_per_user,
         "a_event_type_totals": a_event_type_totals,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -2023,6 +2035,7 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.tfidf import tfidf_topk_oracle_sql
 
     _red_expr, _red_counts = redaction_oracle_exprs("planted")
+    from deepseek_ocr_rs_spark.operators.lm import lm_score_oracle_sql
     from deepseek_ocr_rs_spark.operators.search import (
         bm25_topk_oracle_sql,
         posting_lists_oracle_sql,
@@ -3059,6 +3072,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_topk": bm25_topk_oracle_sql(
             "documents", ["hash", "join", "window", "customer"], k=15
         ),
+        "doc_lm_score": lm_score_oracle_sql("documents"),
         # rows-only (non-SQL-expressible): doc_fingerprint, doc_lang_id,
         # dedup_minhash_pairs, dedup_simhash_candidates, ann_lsh, ann_ivf
     }

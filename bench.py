@@ -151,6 +151,11 @@ def main() -> None:
         "doc_pii_scrub",
         "train_shard_assignment",
         "doc_tfidf_topk",
+        # search tier: inverted index + BM25 ranking
+        "search_posting_lists",
+        "search_bm25_topk",
+        # bigram-LM fluency scoring (perplexity-filter analog)
+        "doc_lm_score",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

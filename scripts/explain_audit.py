@@ -192,6 +192,14 @@ AUDITS = {
         ("partial posting-list agg", "ObjectHashAggregate"),
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
+    "doc_lm_score": [
+        # bigram model trained and applied with hash aggregations only;
+        # the doc<->model join is a pair-keyed equi-join, no broadcast of
+        # the (potentially vocabulary^2-sized) model
+        ("pair-keyed model agg", "hashpartitioning(w1"),
+        ("no Python in the plan", "!BatchEvalPython"),
+        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
     "search_bm25_topk": [
         # per-query shuffle carries only matching (id, term) pairs; df /
         # N / avgdl attach as broadcasts; final top-k is a per-partition
@@ -232,7 +240,11 @@ def main() -> None:
         plan = buf.getvalue()
         marks = []
         for label, needle in checks:
-            ok = needle in plan
+            # a leading '!' asserts the pattern is ABSENT from the plan
+            if needle.startswith("!"):
+                ok = needle[1:] not in plan
+            else:
+                ok = needle in plan
             if not ok:
                 failures.append(f"{name}: {label} (missing {needle!r})")
             marks.append(f"  - [{'x' if ok else ' '}] {label}: `{needle}`")
