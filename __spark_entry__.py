@@ -1847,6 +1847,22 @@ def doc_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+def train_mixture_sample(spark, sf_dir):
+    """Temperature (alpha=0.5) source-mixture sampling over the documents
+    corpus, grouped by language: keep-rates derived from per-lang counts
+    as sqrt(n)/sum(sqrt(n)), so rare languages are upweighted relative to
+    proportional sampling (the multilingual-pretraining mixing rule).
+    Deterministic md5-hash inclusion — the oracle reproduces the sampled
+    set row-for-row (operators/mixture.py)."""
+    from deepseek_ocr_rs_spark.operators.mixture import (
+        temperature_mixture_sample,
+    )
+
+    return temperature_mixture_sample(
+        _t(spark, sf_dir, "documents"), "lang", 150, "doc_id"
+    ).select("doc_id", "lang", "source")
+
+
 def doc_lm_score(spark, sf_dir):
     """Corpus-trained bigram LM fluency per document (the CCNet/KenLM
     perplexity-filter analog).  Per-bigram conditional frequency held as
@@ -1928,7 +1944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_cube_orders": a_cube_orders,
         "doc_tfidf_topk": doc_tfidf_topk,
         "set_customers_without_orders": set_customers_without_orders,
-        "set_nations_with_both": set_nations_with_both,
         # -- 42-48: the seven never-driver-checked operators -------------
         "ann_batch_lsh": ann_batch_lsh,
         "ann_batch_topk": ann_batch_topk,
@@ -1947,12 +1962,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_join": j_asof_join,
         "doc_span_dedup": doc_span_dedup,
         "pack_training_sequences": pack_training_sequences,
-        # -- 48-50: late round-4 tiers (never driver-checked): term
-        #    search and bigram-LM fluency scoring ------------------------
+        # -- 47-50: late round-4 tiers (never driver-checked): term
+        #    search, bigram-LM fluency, temperature mixture sampling -----
         "search_posting_lists": search_posting_lists,
         "search_bm25_topk": search_bm25_topk,
         "doc_lm_score": doc_lm_score,
+        "train_mixture_sample": train_mixture_sample,
         # -- 51+: green in >=2 prior rounds; covered by the in-repo gate --
+        "set_nations_with_both": set_nations_with_both,
         "a_order_priority_summary": a_order_priority_summary,
         "w_latest_event_per_user": w_latest_event_per_user,
         "a_event_type_totals": a_event_type_totals,
@@ -2036,6 +2053,9 @@ def oracle_sql() -> dict[str, str]:
 
     _red_expr, _red_counts = redaction_oracle_exprs("planted")
     from deepseek_ocr_rs_spark.operators.lm import lm_score_oracle_sql
+    from deepseek_ocr_rs_spark.operators.mixture import (
+        temperature_mixture_oracle_sql,
+    )
     from deepseek_ocr_rs_spark.operators.search import (
         bm25_topk_oracle_sql,
         posting_lists_oracle_sql,
@@ -3073,6 +3093,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", ["hash", "join", "window", "customer"], k=15
         ),
         "doc_lm_score": lm_score_oracle_sql("documents"),
+        "train_mixture_sample": temperature_mixture_oracle_sql(
+            "documents", "lang", 150, "doc_id", "d.doc_id, d.lang, d.source"
+        ),
         # rows-only (non-SQL-expressible): doc_fingerprint, doc_lang_id,
         # dedup_minhash_pairs, dedup_simhash_candidates, ann_lsh, ann_ivf
     }

@@ -156,6 +156,8 @@ def main() -> None:
         "search_bm25_topk",
         # bigram-LM fluency scoring (perplexity-filter analog)
         "doc_lm_score",
+        # temperature source-mixture sampling
+        "train_mixture_sample",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -192,6 +192,13 @@ AUDITS = {
         ("partial posting-list agg", "ObjectHashAggregate"),
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
+    "train_mixture_sample": [
+        # per-lang rate table attaches by broadcast; inclusion is a
+        # map-side filter — the corpus never shuffles for the sample
+        ("broadcast rate join", "BroadcastHashJoin"),
+        ("no corpus shuffle for inclusion", "!hashpartitioning(doc_id"),
+        ("no Python in the plan", "!BatchEvalPython"),
+    ],
     "doc_lm_score": [
         # bigram model trained and applied with hash aggregations only;
         # the doc<->model join is a pair-keyed equi-join, no broadcast of
