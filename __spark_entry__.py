@@ -1847,6 +1847,16 @@ def doc_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+def emb_kmeans_assign(spark, sf_dir):
+    """Distributed Lloyd k-means (k=8, 2 iterations) over the embedding
+    corpus from deterministic md5-ordered seeds; every fold runs in a
+    fixed order so the unrolled DuckDB oracle matches bit-for-bit
+    (operators/kmeans.py)."""
+    from deepseek_ocr_rs_spark.operators.kmeans import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
 def train_mixture_sample(spark, sf_dir):
     """Temperature (alpha=0.5) source-mixture sampling over the documents
     corpus, grouped by language: keep-rates derived from per-lang counts
@@ -1934,7 +1944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 23-43: sets / joins / windows / templates -------------------
         "set_suppliers_only_nations": set_suppliers_only_nations,
         "j_salted_skew_join": j_salted_skew_join,
-        "t_top_p_cutoff": t_top_p_cutoff,
         "t_best_supplier_per_nation": t_best_supplier_per_nation,
         "w_repeated_ngrams": w_repeated_ngrams,
         "conv_render_deepseek": conv_render_deepseek,
@@ -1968,8 +1977,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk": search_bm25_topk,
         "doc_lm_score": doc_lm_score,
         "train_mixture_sample": train_mixture_sample,
+        "emb_kmeans_assign": emb_kmeans_assign,
         # -- 51+: green in >=2 prior rounds; covered by the in-repo gate --
         "set_nations_with_both": set_nations_with_both,
+        "t_top_p_cutoff": t_top_p_cutoff,
         "a_order_priority_summary": a_order_priority_summary,
         "w_latest_event_per_user": w_latest_event_per_user,
         "a_event_type_totals": a_event_type_totals,
@@ -2053,6 +2064,9 @@ def oracle_sql() -> dict[str, str]:
 
     _red_expr, _red_counts = redaction_oracle_exprs("planted")
     from deepseek_ocr_rs_spark.operators.lm import lm_score_oracle_sql
+    from deepseek_ocr_rs_spark.operators.kmeans import (
+        kmeans_assign_oracle_sql,
+    )
     from deepseek_ocr_rs_spark.operators.mixture import (
         temperature_mixture_oracle_sql,
     )
@@ -3095,6 +3109,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": lm_score_oracle_sql("documents"),
         "train_mixture_sample": temperature_mixture_oracle_sql(
             "documents", "lang", 150, "doc_id", "d.doc_id, d.lang, d.source"
+        ),
+        "emb_kmeans_assign": kmeans_assign_oracle_sql(
+            "embeddings", k=8, iters=2
         ),
         # rows-only (non-SQL-expressible): doc_fingerprint, doc_lang_id,
         # dedup_minhash_pairs, dedup_simhash_candidates, ann_lsh, ann_ivf

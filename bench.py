@@ -158,6 +158,8 @@ def main() -> None:
         "doc_lm_score",
         # temperature source-mixture sampling
         "train_mixture_sample",
+        # Lloyd k-means over embeddings
+        "emb_kmeans_assign",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -1,0 +1,218 @@
+"""Distributed Lloyd k-means over an embedding column (clustering tier).
+
+Corpus organization at scale — domain discovery, cluster-balanced data
+mixing, semantic dedup staging — needs k-means over the embedding
+column.  This is the iterative-refinement pattern the repo's connected
+components already demonstrates (bounded driver-side rounds, all data
+movement declarative); the reference's analog is its deterministic
+fixed-point iteration discipline (crates/core/src/sampling.rs:104-118).
+
+Cross-engine exactness (the DuckDB oracle matches bit-for-bit):
+
+* Seeds: the first k vectors in ``(md5(vec_id), vec_id)`` order — the
+  same engine-independent pseudorandom draw as IVF's centroid training
+  (operators/similarity.py:ivf_centroids), expressed relationally (no
+  collect).
+* Distance: squared L2 folded LEFT-TO-RIGHT over the dimension index
+  (``F.zip_with`` + ``F.aggregate`` | DuckDB ``list_transform`` over
+  ``range`` + ``list_reduce``), elements cast to double BEFORE
+  arithmetic — every op single-rounded IEEE, hence identical everywhere.
+* Assignment: argmin by ``(dist, centroid_id)`` — total order, no ties
+  left to chance.
+* Update: each new centroid component is the member-value sum folded in
+  ``vec_id`` order divided once by the member count.  A plain AVG would
+  be accumulation-order dependent across partitionings AND engines; the
+  fixed fold costs one (cluster, dim)-keyed aggregation and buys
+  bit-stable centroids.  ``exact=False`` swaps in plain AVG for
+  production runs where bit-stability across engines is not required —
+  same plan shape, no per-dim ordered fold.
+* Empty clusters (possible when a seed's entire neighborhood prefers a
+  lower-id duplicate seed) simply drop out of the centroid table — the
+  same relational semantics fall out of GROUP BY in both engines.
+
+Design for 100 TB:
+- Centroids live in a k-row DataFrame joined by BROADCAST nested loop
+  (k rows against the corpus) — never collected to the driver.
+- Per iteration: one broadcast join + one argmin aggregation keyed on
+  vec_id + one (cluster, dim) aggregation for means.  ITERS is a fixed
+  small constant (the connected-components bounded-rounds discipline) —
+  convergence detection would add a count() action per round for no
+  correctness gain here.
+- The dims explosion for the mean update shuffles rows*dims tuples of
+  (int, int, double) — narrow records; with exact=False the fold
+  becomes a partial-aggregable AVG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sq_l2(a, b):
+    """Left fold of (a[i]-b[i])^2 over the dimension index; inputs cast
+    to double element-wise before any arithmetic."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, c: (x.cast("double") - c.cast("double"))
+            * (x.cast("double") - c.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def seed_centroids(
+    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(cid, centroid): first k vectors in (md5(id), id) order, components
+    cast to double.  k rows — broadcast-sized by construction."""
+    # TakeOrderedAndProject pulls the k seed rows without a global sort;
+    # the row_number window then runs over k rows only
+    top = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        top.withColumn("cid", F.row_number().over(w) - 1)
+        .select(
+            "cid",
+            F.transform(F.col(vec_col), lambda v: v.cast("double")).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def _assign(df, centroids, id_col, vec_col):
+    """(id, vec, cid, dist): nearest centroid per vector, ties to the
+    lowest cid."""
+    scored = df.select(id_col, vec_col).join(
+        F.broadcast(centroids),
+        F.lit(True),
+    )
+    scored = scored.withColumn(
+        "dist", _sq_l2(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "cid")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cid", "dist")
+    )
+
+
+def _update(assigned, id_col, vec_col, exact: bool):
+    """New centroids: per-(cid, dim) mean of member components."""
+    dims = assigned.select(
+        id_col, "cid", F.posexplode(vec_col).alias("d", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    if exact:
+        mean = F.aggregate(
+            F.array_sort(F.collect_list(F.struct(id_col, "val"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["val"],
+        ) / F.count("*").cast("double")
+    else:
+        mean = F.avg("val")
+    per_dim = dims.groupBy("cid", "d").agg(mean.alias("m"))
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))),
+            lambda s: s["m"],
+        ).alias("centroid")
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations from deterministic seeds; return the
+    final assignment (id, cluster, dist rounded 6dp)."""
+    centroids = seed_centroids(df, k, id_col, vec_col)
+    for _ in range(iters):
+        assigned = _assign(df, centroids, id_col, vec_col)
+        centroids = _update(assigned, id_col, vec_col, exact)
+    final = _assign(df, centroids, id_col, vec_col)
+    return final.select(
+        id_col,
+        F.col("cid").alias("cluster"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def kmeans_assign_oracle_sql(
+    table: str,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL replicating ``kmeans_assign(exact=True)`` bit-for-bit:
+    the ``iters`` Lloyd iterations are unrolled into CTE pairs with the
+    same fold orders."""
+    dist = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(v.{vc}) + 1),"
+        " i -> (CAST(v.{vc}[i] AS DOUBLE) - c.centroid[i])"
+        " * (CAST(v.{vc}[i] AS DOUBLE) - c.centroid[i]))),"
+        " (acc, x) -> acc + x)"
+    ).format(vc=vec_col)
+    parts = [
+        f"""
+        seeds AS (
+          SELECT row_number() OVER (ORDER BY md5(CAST({id_col} AS VARCHAR)),
+                                    {id_col}) - 1 AS cid,
+                 list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS centroid
+          FROM {table}
+          QUALIFY cid < {k}
+        ),
+        c0 AS (SELECT cid, centroid FROM seeds)
+        """
+    ]
+    for it in range(iters):
+        parts.append(
+            f"""
+        a{it} AS (
+          SELECT v.{id_col}, v.{vec_col}, c.cid, {dist} AS dist
+          FROM {table} v CROSS JOIN c{it} c
+          QUALIFY row_number() OVER (PARTITION BY v.{id_col}
+                                     ORDER BY dist, c.cid) = 1
+        ),
+        dims{it} AS (
+          SELECT {id_col}, cid,
+                 generate_subscripts({vec_col}, 1) AS d,
+                 CAST(unnest({vec_col}) AS DOUBLE) AS val
+          FROM a{it}
+        ),
+        pd{it} AS (
+          SELECT cid, d,
+                 list_reduce(list_prepend(0.0, list(val ORDER BY {id_col})),
+                             (acc, x) -> acc + x)
+                 / CAST(count(*) AS DOUBLE) AS m
+          FROM dims{it} GROUP BY cid, d
+        ),
+        c{it + 1} AS (
+          SELECT cid, list(m ORDER BY d) AS centroid
+          FROM pd{it} GROUP BY cid
+        )
+        """
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT v.{id_col}, c.cid AS cluster, round({dist}, 6) AS dist
+        FROM {table} v CROSS JOIN c{iters} c
+        QUALIFY row_number() OVER (PARTITION BY v.{id_col}
+                                   ORDER BY {dist}, c.cid) = 1
+        """
+    )

@@ -192,6 +192,13 @@ AUDITS = {
         ("partial posting-list agg", "ObjectHashAggregate"),
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
+    "emb_kmeans_assign": [
+        # centroids ride a k-row broadcast; per-vector argmin partitions
+        # on vec_id; no Python anywhere in the iteration
+        ("broadcast centroid join", "BroadcastNestedLoopJoin"),
+        ("argmin keyed on vec_id", "hashpartitioning(vec_id"),
+        ("no Python in the plan", "!BatchEvalPython"),
+    ],
     "train_mixture_sample": [
         # per-lang rate table attaches by broadcast; inclusion is a
         # map-side filter — the corpus never shuffles for the sample
