@@ -1847,6 +1847,51 @@ def doc_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+def sketch_hll_users(spark, sf_dir):
+    """HyperLogLog distinct-user estimate over events (b=5, m=32 — sized
+    so the corpus cardinality sits in the raw estimator's n >= 2.5m
+    regime).  Registers reduce by map-side MAX; the estimate is a
+    fixed-fold function of the register table, bit-identical in DuckDB
+    (operators/sketches.py)."""
+    from deepseek_ocr_rs_spark.operators.sketches import hll_estimate
+
+    return hll_estimate(_t(spark, sf_dir, "events"), "user_id", b=5)
+
+
+def sketch_bloom_recent_buyers(spark, sf_dir):
+    """Bloom-filter membership: build over customers with a pre-1996
+    order (m=4096 bits, k=4 — sized to yield a real deterministic
+    false-positive band), probe every customer.  The filter is ~64
+    int64 words built by map-side BIT_OR and broadcast to the probe;
+    the oracle computes the identical bit sets and flags the identical
+    rows (operators/sketches.py)."""
+    from deepseek_ocr_rs_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1996-01-01"
+    )
+    bl = bloom_build(o.select("o_custkey"), "o_custkey", m_bits=4096, k=4)
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return bloom_probe(c, bl, "c_custkey", m_bits=4096, k=4)
+
+
+def sketch_cm_user_counts(spark, sf_dir):
+    """Count-Min frequency estimates for every user's event count
+    (d=3 rows x w=64 buckets — undersized on purpose so collisions
+    produce visible deterministic overestimates).  Counters are exact
+    integers; the estimate is a pure integer MIN, bit-exact in DuckDB
+    (operators/sketches.py)."""
+    from deepseek_ocr_rs_spark.operators.sketches import cm_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    return cm_estimate(
+        ev, ev.select("user_id").distinct(), "user_id", d=3, w=64
+    )
+
+
 def emb_kmeans_assign(spark, sf_dir):
     """Distributed Lloyd k-means (k=8, 2 iterations) over the embedding
     corpus from deterministic md5-ordered seeds; every fold runs in a
@@ -1926,8 +1971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_wrapped": q_extract_html_wrapped,
         "extract_html_table": q_extract_html_table,
         "extract_pdf_layout": q_extract_pdf_layout,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
         "doc_pii_scrub": doc_pii_scrub,
         "train_shard_assignment": train_shard_assignment,
         "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -1944,7 +1987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 23-43: sets / joins / windows / templates -------------------
         "set_suppliers_only_nations": set_suppliers_only_nations,
         "j_salted_skew_join": j_salted_skew_join,
-        "t_best_supplier_per_nation": t_best_supplier_per_nation,
         "w_repeated_ngrams": w_repeated_ngrams,
         "conv_render_deepseek": conv_render_deepseek,
         "conv_flatten_parts": conv_flatten_parts,
@@ -1978,7 +2020,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": doc_lm_score,
         "train_mixture_sample": train_mixture_sample,
         "emb_kmeans_assign": emb_kmeans_assign,
+        "sketch_hll_users": sketch_hll_users,
+        "sketch_bloom_recent_buyers": sketch_bloom_recent_buyers,
+        "sketch_cm_user_counts": sketch_cm_user_counts,
         # -- 51+: green in >=2 prior rounds; covered by the in-repo gate --
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "t_best_supplier_per_nation": t_best_supplier_per_nation,
         "set_nations_with_both": set_nations_with_both,
         "t_top_p_cutoff": t_top_p_cutoff,
         "a_order_priority_summary": a_order_priority_summary,
@@ -2069,6 +2117,11 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.mixture import (
         temperature_mixture_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.sketches import (
+        bloom_probe_oracle_sql,
+        cm_estimate_oracle_sql,
+        hll_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.search import (
         bm25_topk_oracle_sql,
@@ -3112,6 +3165,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_kmeans_assign": kmeans_assign_oracle_sql(
             "embeddings", k=8, iters=2
+        ),
+        "sketch_hll_users": hll_oracle_sql("events", "user_id", b=5),
+        "sketch_bloom_recent_buyers": bloom_probe_oracle_sql(
+            "(SELECT o_custkey FROM orders"
+            " WHERE o_orderdate < '1996-01-01')",
+            "o_custkey", "customer", "c_custkey", "p.c_custkey",
+            m_bits=4096, k=4,
+        ),
+        "sketch_cm_user_counts": cm_estimate_oracle_sql(
+            "events", "user_id", "SELECT DISTINCT user_id FROM events",
+            d=3, w=64,
         ),
         # rows-only (non-SQL-expressible): doc_fingerprint, doc_lang_id,
         # dedup_minhash_pairs, dedup_simhash_candidates, ann_lsh, ann_ivf

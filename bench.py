@@ -160,6 +160,10 @@ def main() -> None:
         "train_mixture_sample",
         # Lloyd k-means over embeddings
         "emb_kmeans_assign",
+        # deterministic sketches: HLL / Bloom / Count-Min
+        "sketch_hll_users",
+        "sketch_bloom_recent_buyers",
+        "sketch_cm_user_counts",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -1,0 +1,321 @@
+"""Deterministic sketches: HyperLogLog, Bloom filter, Count-Min.
+
+At 100 TB the curation stack needs sublinear summaries — distinct
+counts without a distinct shuffle (HLL), membership without a join
+against a billion-row set (Bloom), frequency estimates without a full
+groupBy (Count-Min).  Spark ships opaque versions
+(``approx_count_distinct``, ``DataFrame.stat.bloomFilter``) whose
+internals can't be replicated in a SQL oracle; these implementations
+instead build every sketch from the repo's 60-bit md5 hash family
+(operators/sampling.py discipline), so the sketch CONTENTS — registers,
+bit words, counters — and every estimate derived from them are
+bit-identical in DuckDB.  The reference analog is once more the
+pure-function-of-explicit-state scoring rule
+(crates/core/src/sampling.rs:104-118): an estimate must be a
+deterministic function of the data, never of partitioning or RNG.
+
+All three sketches reduce via commutative-monoid aggregations (max /
+bit_or / sum), so they are map-side partial-combinable — the shuffle
+carries only register/word/counter ids, never the data.
+
+* ``hll_register_table`` / ``hll_estimate``: m = 2^b registers;
+  bucket = u mod m, rho = leading-zero count of the remaining 60-b
+  bits + 1 computed EXACTLY as ``(60-b) + 1 - length(bin(v))`` —
+  integer arithmetic, no log.  The raw Flajolet estimator's
+  ``sum(2^-M_j)`` folds in fixed register order (the bm25/tfidf
+  discipline) and empty registers contribute 2^0 exactly; the one
+  ``pow(2, -M)`` per register is an exact power of two in IEEE.  The
+  raw estimator (no HLL++ bias table, no linear-counting branch —
+  both are libm/lookup-dependent) is documented as such; accuracy is
+  the standard ~1.04/sqrt(m) IN ITS OPERATING REGIME n >= ~2.5*m.
+  Size b so the expected cardinality clears that bar (the raw
+  estimator overestimates badly below it — that is exactly the range
+  linear counting exists for, and ln() is the cross-engine divergence
+  class this repo excludes).
+* ``bloom_build`` / ``bloom_probe``: k independent 60-bit hashes per
+  item -> bit positions in an m-bit filter stored as ceil(m/64)
+  int64 words (groupBy word_idx + BIT_OR — tiny result, broadcast to
+  probes).  False positives exist by design and are DETERMINISTIC:
+  the oracle computes the identical filter and flags the identical
+  rows.
+* ``cm_counters`` / ``cm_estimate``: d rows x w buckets of exact
+  integer counters (groupBy + count); estimate = least over the d
+  row counters — pure integer min, bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _u_col
+
+# ------------------------------------------------------------------ HLL
+
+_HLL_BITS_TOTAL = 60  # md5-derived uniform bits per item (sampling.py)
+
+
+def hll_register_table(
+    df: DataFrame, key_col: str, b: int = 10, seed: int = 42
+) -> DataFrame:
+    """(bucket, rho_max): the HLL register table for the key column.
+    m = 2^b registers; missing buckets mean rho_max = 0 (empty)."""
+    m = 1 << b
+    u = _u_col(F.col(key_col), seed)
+    v = (u / F.lit(m)).cast("long")  # floor: u >= 0
+    rho = F.when(v == 0, F.lit(_HLL_BITS_TOTAL - b + 1)).otherwise(
+        F.lit(_HLL_BITS_TOTAL - b + 1) - F.length(F.bin(v))
+    )
+    return (
+        df.select((u % m).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_estimate(
+    df: DataFrame, key_col: str, b: int = 10, seed: int = 42
+) -> DataFrame:
+    """One row: (hll_estimate, n_registers_used).  Raw Flajolet-et-al
+    estimator alpha_m * m^2 / sum(2^-M_j), empty registers counting
+    2^0; the register sum folds in bucket order for bit-stability."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_register_table(df, key_col, b, seed)
+    s = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("bucket", "rho_max"))),
+        F.lit(0.0),
+        lambda acc, r: acc + F.pow(F.lit(2.0), -r["rho_max"]),
+    )
+    return regs.agg(
+        F.round(
+            F.lit(alpha * m * m)
+            / (s + (F.lit(m) - F.count("*")).cast("double")),
+            4,
+        ).alias("hll_estimate"),
+        F.count("*").alias("n_registers_used"),
+    )
+
+
+def hll_oracle_sql(
+    table: str, key_col: str, b: int = 10, seed: int = 42
+) -> str:
+    """DuckDB SQL replicating ``hll_estimate`` bit-for-bit."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rbits = _HLL_BITS_TOTAL - b
+    u = (
+        f"(CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR) || ':{seed}'),"
+        f" 1, 15) AS BIGINT))"
+    )
+    return f"""
+        WITH h AS (
+          SELECT {u} % {m} AS bucket, {u} // {m} AS v FROM {table}
+        ),
+        regs AS (
+          SELECT bucket,
+                 max(CASE WHEN v = 0 THEN {rbits + 1}
+                          ELSE {rbits + 1} - length(bin(v)) END) AS rho_max
+          FROM h GROUP BY bucket
+        )
+        SELECT round({alpha * m * m!r} /
+                 (list_reduce(
+                    list_prepend(0.0,
+                      list(pow(2.0, -rho_max) ORDER BY bucket)),
+                    (acc, x) -> acc + x)
+                  + CAST({m} - count(*) AS DOUBLE)), 4) AS hll_estimate,
+               count(*) AS n_registers_used
+        FROM regs
+    """
+
+
+# ---------------------------------------------------------------- Bloom
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(word_idx, word): the filter's int64 words.  The k bit positions
+    per item come from k independent md5 hashes (seed, seed+1, ...);
+    result size is ceil(m_bits/64) rows — broadcast-sized."""
+    hashes = F.explode(
+        F.array(*[F.lit(seed + i) for i in range(k)])
+    ).alias("hseed")
+    bits = df.select(F.col(key_col), hashes).select(
+        (F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                                  F.col("hseed").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long") % m_bits).alias("bit")
+    )
+    return (
+        bits.select(
+            (F.col("bit") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(bit % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_probe(
+    candidates: DataFrame, bloom: DataFrame, key_col: str,
+    m_bits: int = 1 << 16, k: int = 4, seed: int = 42,
+) -> DataFrame:
+    """Rows of ``candidates`` whose key tests positive (all k bits set).
+    The filter joins by BROADCAST on word_idx; a candidate row never
+    shuffles."""
+    hashes = F.explode(
+        F.array(*[F.lit(seed + i) for i in range(k)])
+    ).alias("hseed")
+    bits = candidates.select(F.col(key_col).alias("_k"), hashes).select(
+        "_k",
+        (F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("_k").cast("string"),
+                                  F.col("hseed").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long") % m_bits).alias("bit"),
+    )
+    checked = (
+        bits.withColumn("word_idx", (F.col("bit") / 64).cast("long"))
+        .withColumn("mask", F.expr("shiftleft(1L, CAST(bit % 64 AS INT))"))
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("word").isNotNull()
+                & (F.col("word").bitwiseAND(F.col("mask")) != 0),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("_k")
+        .agg(F.sum("hit").alias("n_hits"))
+        .where(F.col("n_hits") == k)
+        .select(F.col("_k").alias(key_col))
+    )
+    return candidates.join(F.broadcast(checked), key_col, "left_semi")
+
+
+def bloom_probe_oracle_sql(
+    build_table: str, build_key: str, probe_table: str, probe_key: str,
+    probe_select: str, m_bits: int = 1 << 16, k: int = 4, seed: int = 42,
+) -> str:
+    """DuckDB SQL replicating bloom_build + bloom_probe semantics
+    (identical bit positions; the word/mask detour is unnecessary in
+    SQL — bit-set membership over identical positions is equivalent)."""
+    seeds = ", ".join(str(seed + i) for i in range(k))
+
+    def bit(key):
+        return (
+            f"(CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || ':' ||"
+            f" CAST(s.s AS VARCHAR)), 1, 15) AS BIGINT) % {m_bits})"
+        )
+
+    return f"""
+        WITH seeds AS (SELECT unnest([{seeds}]) AS s),
+        filter_bits AS (
+          SELECT DISTINCT {bit(f"b.{build_key}")} AS bit
+          FROM {build_table} b CROSS JOIN seeds s
+        ),
+        probe_bits AS (
+          SELECT p.{probe_key} AS k_, {bit(f"p.{probe_key}")} AS bit
+          FROM {probe_table} p CROSS JOIN seeds s
+        ),
+        hits AS (
+          SELECT pb.k_, count(*) AS n_hits
+          FROM probe_bits pb JOIN filter_bits fb USING (bit)
+          GROUP BY pb.k_ HAVING count(*) = {k}
+        )
+        SELECT {probe_select}
+        FROM {probe_table} p JOIN hits h ON p.{probe_key} = h.k_
+    """
+
+
+# ------------------------------------------------------------- Count-Min
+
+
+def cm_counters(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 256, seed: int = 42
+) -> DataFrame:
+    """(row, bucket, cnt): the d x w exact-integer counter matrix."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row")
+    return (
+        df.select(F.col(key_col).alias("_k"), rows)
+        .select(
+            "row",
+            (F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("_k").cast("string"),
+                                      (F.col("row") + seed).cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") % w).alias("bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    df: DataFrame, keys: DataFrame, key_col: str,
+    d: int = 4, w: int = 256, seed: int = 42,
+) -> DataFrame:
+    """(key, est): Count-Min frequency estimate (min over the d row
+    counters) for each row of ``keys``.  Counters attach by broadcast;
+    overestimation from collisions is deterministic."""
+    counters = cm_counters(df, key_col, d, w, seed)
+    rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row")
+    probe = keys.select(F.col(key_col), rows).select(
+        key_col,
+        "row",
+        (F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                                  (F.col("row") + seed).cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long") % w).alias("bucket"),
+    )
+    return (
+        probe.join(F.broadcast(counters), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+
+
+def cm_estimate_oracle_sql(
+    table: str, key_col: str, keys_sql: str,
+    d: int = 4, w: int = 256, seed: int = 42,
+) -> str:
+    """DuckDB SQL replicating ``cm_estimate`` exactly.  ``keys_sql`` is a
+    subquery yielding one column named ``{key_col}``."""
+    rows = ", ".join(str(i) for i in range(d))
+
+    def bucket(key):
+        return (
+            f"(CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || ':' ||"
+            f" CAST(r.row_ + {seed} AS VARCHAR)), 1, 15) AS BIGINT) % {w})"
+        )
+
+    return f"""
+        WITH rows_ AS (SELECT unnest([{rows}]) AS row_),
+        counters AS (
+          SELECT r.row_, {bucket(f"t.{key_col}")} AS bucket,
+                 count(*) AS cnt
+          FROM {table} t CROSS JOIN rows_ r
+          GROUP BY 1, 2
+        ),
+        probe AS (
+          SELECT q.{key_col}, r.row_, {bucket(f"q.{key_col}")} AS bucket
+          FROM ({keys_sql}) q CROSS JOIN rows_ r
+        )
+        SELECT p.{key_col}, min(coalesce(c.cnt, 0)) AS est
+        FROM probe p
+        LEFT JOIN counters c ON p.row_ = c.row_ AND p.bucket = c.bucket
+        GROUP BY p.{key_col}
+    """

@@ -192,6 +192,20 @@ AUDITS = {
         ("partial posting-list agg", "ObjectHashAggregate"),
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
+    "sketch_bloom_recent_buyers": [
+        # the filter words broadcast to the probe; the probe side's only
+        # exchange is the per-key hit count, and the build side pushes
+        # its date filter into the scan
+        ("broadcast filter words", "BroadcastHashJoin"),
+        ("build-side filter pushdown", "PushedFilters: [IsNotNull(o_orderdate)"),
+        ("no Python in the plan", "!BatchEvalPython"),
+    ],
+    "sketch_hll_users": [
+        # registers reduce map-side: partial max before the exchange
+        ("partial register max", "HashAggregate"),
+        ("register-keyed exchange", "hashpartitioning(bucket"),
+        ("pruned scan", "ReadSchema: struct<user_id:bigint>"),
+    ],
     "emb_kmeans_assign": [
         # centroids ride a k-row broadcast; per-vector argmin partitions
         # on vec_id; no Python anywhere in the iteration

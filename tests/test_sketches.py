@@ -1,0 +1,122 @@
+"""Deterministic sketches: accuracy in-regime, no-false-negative /
+never-underestimate guarantees, oracle parity, partitioning invariance."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from deepseek_ocr_rs_spark.operators.sketches import (
+    bloom_build,
+    bloom_probe,
+    bloom_probe_oracle_sql,
+    cm_estimate,
+    cm_estimate_oracle_sql,
+    hll_estimate,
+    hll_oracle_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def keys1000(spark):
+    # 1000 distinct keys, each duplicated a varying number of times so
+    # distinct-count != row-count
+    rows = [(k,) for k in range(1000) for _ in range(1 + k % 3)]
+    return spark.createDataFrame(rows, "k bigint")
+
+
+def test_hll_accuracy_in_regime(keys1000):
+    # n=1000 >= 2.5*m for b=5 (m=32): raw estimator within ~3 sigma
+    # (1.04/sqrt(32) ~ 18.4%/sigma)
+    est = hll_estimate(keys1000, "k", b=5).collect()[0]["hll_estimate"]
+    assert 1000 * 0.45 <= est <= 1000 * 1.6
+    # duplicates must not move the estimate: HLL sees sets
+    dedup = keys1000.distinct()
+    est2 = hll_estimate(dedup, "k", b=5).collect()[0]["hll_estimate"]
+    assert est == est2
+
+
+def test_hll_oracle_parity_and_invariance(keys1000):
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame([(r["k"],) for r in keys1000.collect()],
+                          columns=["k"])
+    )
+    duck = con.sql(hll_oracle_sql("t", "k", b=5)).fetchall()
+    for n_parts in (1, 7):
+        got = [tuple(r) for r in
+               hll_estimate(keys1000.repartition(n_parts), "k",
+                            b=5).collect()]
+        assert got == duck
+
+
+def test_bloom_no_false_negatives(spark):
+    members = spark.createDataFrame([(i,) for i in range(200)], "k bigint")
+    probes = spark.createDataFrame([(i,) for i in range(400)], "k bigint")
+    bl = bloom_build(members, "k", m_bits=4096, k=4)
+    hits = {r["k"] for r in
+            bloom_probe(probes, bl, "k", m_bits=4096, k=4).collect()}
+    assert set(range(200)) <= hits  # every true member tests positive
+    fps = hits - set(range(200))
+    # FP rate at 200*4/4096 fill is small but the SET is deterministic
+    assert len(fps) < 100
+    hits2 = {r["k"] for r in
+             bloom_probe(probes.repartition(7), bl, "k",
+                         m_bits=4096, k=4).collect()}
+    assert hits == hits2
+
+
+def test_bloom_oracle_parity(spark):
+    members = [(i,) for i in range(200)]
+    probes = [(i,) for i in range(400)]
+    mdf = spark.createDataFrame(members, "k bigint")
+    pdf_ = spark.createDataFrame(probes, "k bigint")
+    bl = bloom_build(mdf, "k", m_bits=2048, k=3)
+    got = sorted(
+        r["k"]
+        for r in bloom_probe(pdf_, bl, "k", m_bits=2048, k=3).collect()
+    )
+    con = duckdb.connect()
+    con.register("m", pd.DataFrame(members, columns=["k"]))
+    con.register("p", pd.DataFrame(probes, columns=["k"]))
+    duck = sorted(
+        r[0]
+        for r in con.sql(
+            bloom_probe_oracle_sql("m", "k", "p", "k", "p.k",
+                                   m_bits=2048, k=3)
+        ).fetchall()
+    )
+    assert got == duck
+
+
+def test_cm_never_underestimates(spark):
+    rows = [(f"k{i % 40}",) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k string")
+    keys = df.distinct()
+    est = {r["k"]: r["est"] for r in
+           cm_estimate(df, keys, "k", d=3, w=16).collect()}
+    true = {f"k{i}": 100 for i in range(40)}
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)  # CM guarantee
+    # with w >> distinct keys, no collisions -> exact
+    exact = {r["k"]: r["est"] for r in
+             cm_estimate(df, keys, "k", d=3, w=4096).collect()}
+    assert exact == true
+
+
+def test_cm_oracle_parity(spark):
+    rows = [(f"k{i % 40}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string")
+    got = sorted(
+        tuple(r)
+        for r in cm_estimate(df, df.distinct(), "k", d=3, w=16).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["k"]))
+    duck = sorted(
+        tuple(r)
+        for r in con.sql(
+            cm_estimate_oracle_sql("t", "k", "SELECT DISTINCT k FROM t",
+                                   d=3, w=16)
+        ).fetchall()
+    )
+    assert got == duck
