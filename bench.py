@@ -164,6 +164,8 @@ def main() -> None:
         "sketch_hll_users",
         "sketch_bloom_recent_buyers",
         "sketch_cm_user_counts",
+        # TextRank keyword centrality
+        "doc_textrank_terms",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

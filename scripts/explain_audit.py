@@ -192,6 +192,14 @@ AUDITS = {
         ("partial posting-list agg", "ObjectHashAggregate"),
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
+    "doc_textrank_terms": [
+        # the corpus is scanned once for the bigram graph; iterations
+        # touch only vocabulary-sized tables; final top-k needs no
+        # global sort
+        ("top-k without global sort", "TakeOrderedAndProject"),
+        ("no Python in the plan", "!BatchEvalPython"),
+        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
     "sketch_bloom_recent_buyers": [
         # the filter words broadcast to the probe; the probe side's only
         # exchange is the per-key hit count, and the build side pushes
