@@ -195,10 +195,11 @@ AUDITS = {
     "doc_textrank_terms": [
         # the corpus is scanned once for the bigram graph; iterations
         # touch only vocabulary-sized tables; final top-k needs no
-        # global sort
+        # global sort.  Catalyst prunes the scan all the way to text
+        # alone: the per-doc grouping collapses under the pair distinct
         ("top-k without global sort", "TakeOrderedAndProject"),
         ("no Python in the plan", "!BatchEvalPython"),
-        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+        ("pruned scan (text only)", "ReadSchema: struct<text:string>"),
     ],
     "sketch_bloom_recent_buyers": [
         # the filter words broadcast to the probe; the probe side's only
@@ -367,6 +368,8 @@ def main() -> None:
     print("wrote PLANS.md;", "ALL CHECKS PASS" if not failures else
           f"{len(failures)} FAILURES:\n" + "\n".join(failures))
     spark.stop()
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
