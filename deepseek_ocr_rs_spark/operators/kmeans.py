@@ -138,6 +138,10 @@ def kmeans_assign(
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations from deterministic seeds; return the
     final assignment (id, cluster, dist rounded 6dp)."""
+    # NULL ids order differently across engines (Spark NULLS FIRST,
+    # DuckDB NULLS LAST) and NULL vectors poison the distance fold —
+    # exclude both, mirrored in the oracle's WHERE
+    df = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     centroids = seed_centroids(df, k, id_col, vec_col)
     for _ in range(iters):
         assigned = _assign(df, centroids, id_col, vec_col)
@@ -168,11 +172,15 @@ def kmeans_assign_oracle_sql(
     ).format(vc=vec_col)
     parts = [
         f"""
+        t_ AS (
+          SELECT {id_col}, {vec_col} FROM {table}
+          WHERE {id_col} IS NOT NULL AND {vec_col} IS NOT NULL
+        ),
         seeds AS (
           SELECT row_number() OVER (ORDER BY md5(CAST({id_col} AS VARCHAR)),
                                     {id_col}) - 1 AS cid,
                  list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS centroid
-          FROM {table}
+          FROM t_
           QUALIFY cid < {k}
         ),
         c0 AS (SELECT cid, centroid FROM seeds)
@@ -183,7 +191,7 @@ def kmeans_assign_oracle_sql(
             f"""
         a{it} AS (
           SELECT v.{id_col}, v.{vec_col}, c.cid, {dist} AS dist
-          FROM {table} v CROSS JOIN c{it} c
+          FROM t_ v CROSS JOIN c{it} c
           QUALIFY row_number() OVER (PARTITION BY v.{id_col}
                                      ORDER BY dist, c.cid) = 1
         ),
@@ -211,7 +219,7 @@ def kmeans_assign_oracle_sql(
         + ",".join(parts)
         + f"""
         SELECT v.{id_col}, c.cid AS cluster, round({dist}, 6) AS dist
-        FROM {table} v CROSS JOIN c{iters} c
+        FROM t_ v CROSS JOIN c{iters} c
         QUALIFY row_number() OVER (PARTITION BY v.{id_col}
                                    ORDER BY {dist}, c.cid) = 1
         """

@@ -86,8 +86,11 @@ def temperature_mixture_sample(
     sqrt(group size) — deterministic, map-side after one stats pass."""
     rates = mixture_rates(df, group_col, target_rows)
     u = _u_col(F.col(key_col), seed)
+    # NULL sampling keys would hash engine-dependently (Spark concat_ws
+    # skips NULL, SQL '||' nulls out) — exclude them like the oracle does
     return (
-        df.join(F.broadcast(rates.select(group_col, "thresh")), group_col)
+        df.where(F.col(key_col).isNotNull())
+        .join(F.broadcast(rates.select(group_col, "thresh")), group_col)
         .where((u % _BUCKETS) < F.col("thresh"))
         .drop("thresh")
     )
@@ -124,7 +127,8 @@ def temperature_mixture_oracle_sql(
         )
         SELECT {select_cols}
         FROM {table} d JOIN r ON d.{group_col} = r.g
-        WHERE (CAST('0x' || substr(md5(CAST(d.{key_col} AS VARCHAR)
+        WHERE d.{key_col} IS NOT NULL
+          AND (CAST('0x' || substr(md5(CAST(d.{key_col} AS VARCHAR)
                                        || ':{seed}'), 1, 15) AS BIGINT)
                % {_BUCKETS}) < r.thresh
     """

@@ -62,12 +62,19 @@ def hll_register_table(
     m = 2^b registers; missing buckets mean rho_max = 0 (empty)."""
     m = 1 << b
     u = _u_col(F.col(key_col), seed)
-    v = (u / F.lit(m)).cast("long")  # floor: u >= 0
+    # EXACT u div m as a right shift (m = 2^b): double-divide-then-cast
+    # would round near power-of-two boundaries and flip a register's
+    # leading-zero count vs the oracle's integer '//'
+    v = F.shiftright(u, b)
     rho = F.when(v == 0, F.lit(_HLL_BITS_TOTAL - b + 1)).otherwise(
         F.lit(_HLL_BITS_TOTAL - b + 1) - F.length(F.bin(v))
     )
     return (
-        df.select((u % m).alias("bucket"), rho.alias("rho"))
+        # NULL keys are dropped on BOTH sides: Spark's concat_ws would
+        # silently hash just the seed, and the SQL '||' would propagate a
+        # NULL register/bit/counter row instead of dropping it
+        df.where(F.col(key_col).isNotNull())
+        .select((u % m).alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho_max"))
     )
@@ -111,6 +118,7 @@ def hll_oracle_sql(
     return f"""
         WITH h AS (
           SELECT {u} % {m} AS bucket, {u} // {m} AS v FROM {table}
+          WHERE {key_col} IS NOT NULL
         ),
         regs AS (
           SELECT bucket,
@@ -142,7 +150,9 @@ def bloom_build(
     hashes = F.explode(
         F.array(*[F.lit(seed + i) for i in range(k)])
     ).alias("hseed")
-    bits = df.select(F.col(key_col), hashes).select(
+    bits = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col), hashes
+    ).select(
         (F.conv(
             F.substring(
                 F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
@@ -171,7 +181,9 @@ def bloom_probe(
     hashes = F.explode(
         F.array(*[F.lit(seed + i) for i in range(k)])
     ).alias("hseed")
-    bits = candidates.select(F.col(key_col).alias("_k"), hashes).select(
+    bits = candidates.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("_k"), hashes
+    ).select(
         "_k",
         (F.conv(
             F.substring(
@@ -221,10 +233,12 @@ def bloom_probe_oracle_sql(
         filter_bits AS (
           SELECT DISTINCT {bit(f"b.{build_key}")} AS bit
           FROM {build_table} b CROSS JOIN seeds s
+          WHERE b.{build_key} IS NOT NULL
         ),
         probe_bits AS (
           SELECT p.{probe_key} AS k_, {bit(f"p.{probe_key}")} AS bit
           FROM {probe_table} p CROSS JOIN seeds s
+          WHERE p.{probe_key} IS NOT NULL
         ),
         hits AS (
           SELECT pb.k_, count(*) AS n_hits
@@ -245,7 +259,8 @@ def cm_counters(
     """(row, bucket, cnt): the d x w exact-integer counter matrix."""
     rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row")
     return (
-        df.select(F.col(key_col).alias("_k"), rows)
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("_k"), rows)
         .select(
             "row",
             (F.conv(
@@ -270,7 +285,9 @@ def cm_estimate(
     overestimation from collisions is deterministic."""
     counters = cm_counters(df, key_col, d, w, seed)
     rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row")
-    probe = keys.select(F.col(key_col), rows).select(
+    probe = keys.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col), rows
+    ).select(
         key_col,
         "row",
         (F.conv(
@@ -308,11 +325,13 @@ def cm_estimate_oracle_sql(
           SELECT r.row_, {bucket(f"t.{key_col}")} AS bucket,
                  count(*) AS cnt
           FROM {table} t CROSS JOIN rows_ r
+          WHERE t.{key_col} IS NOT NULL
           GROUP BY 1, 2
         ),
         probe AS (
           SELECT q.{key_col}, r.row_, {bucket(f"q.{key_col}")} AS bucket
           FROM ({keys_sql}) q CROSS JOIN rows_ r
+          WHERE q.{key_col} IS NOT NULL
         )
         SELECT p.{key_col}, min(coalesce(c.cnt, 0)) AS est
         FROM probe p

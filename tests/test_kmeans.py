@@ -94,3 +94,24 @@ def test_k_larger_than_corpus(spark):
     out = kmeans_assign(df, k=5, iters=1).collect()
     assert len(out) == 2
     assert {r["dist"] for r in out} == {0.0}  # each point is its own seed
+
+
+def test_null_rows_excluded_consistently(spark):
+    """NULL ids/vectors are dropped on both engines (NULL ordering and
+    NULL distance folds are engine-dependent otherwise)."""
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (None, [5.0, 5.0]),
+            (3, None)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = sorted(tuple(r) for r in kmeans_assign(df, k=2, iters=1).collect())
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": pd.array([r[0] for r in rows], dtype="Int64"),
+             "embedding": [r[1] for r in rows]},
+        ),
+    )
+    duck = sorted(tuple(r) for r in con.sql(
+        kmeans_assign_oracle_sql("embeddings", k=2, iters=1)).fetchall())
+    assert got == duck
+    assert {r[0] for r in got} == {1, 2}

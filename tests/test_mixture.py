@@ -79,3 +79,19 @@ def test_seed_changes_sample(corpus):
          temperature_mixture_sample(corpus, "source", 60, "doc_id",
                                     seed=2).collect()}
     assert a != b
+
+
+def test_null_sampling_keys_dropped(spark):
+    """Rows with a NULL sampling key drop out on both engines (their
+    md5 hashes would otherwise diverge cross-engine)."""
+    rows = [(1, "a"), (2, "a"), (None, "a"), (3, "b")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = sorted((r["doc_id"], r["source"]) for r in
+                 temperature_mixture_sample(df, "source", 100, "doc_id")
+                 .select("doc_id", "source").collect())
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "source"]))
+    duck = sorted(tuple(r) for r in con.sql(temperature_mixture_oracle_sql(
+        "documents", "source", 100, "doc_id", "d.doc_id, d.source")).fetchall())
+    assert got == duck
+    assert all(k is not None for k, _ in got)

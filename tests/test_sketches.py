@@ -120,3 +120,34 @@ def test_cm_oracle_parity(spark):
         ).fetchall()
     )
     assert got == duck
+
+
+def test_null_keys_dropped_consistently(spark):
+    """NULL keys must be invisible to every sketch on BOTH engines
+    (Spark concat_ws skips NULL; SQL '||' nulls the hash out)."""
+    rows = [(1,), (2,), (None,)]
+    df = spark.createDataFrame(rows, "k bigint")
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame({"k": pd.array([1, 2, None], dtype="Int64")})
+    )
+    # HLL: estimate sees exactly 2 keys on both engines
+    got = [tuple(r) for r in hll_estimate(df, "k", b=5).collect()]
+    duck = con.sql(hll_oracle_sql("t", "k", b=5)).fetchall()
+    assert got == duck
+    # Bloom: NULL neither builds bits nor probes positive
+    bl = bloom_build(df, "k", m_bits=512, k=3)
+    hits = bloom_probe(df, bl, "k", m_bits=512, k=3).collect()
+    assert sorted(r["k"] for r in hits) == [1, 2]
+    duck_hits = sorted(r[0] for r in con.sql(
+        bloom_probe_oracle_sql("t", "k", "t", "k", "p.k",
+                               m_bits=512, k=3)).fetchall())
+    assert sorted(r["k"] for r in hits) == duck_hits
+    # Count-Min: NULL neither counts nor estimates
+    got_cm = sorted(tuple(r) for r in
+                    cm_estimate(df, df, "k", d=2, w=8).collect())
+    duck_cm = sorted(tuple(r) for r in con.sql(
+        cm_estimate_oracle_sql("t", "k", "SELECT k FROM t",
+                               d=2, w=8)).fetchall())
+    assert got_cm == duck_cm
+    assert all(k is not None for k, _ in got_cm)
