@@ -1870,11 +1870,14 @@ def sketch_hll_users(spark, sf_dir):
 
 def sketch_bloom_recent_buyers(spark, sf_dir):
     """Bloom-filter membership: build over customers with a pre-1996
-    order (m=4096 bits, k=4 — sized to yield a real deterministic
-    false-positive band), probe every customer.  The filter is ~64
-    int64 words built by map-side BIT_OR and broadcast to the probe;
-    the oracle computes the identical bit sets and flags the identical
-    rows (operators/sketches.py)."""
+    order (m=16384 bits, k=4 — sized so the deterministic
+    false-positive band is non-degenerate at BOTH gate scales: 2 FPs /
+    326 negatives at sf0.01, 2631 FPs but 674 true rejections at
+    sf0.1; smaller m saturates at sf0.1 and larger m collapses sf0.01
+    to exact membership).  The filter is 256 int64 words built by
+    map-side BIT_OR and broadcast to the probe; the oracle computes
+    the identical bit sets and flags the identical rows
+    (operators/sketches.py)."""
     from deepseek_ocr_rs_spark.operators.sketches import (
         bloom_build,
         bloom_probe,
@@ -1883,9 +1886,9 @@ def sketch_bloom_recent_buyers(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < "1996-01-01"
     )
-    bl = bloom_build(o.select("o_custkey"), "o_custkey", m_bits=4096, k=4)
+    bl = bloom_build(o.select("o_custkey"), "o_custkey", m_bits=16384, k=4)
     c = _t(spark, sf_dir, "customer").select("c_custkey")
-    return bloom_probe(c, bl, "c_custkey", m_bits=4096, k=4)
+    return bloom_probe(c, bl, "c_custkey", m_bits=16384, k=4)
 
 
 def sketch_cm_user_counts(spark, sf_dir):
@@ -1976,7 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q5/q10/w_running_value.  Displaced rows stay below for the in-repo
     # full gate (scripts/gate_check.py --all, tests/test_entry_gate.py).
     return {
-        # -- 1-22: extraction + relational core -------------------------
+        # -- slots 1-16: extraction + relational core --------------------
         "extract_docs_plain": q_extract_docs_plain,
         "extract_html_wrapped": q_extract_html_wrapped,
         "extract_html_table": q_extract_html_table,
@@ -1993,7 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_promo_excess_suppliers": q20_promo_excess_suppliers,
         "q21_sole_return_supplier": q21_sole_return_supplier,
         "q22_idle_customer_balance": q22_idle_customer_balance,
-        # -- 23-43: sets / joins / windows / templates -------------------
+        # -- slots 17-26: sets / joins / windows / templates -------------
         "set_suppliers_only_nations": set_suppliers_only_nations,
         "j_salted_skew_join": j_salted_skew_join,
         "w_repeated_ngrams": w_repeated_ngrams,
@@ -2004,7 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_cube_orders": a_cube_orders,
         "doc_tfidf_topk": doc_tfidf_topk,
         "set_customers_without_orders": set_customers_without_orders,
-        # -- 42-48: the seven never-driver-checked operators -------------
+        # -- slots 27-33: the seven never-driver-checked r01-r03 ops -----
         "ann_batch_lsh": ann_batch_lsh,
         "ann_batch_topk": ann_batch_topk,
         "dedup_verified_pairs": dedup_verified_pairs,
@@ -2012,8 +2015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dedup_components": emb_dedup_components,
         "pipeline_curation": pipeline_curation,
         "s_stratified_sample": s_stratified_sample,
-        # -- 45-50: new this round (MoE dispatch, F7 bicubic, X3 SSE,
-        #    repetition signals, decontamination, as-of join) ------------
+        # -- slots 34-41: new this round (MoE dispatch, F7 bicubic,
+        #    X3 SSE, repetition, decontamination, as-of, span-dedup,
+        #    sequence packing) ------------------------------------------
         "moe_topk_dispatch": moe_topk_dispatch,
         "media_bicubic_resample": media_bicubic_resample,
         "x_sse_frames": x_sse_frames,
@@ -2022,8 +2026,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_join": j_asof_join,
         "doc_span_dedup": doc_span_dedup,
         "pack_training_sequences": pack_training_sequences,
-        # -- 47-50: late round-4 tiers (never driver-checked): term
-        #    search, bigram-LM fluency, temperature mixture sampling -----
+        # -- slots 42-50: late round-4 tiers (never driver-checked):
+        #    term search, bigram-LM fluency, mixture sampling, k-means,
+        #    sketches, TextRank — the '51+' marker below is the hard
+        #    boundary; recount when editing any section ------------------
         "search_posting_lists": search_posting_lists,
         "search_bm25_topk": search_bm25_topk,
         "doc_lm_score": doc_lm_score,
@@ -3185,7 +3191,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT o_custkey FROM orders"
             " WHERE o_orderdate < '1996-01-01')",
             "o_custkey", "customer", "c_custkey", "p.c_custkey",
-            m_bits=4096, k=4,
+            m_bits=16384, k=4,
         ),
         "sketch_cm_user_counts": cm_estimate_oracle_sql(
             "events", "user_id", "SELECT DISTINCT user_id FROM events",

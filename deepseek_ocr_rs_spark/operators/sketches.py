@@ -181,7 +181,12 @@ def bloom_probe(
     hashes = F.explode(
         F.array(*[F.lit(seed + i) for i in range(k)])
     ).alias("hseed")
-    bits = candidates.where(F.col(key_col).isNotNull()).select(
+    # hash DISTINCT keys: a duplicated candidate row would otherwise
+    # contribute 2k bit rows and fail the == k membership test — a false
+    # NEGATIVE, the one error class a Bloom filter must never commit
+    bits = candidates.select(key_col).distinct().where(
+        F.col(key_col).isNotNull()
+    ).select(
         F.col(key_col).alias("_k"), hashes
     ).select(
         "_k",
@@ -235,10 +240,13 @@ def bloom_probe_oracle_sql(
           FROM {build_table} b CROSS JOIN seeds s
           WHERE b.{build_key} IS NOT NULL
         ),
+        probe_keys AS (
+          SELECT DISTINCT {probe_key} AS k_ FROM {probe_table} p
+          WHERE {probe_key} IS NOT NULL
+        ),
         probe_bits AS (
-          SELECT p.{probe_key} AS k_, {bit(f"p.{probe_key}")} AS bit
-          FROM {probe_table} p CROSS JOIN seeds s
-          WHERE p.{probe_key} IS NOT NULL
+          SELECT p.k_, {bit("p.k_")} AS bit
+          FROM probe_keys p CROSS JOIN seeds s
         ),
         hits AS (
           SELECT pb.k_, count(*) AS n_hits

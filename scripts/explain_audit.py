@@ -283,7 +283,13 @@ def main() -> None:
             else:
                 ok = needle in plan
             if not ok:
-                failures.append(f"{name}: {label} (missing {needle!r})")
+                if needle.startswith("!"):
+                    failures.append(
+                        f"{name}: {label}"
+                        f" (found {needle[1:]!r}, must be absent)"
+                    )
+                else:
+                    failures.append(f"{name}: {label} (missing {needle!r})")
             marks.append(f"  - [{'x' if ok else ' '}] {label}: `{needle}`")
         head = plan.split("\n\n")[0]
         sections.append(

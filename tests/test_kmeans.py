@@ -12,20 +12,24 @@ from deepseek_ocr_rs_spark.operators.kmeans import (
 )
 
 
-def _blob(center, n, spread, start_id):
-    # deterministic "noise": tiny id-dependent offsets around the center
+def _blob(center, n, start_id):
+    # deterministic "noise": tiny id-dependent offsets around the center,
+    # in units of 1/16 so every value is EXACT in float32 AND float64 —
+    # Spark stores array<float> while DuckDB registers float64 lists, and
+    # only dyadic values make both engines score identical inputs (the
+    # oracle-parity assertion below is bit-exact, not 6dp-masked)
     rows = []
     for j in range(n):
-        v = [c + spread * ((j * 7 + d * 3) % 5 - 2) / 10.0
+        v = [c + ((j * 7 + d * 3) % 5 - 2) / 16.0
              for d, c in enumerate(center)]
         rows.append((start_id + j, v))
     return rows
 
 
 ROWS = (
-    _blob([10.0, 0.0, 0.0, 0.0], 20, 0.5, 0)
-    + _blob([0.0, 10.0, 0.0, 0.0], 20, 0.5, 100)
-    + _blob([0.0, 0.0, 10.0, 0.0], 20, 0.5, 200)
+    _blob([10.0, 0.0, 0.0, 0.0], 20, 0)
+    + _blob([0.0, 10.0, 0.0, 0.0], 20, 100)
+    + _blob([0.0, 0.0, 10.0, 0.0], 20, 200)
 )
 
 

@@ -65,6 +65,27 @@ def test_bloom_no_false_negatives(spark):
     assert hits == hits2
 
 
+def test_bloom_duplicate_candidates_keep_members(spark):
+    """Regression: a candidate key appearing in >1 row must still test
+    positive (duplicates once contributed 2k bit rows and failed the
+    == k check — a false NEGATIVE), and every duplicate row is kept."""
+    members = spark.createDataFrame([(i,) for i in range(50)], "k bigint")
+    probes = spark.createDataFrame([(7,), (7,), (8,), (999,)], "k bigint")
+    bl = bloom_build(members, "k", m_bits=4096, k=4)
+    out = [r["k"] for r in
+           bloom_probe(probes, bl, "k", m_bits=4096, k=4).collect()]
+    assert sorted(out)[:3] == [7, 7, 8]  # both rows of the dup survive
+    # oracle agrees row-for-row (multiset, duplicates preserved)
+    con = duckdb.connect()
+    con.register("m", pd.DataFrame([(i,) for i in range(50)], columns=["k"]))
+    con.register("p", pd.DataFrame([(7,), (7,), (8,), (999,)],
+                                   columns=["k"]))
+    duck = sorted(r[0] for r in con.sql(
+        bloom_probe_oracle_sql("m", "k", "p", "k", "p.k",
+                               m_bits=4096, k=4)).fetchall())
+    assert sorted(out) == duck
+
+
 def test_bloom_oracle_parity(spark):
     members = [(i,) for i in range(200)]
     probes = [(i,) for i in range(400)]
