@@ -893,6 +893,40 @@ def dedup_components(spark, sf_dir):
     return connected_components(minhash_lsh_pairs(docs, threshold=0.5))
 
 
+def emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup re-expressed relationally: k-means cells bound the
+    pairwise cosine stage (cell id = sole shuffle key), the cluster
+    outlier survives, the closer-to-centroid member of each >= 0.4
+    pair is pruned.  The oracle replays the unrolled Lloyd CTEs, the
+    6dp in-cell cosine, and the (dist, id) dominance rule exactly
+    (operators/canonical.py; 25/28/285 in-cell dup pairs at
+    sf0.001/0.01/0.1 — non-vacuous at every gate scale)."""
+    from deepseek_ocr_rs_spark.operators.canonical import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.4
+    )
+
+
+def dedup_quality_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection over VERIFIED near-dup pairs:
+    of each MinHash->exact-Jaccard pair, the copy with worse
+    (stopword_ratio DESC, punct_ratio ASC, id) quality order is pruned.
+    EXISTS semantics — no transitive closure — so the verdict join runs
+    over the bounded pair set only (operators/canonical.py)."""
+    from deepseek_ocr_rs_spark.operators.canonical import quality_prune
+    from deepseek_ocr_rs_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        verify_pairs_ngram_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = verify_pairs_ngram_jaccard(
+        minhash_lsh_pairs(docs, threshold=0.5), docs, min_jaccard=0.4
+    )
+    return quality_prune(docs, pairs)
+
+
 def dedup_simhash_candidates(spark, sf_dir):
     """SimHash banded near-dup candidates with hamming distance; the DuckDB
     oracle (dedup.simhash_oracle_sql) replicates the 64 sign-hash bits, the
@@ -1979,9 +2013,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q5/q10/w_running_value.  Displaced rows stay below for the in-repo
     # full gate (scripts/gate_check.py --all, tests/test_entry_gate.py).
     return {
-        # -- slots 1-16: extraction + relational core --------------------
-        "extract_docs_plain": q_extract_docs_plain,
-        "extract_html_wrapped": q_extract_html_wrapped,
+        # -- slots 1-16: extraction + relational core + canonical
+        #    selection (emb_semantic_dedup / dedup_quality_keep_best are
+        #    new in round 4 and never driver-checked; they displace
+        #    extract_docs_plain / extract_html_wrapped, green r02+r03) --
+        "emb_semantic_dedup": emb_semantic_dedup,
+        "dedup_quality_keep_best": dedup_quality_keep_best,
         "extract_html_table": q_extract_html_table,
         "doc_pii_scrub": doc_pii_scrub,
         "train_shard_assignment": train_shard_assignment,
@@ -2040,6 +2077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cm_user_counts": sketch_cm_user_counts,
         "doc_textrank_terms": doc_textrank_terms,
         # -- 51+: green in >=2 prior rounds; covered by the in-repo gate --
+        "extract_docs_plain": q_extract_docs_plain,
+        "extract_html_wrapped": q_extract_html_wrapped,
         "extract_pdf_layout": q_extract_pdf_layout,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2110,6 +2149,10 @@ def oracle_sql() -> dict[str, str]:
         embedding_near_dup_oracle_sql,
         ivf_oracle_sql,
         lsh_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.canonical import (
+        quality_prune_oracle_sql,
+        semantic_dedup_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.moe import moe_dispatch_oracle_sql
     from deepseek_ocr_rs_spark.operators.packing import pack_sequences_oracle_sql
@@ -2964,6 +3007,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": minhash_oracle_sql(threshold=0.5),
         "dedup_verified_pairs": minhash_verified_oracle_sql(
             threshold=0.5, min_jaccard=0.4),
+        "emb_semantic_dedup": semantic_dedup_oracle_sql(
+            "embeddings", k=8, iters=2, threshold=0.4),
+        "dedup_quality_keep_best": quality_prune_oracle_sql(
+            minhash_verified_oracle_sql(threshold=0.5, min_jaccard=0.4)),
         "dedup_components": components_oracle_sql(
             minhash_oracle_sql(threshold=0.5)),
         "dedup_simhash_candidates": simhash_oracle_sql(max_hamming=8),

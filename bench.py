@@ -166,6 +166,9 @@ def main() -> None:
         "sketch_cm_user_counts",
         # TextRank keyword centrality
         "doc_textrank_terms",
+        # canonical selection: SemDeDup cells + quality-aware pruning
+        "emb_semantic_dedup",
+        "dedup_quality_keep_best",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -209,6 +209,24 @@ AUDITS = {
         ("build-side filter pushdown", "PushedFilters: [IsNotNull(o_orderdate)"),
         ("no Python in the plan", "!BatchEvalPython"),
     ],
+    "emb_semantic_dedup": [
+        # SemDeDup: centroids broadcast (k rows vs corpus), the pair
+        # stage shuffles on the CLUSTER id only, verdict all JVM-side
+        ("broadcast centroid join", "BroadcastNestedLoopJoin"),
+        ("cell-keyed pair exchange", "hashpartitioning(cluster"),
+        ("no Python in the plan", "!BatchEvalPython"),
+        ("no Python (Arrow) either", "!ArrowEvalPython"),
+        ("never corpus-squared", "!CartesianProduct"),
+    ],
+    "dedup_quality_keep_best": [
+        # verify tier is the vectorized Arrow jaccard kernel, never a
+        # row-at-a-time Python UDF; the dominance verdict shuffles on
+        # the doc key of the bounded pair set only
+        ("vectorized verify kernel", "ArrowEvalPython"),
+        ("no row-at-a-time Python", "!BatchEvalPython"),
+        ("verdict keyed on pair member", "hashpartitioning(me"),
+        ("never corpus-squared", "!CartesianProduct"),
+    ],
     "sketch_hll_users": [
         # registers reduce map-side: partial max before the exchange
         ("partial register max", "HashAggregate"),
