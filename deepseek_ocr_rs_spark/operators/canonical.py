@@ -71,7 +71,23 @@ def semantic_dedup(
     base = _nonzero_norm(base, vec_col)
     assign = kmeans_assign(base, k=k, iters=iters,
                            id_col=id_col, vec_col=vec_col)
-    m = assign.join(base.select(id_col, vec_col), id_col)
+    # the assignment fans out three ways below (pair left, pair right,
+    # verdict join); without a persist each reference re-runs the whole
+    # Lloyd chain — measured 6x the single-assignment cost at sf0.1.
+    # The persisted table is (id, cluster, dist): narrow by construction.
+    assign = assign.persist()
+    # per-row norm computed ONCE here instead of once per pair member:
+    # sqrt of the identical double is bit-identical wherever evaluated,
+    # so the oracle's inline-norm formulation is unaffected
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    m = assign.join(
+        base.select(id_col, vec_col, nrm.alias("_nrm")), id_col
+    )
 
     l, r = m.alias("l"), m.alias("r")
     dot = F.aggregate(
@@ -80,19 +96,7 @@ def semantic_dedup(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-
-    def _norm(c):
-        return F.sqrt(
-            F.aggregate(
-                c, F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
-        )
-
-    cos = F.round(
-        dot / (_norm(F.col(f"l.{vec_col}")) * _norm(F.col(f"r.{vec_col}"))),
-        round_to,
-    )
+    cos = F.round(dot / (F.col("l._nrm") * F.col("r._nrm")), round_to)
     pairs = (
         l.join(
             r,
