@@ -1939,6 +1939,21 @@ def sketch_cm_user_counts(spark, sf_dir):
     )
 
 
+def sketch_hist_quantiles(spark, sf_dir):
+    """Fixed-bin histogram quantile sketch over event values ([0,600) x
+    120 bins): the mergeable distribution summary completing the sketch
+    family.  Counters reduce by map-side SUM over <=120 keys (the
+    shuffle is O(bins), never O(rows)); p10/p50/p90/p99 interpolate
+    within the hit bin, bit-identical in DuckDB
+    (operators/sketches.py)."""
+    from deepseek_ocr_rs_spark.operators.sketches import hist_quantiles
+
+    return hist_quantiles(
+        _t(spark, sf_dir, "events"), "value", 0.0, 600.0, 120,
+        [0.1, 0.5, 0.9, 0.99],
+    )
+
+
 def emb_kmeans_assign(spark, sf_dir):
     """Distributed Lloyd k-means (k=8, 2 iterations) over the embedding
     corpus from deterministic md5-ordered seeds; every fold runs in a
@@ -2077,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cm_user_counts": sketch_cm_user_counts,
         "doc_textrank_terms": doc_textrank_terms,
         # -- 51+: green in >=2 prior rounds; covered by the in-repo gate --
+        "sketch_hist_quantiles": sketch_hist_quantiles,
         "extract_docs_plain": q_extract_docs_plain,
         "extract_html_wrapped": q_extract_html_wrapped,
         "extract_pdf_layout": q_extract_pdf_layout,
@@ -2181,6 +2197,7 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.sketches import (
         bloom_probe_oracle_sql,
         cm_estimate_oracle_sql,
+        hist_quantiles_oracle_sql,
         hll_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.textrank import (
@@ -3243,6 +3260,9 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cm_user_counts": cm_estimate_oracle_sql(
             "events", "user_id", "SELECT DISTINCT user_id FROM events",
             d=3, w=64,
+        ),
+        "sketch_hist_quantiles": hist_quantiles_oracle_sql(
+            "events", "value", 0.0, 600.0, 120, [0.1, 0.5, 0.9, 0.99]
         ),
         "doc_textrank_terms": textrank_terms_oracle_sql(
             "documents", k=30, iters=3

@@ -346,3 +346,128 @@ def cm_estimate_oracle_sql(
         LEFT JOIN counters c ON p.row_ = c.row_ AND p.bucket = c.bucket
         GROUP BY p.{key_col}
     """
+
+
+# -------------------------------------- Fixed-bin histogram quantiles
+
+
+def hist_counts(
+    df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """(bin, cnt): fixed-boundary equi-width histogram of ``value_col``.
+
+    The mergeable-summary quantile sketch that completes the family
+    (HLL = distinct, Bloom = membership, Count-Min = frequency,
+    histogram = distribution): counts reduce by map-side SUM over at
+    most ``n_bins`` keys, so the shuffle is O(n_bins) regardless of
+    input size and two histograms merge by adding counters — the
+    property t-digest/KLL buy with data-dependent centroids, bought
+    here with FIXED bins so every count and every derived quantile is
+    bit-identical in DuckDB (data-dependent centroids are fold-order-
+    dependent and cannot be oracle'd exactly).  Accuracy is bounded by
+    the bin width (hi-lo)/n_bins, stated, not estimated.  Out-of-range
+    values clamp to the edge bins; NULLs drop.  Reference analog: the
+    fixed-register discipline of crates/core/src/sampling.rs:104-118 —
+    a summary must be a deterministic function of the data only.
+    """
+    width = (hi - lo) / n_bins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.least(
+                F.lit(n_bins - 1), F.greatest(F.lit(0), b)
+            ).cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int,
+    qs: list,
+) -> DataFrame:
+    """(q, est): linear-interpolated quantile estimates from the fixed
+    histogram.  The windowed cumulative sum runs over the ≤``n_bins``-row
+    counter table — a fixed-size reduction, never the data — so the
+    single-partition window is O(n_bins), not O(rows).  est is the
+    standard within-bin interpolation lo + width*(bin + frac), rounded
+    to 6dp per the repo's cross-engine float contract."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    hist = hist_counts(df, value_col, lo, hi, n_bins)
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bin", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    t = F.ceil(F.col("q") * F.col("total")).cast("long")
+    return (
+        qdf.crossJoin(F.broadcast(cum))
+        .withColumn("t", t)
+        .where(
+            (F.col("cum") >= F.col("t"))
+            & (F.col("cum") - F.col("cnt") < F.col("t"))
+        )
+        .select(
+            "q",
+            F.round(
+                F.lit(lo)
+                + F.lit(width)
+                * (
+                    F.col("bin")
+                    + (F.col("t") - (F.col("cum") - F.col("cnt")))
+                    / F.col("cnt")
+                ),
+                6,
+            ).alias("est"),
+        )
+    )
+
+
+def hist_quantiles_oracle_sql(
+    table: str, value_col: str, lo: float, hi: float, n_bins: int,
+    qs: list,
+) -> str:
+    """DuckDB SQL replicating ``hist_quantiles`` bit-for-bit (identical
+    double constants, identical IEEE op order)."""
+    width = (hi - lo) / n_bins
+    q_list = ", ".join(repr(float(q)) for q in qs)
+    return f"""
+        WITH hist AS (
+          SELECT CAST(least({n_bins - 1}, greatest(0,
+                   floor(({value_col} - {lo!r}) / {width!r}))) AS BIGINT)
+                   AS bin,
+                 count(*) AS cnt
+          FROM {table}
+          WHERE {value_col} IS NOT NULL
+          GROUP BY 1
+        ),
+        cum AS (
+          SELECT bin, cnt,
+                 sum(cnt) OVER (ORDER BY bin) AS cum,
+                 sum(cnt) OVER () AS total
+          FROM hist
+        ),
+        qs AS (SELECT CAST(unnest([{q_list}]) AS DOUBLE) AS q)
+        SELECT q.q,
+               round({lo!r} + {width!r} *
+                 (c.bin + (CAST(ceiling(q.q * c.total) AS BIGINT)
+                           - (c.cum - c.cnt)) / CAST(c.cnt AS DOUBLE)),
+                 6) AS est
+        FROM qs q JOIN cum c
+          ON c.cum >= CAST(ceiling(q.q * c.total) AS BIGINT)
+         AND c.cum - c.cnt < CAST(ceiling(q.q * c.total) AS BIGINT)
+    """

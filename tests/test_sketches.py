@@ -6,6 +6,9 @@ import pandas as pd
 import pytest
 
 from deepseek_ocr_rs_spark.operators.sketches import (
+    hist_counts,
+    hist_quantiles,
+    hist_quantiles_oracle_sql,
     bloom_build,
     bloom_probe,
     bloom_probe_oracle_sql,
@@ -172,3 +175,53 @@ def test_null_keys_dropped_consistently(spark):
                                d=2, w=8)).fetchall())
     assert got_cm == duck_cm
     assert all(k is not None for k, _ in got_cm)
+
+
+def test_hist_quantiles_accuracy_and_merge(spark):
+    # values 0..999 uniformly: pXX must land within one bin width (10)
+    rows = [(float(v),) for v in range(1000)]
+    df = spark.createDataFrame(rows, "v double")
+    est = {r["q"]: r["est"] for r in
+           hist_quantiles(df, "v", 0.0, 1000.0, 100,
+                          [0.5, 0.9]).collect()}
+    assert abs(est[0.5] - 500.0) <= 10.0
+    assert abs(est[0.9] - 900.0) <= 10.0
+    # mergeable: counters of two halves add to the full histogram
+    h_full = {(r["bin"]): r["cnt"] for r in
+              hist_counts(df, "v", 0.0, 1000.0, 100).collect()}
+    lo_half = hist_counts(df.where("v < 500"), "v", 0.0, 1000.0,
+                          100).collect()
+    hi_half = hist_counts(df.where("v >= 500"), "v", 0.0, 1000.0,
+                          100).collect()
+    merged = {}
+    for r in list(lo_half) + list(hi_half):
+        merged[r["bin"]] = merged.get(r["bin"], 0) + r["cnt"]
+    assert merged == h_full
+
+
+def test_hist_quantiles_oracle_parity_and_invariance(spark):
+    # clustered + out-of-range values exercise clamping and sparse bins
+    rows = [(float(v % 37) * 13.5 - 20.0,) for v in range(500)]
+    df = spark.createDataFrame(rows, "v double")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["v"]))
+    duck = sorted(con.sql(
+        hist_quantiles_oracle_sql("t", "v", 0.0, 400.0, 64,
+                                  [0.1, 0.5, 0.99, 1.0])
+    ).fetchall())
+    for n_parts in (1, 7):
+        got = sorted(
+            tuple(r) for r in
+            hist_quantiles(df.repartition(n_parts), "v", 0.0, 400.0, 64,
+                           [0.1, 0.5, 0.99, 1.0]).collect()
+        )
+        assert got == duck
+
+
+def test_hist_nulls_dropped_and_clamped(spark):
+    rows = [(None,), (-1e9,), (1e9,), (5.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    h = {r["bin"]: r["cnt"] for r in
+         hist_counts(df, "v", 0.0, 100.0, 10).collect()}
+    # NULL dropped; extremes clamp to edge bins; 5.0 -> bin 0
+    assert h == {0: 2, 9: 1}
