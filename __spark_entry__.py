@@ -1954,6 +1954,32 @@ def sketch_hist_quantiles(spark, sf_dir):
     )
 
 
+def doc_hashclf_lang(spark, sf_dir):
+    """Trained hashed n-gram classifier (fastText/CCNet filter shape):
+    train class-conditional bucket counts on even doc_ids, argmax-
+    predict the odd half.  Integer counts + one final normalizing
+    division make every prediction bit-identical in DuckDB; the
+    <=n_buckets x n_classes model broadcasts to the probe (the
+    model.bin-to-every-worker analog).  NOTE: the synthetic corpus
+    draws every lang from one shared vocabulary, so accuracy here is
+    ~chance BY CONSTRUCTION of the testdata — the learning behavior is
+    pinned on a separable corpus in tests/test_hashclf.py
+    (operators/hashclf.py)."""
+    from deepseek_ocr_rs_spark.operators.hashclf import (
+        hashed_ngram_predict,
+        train_hashed_ngram_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = train_hashed_ngram_weights(
+        docs.where("doc_id % 2 = 0"), "text", "lang", n_buckets=4096
+    )
+    return hashed_ngram_predict(
+        docs.where("doc_id % 2 = 1"), "doc_id", "text", w,
+        n_buckets=4096,
+    )
+
+
 def emb_kmeans_assign(spark, sf_dir):
     """Distributed Lloyd k-means (k=8, 2 iterations) over the embedding
     corpus from deterministic md5-ordered seeds; every fold runs in a
@@ -2093,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_textrank_terms": doc_textrank_terms,
         # -- 51+: green in >=2 prior rounds; covered by the in-repo gate --
         "sketch_hist_quantiles": sketch_hist_quantiles,
+        "doc_hashclf_lang": doc_hashclf_lang,
         "extract_docs_plain": q_extract_docs_plain,
         "extract_html_wrapped": q_extract_html_wrapped,
         "extract_pdf_layout": q_extract_pdf_layout,
@@ -2193,6 +2220,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.mixture import (
         temperature_mixture_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.hashclf import (
+        hashclf_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.sketches import (
         bloom_probe_oracle_sql,
@@ -3263,6 +3293,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sketch_hist_quantiles": hist_quantiles_oracle_sql(
             "events", "value", 0.0, 600.0, 120, [0.1, 0.5, 0.9, 0.99]
+        ),
+        "doc_hashclf_lang": hashclf_oracle_sql(
+            "SELECT * FROM documents WHERE doc_id % 2 = 0",
+            "SELECT * FROM documents WHERE doc_id % 2 = 1",
+            "doc_id", "text", "lang", n_buckets=4096,
         ),
         "doc_textrank_terms": textrank_terms_oracle_sql(
             "documents", k=30, iters=3
