@@ -1870,6 +1870,18 @@ def train_shard_assignment(spark, sf_dir):
     return shard_assignment(docs, key_col="doc_id", n_shards=8, epoch=1)
 
 
+def train_global_ids(spark, sf_dir):
+    """Contiguous 0-based example ids in doc_id order WITHOUT the
+    single-reducer ``row_number() OVER (ORDER BY ...)`` funnel: range
+    partition, rank locally, then add broadcast per-partition prefix
+    offsets (the distributed zipWithIndex — operators/sharding.py
+    assign_global_ids)."""
+    from deepseek_ocr_rs_spark.operators.sharding import assign_global_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return assign_global_ids(docs, "doc_id", n_ranges=8)
+
+
 def doc_tfidf_topk(spark, sf_dir):
     """Top-3 characteristic terms per document by the log-free TF-IDF
     ``tf * (N/df)`` (IEEE-exact cross-engine; ln would be libm-dependent).
@@ -2057,10 +2069,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- slots 1-16: extraction + relational core + canonical
         #    selection (emb_semantic_dedup / dedup_quality_keep_best are
         #    new in round 4 and never driver-checked; they displace
-        #    extract_docs_plain / extract_html_wrapped, green r02+r03) --
+        #    extract_docs_plain / extract_html_wrapped, green r02+r03;
+        #    train_global_ids displaces extract_html_table likewise) --
         "emb_semantic_dedup": emb_semantic_dedup,
         "dedup_quality_keep_best": dedup_quality_keep_best,
-        "extract_html_table": q_extract_html_table,
+        "train_global_ids": train_global_ids,
         "doc_pii_scrub": doc_pii_scrub,
         "train_shard_assignment": train_shard_assignment,
         "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -2120,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: green in >=2 prior rounds; covered by the in-repo gate --
         "sketch_hist_quantiles": sketch_hist_quantiles,
         "doc_hashclf_lang": doc_hashclf_lang,
+        "extract_html_table": q_extract_html_table,
         "extract_docs_plain": q_extract_docs_plain,
         "extract_html_wrapped": q_extract_html_wrapped,
         "extract_pdf_layout": q_extract_pdf_layout,
@@ -2209,6 +2223,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.redaction import redaction_oracle_exprs
     from deepseek_ocr_rs_spark.operators.sharding import (
+        assign_global_ids_oracle_sql,
         shard_assignment_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.tfidf import tfidf_topk_oracle_sql
@@ -3263,6 +3278,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "train_shard_assignment": shard_assignment_oracle_sql(
             "documents", "doc_id", n_shards=8, epoch=1
+        ),
+        "train_global_ids": assign_global_ids_oracle_sql(
+            "documents", "doc_id", select="doc_id, lang"
         ),
         "doc_tfidf_topk": tfidf_topk_oracle_sql(
             "documents", "doc_id", "text", k=3

@@ -83,3 +83,81 @@ def shard_assignment_oracle_sql(
           FROM {table}
         )
     """
+
+
+# --------------------------------------- Contiguous global IDs
+
+
+def assign_global_ids(
+    df: DataFrame, order_col: str, n_ranges: int = 32,
+    id_name: str = "global_id",
+) -> DataFrame:
+    """Contiguous ids 0..n-1 in ``order_col`` order with NO
+    single-partition exchange — the distributed zipWithIndex.
+
+    The naive form (``row_number() OVER (ORDER BY k)``) funnels the
+    ENTIRE dataset through one reducer; at 100 TB that is the job.
+    This version is the classic two-phase rank:
+
+      1. range-partition by the key (``repartitionByRange`` — the same
+         distributed-sort exchange an ORDER BY uses, every partition
+         holds a contiguous key range);
+      2. rank WITHIN each partition (window keyed by
+         ``spark_partition_id()`` — parallelism stays n_ranges);
+      3. per-partition counts (an O(n_ranges)-row aggregate) turn into
+         prefix offsets via a window over that TINY table, and attach
+         back by broadcast; id = offset + local_rank - 1.
+
+    Range boundaries come from Spark's deterministic sampler, so two
+    branches over the same input see identical partition ids.  Where
+    the boundaries land does not affect the result — only which worker
+    computes which contiguous block.  ``order_col`` must be UNIQUE:
+    a duplicated key that straddles a range boundary would make the
+    split (and hence ids among the ties) sampler-dependent, so the
+    contract matches the oracle's total order only for unique keys.
+    Reference analog: stable (conv_id, turn_idx) reassembly ordering —
+    deterministic global positions without a serial pass
+    (crates/core/src/streaming.rs:43-62 ordering discipline).
+    """
+    ranged = df.repartitionByRange(n_ranges, F.col(order_col))
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    local = with_pid.withColumn(
+        "_lrn",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(order_col)
+        ),
+    )
+    offsets = (
+        with_pid.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(id_name, F.col("_off") + F.col("_lrn") - F.lit(1))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def assign_global_ids_oracle_sql(
+    table: str, order_col: str, select: str = "*",
+    id_name: str = "global_id",
+) -> str:
+    """DuckDB SQL: the two-phase rank collapses to a plain dense global
+    row_number for unique keys."""
+    return f"""
+        SELECT {select},
+               CAST(row_number() OVER (ORDER BY {order_col}) - 1
+                    AS BIGINT) AS {id_name}
+        FROM {table}
+    """

@@ -184,3 +184,47 @@ def test_tfidf_case_and_whitespace_normalization(spark):
     rows = tfidf_topk(df, k=5).where(F.col("doc_id") == 1).collect()
     assert len(rows) == 1  # all three collapse to one lowercase term
     assert rows[0]["term"] == "word" and rows[0]["tf"] == 3
+
+
+# ------------------------------------------------------------- global ids
+
+
+def test_global_ids_match_total_order(spark, corpus):
+    from deepseek_ocr_rs_spark.operators.sharding import assign_global_ids
+
+    out = {r["doc_id"]: r["global_id"]
+           for r in assign_global_ids(corpus, "doc_id", n_ranges=8).collect()}
+    # ids are exactly the rank of doc_id in the global sort, 0-based
+    expect = {k: i for i, k in enumerate(sorted(out))}
+    assert out == expect
+
+
+def test_global_ids_partitioning_invariant(spark, corpus):
+    from deepseek_ocr_rs_spark.operators.sharding import assign_global_ids
+
+    a = assign_global_ids(corpus, "doc_id", n_ranges=8).collect()
+    b = assign_global_ids(
+        corpus.repartition(13), "doc_id", n_ranges=8
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_global_ids_more_ranges_than_rows(spark):
+    from deepseek_ocr_rs_spark.operators.sharding import assign_global_ids
+
+    tiny = spark.createDataFrame(
+        [(k,) for k in ("m", "a", "z", "q")], "k string"
+    )
+    got = {r["k"]: r["global_id"]
+           for r in assign_global_ids(tiny, "k", n_ranges=32).collect()}
+    assert got == {"a": 0, "m": 1, "q": 2, "z": 3}
+
+
+def test_global_ids_keep_payload_columns(spark, corpus):
+    from deepseek_ocr_rs_spark.operators.sharding import assign_global_ids
+
+    row = (
+        assign_global_ids(corpus, "doc_id", n_ranges=4)
+        .where(F.col("global_id") == 0).collect()
+    )
+    assert len(row) == 1 and row[0]["text"] == "doc 0"
