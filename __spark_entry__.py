@@ -2079,9 +2079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q11_important_parts": q11_important_parts,
         "q12_priority_by_returnflag": q12_priority_by_returnflag,
-        "q13_order_count_distribution": q13_order_count_distribution,
+        "sketch_hist_quantiles": sketch_hist_quantiles,
         "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_count_by_attrs": q16_supplier_count_by_attrs,
+        "doc_hashclf_lang": doc_hashclf_lang,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q20_promo_excess_suppliers": q20_promo_excess_suppliers,
@@ -2130,9 +2130,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_recent_buyers": sketch_bloom_recent_buyers,
         "sketch_cm_user_counts": sketch_cm_user_counts,
         "doc_textrank_terms": doc_textrank_terms,
-        # -- 51+: green in >=2 prior rounds; covered by the in-repo gate --
-        "sketch_hist_quantiles": sketch_hist_quantiles,
-        "doc_hashclf_lang": doc_hashclf_lang,
+        # -- 51+: green in a prior driver round; covered by the in-repo
+        #    gate (q13/q16 keep their r03 rows; they ceded slots to the
+        #    round-4 sketch_hist_quantiles / doc_hashclf_lang) -----------
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q16_supplier_count_by_attrs": q16_supplier_count_by_attrs,
         "extract_html_table": q_extract_html_table,
         "extract_docs_plain": q_extract_docs_plain,
         "extract_html_wrapped": q_extract_html_wrapped,
