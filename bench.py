@@ -86,7 +86,7 @@ def main() -> None:
     materialize(
         extract_turns(
             corpus.repartitionByRange(cpus * 2, "conv_id", "turn_idx"),
-            run_id="warmup", chunk_bytes=65536,
+            run_id="warmup", chunk_bytes=0,
         ).sortWithinPartitions("conv_id", "turn_idx")
     )
 
@@ -98,7 +98,7 @@ def main() -> None:
         t0 = time.perf_counter()
         ranged = corpus.repartitionByRange(cpus * 2, "conv_id", "turn_idx")
         extracted = extract_turns(
-            ranged, run_id="bench", chunk_bytes=65536
+            ranged, run_id="bench", chunk_bytes=0
         ).sortWithinPartitions("conv_id", "turn_idx")
         materialize(extracted)
         return time.perf_counter() - t0

@@ -41,6 +41,16 @@ BLOCK_CONTAINER_TAGS = frozenset(
 
 _CELL_TAGS = frozenset({"td", "th"})
 
+# single-probe tag category (the four sets are disjoint): one dict get in
+# the per-event hot path instead of up to five frozenset membership tests
+_CAT_DROP, _CAT_LEAF, _CAT_CONTAINER, _CAT_CELL, _CAT_A, _CAT_BR = range(1, 7)
+_TAG_CAT = {t: _CAT_DROP for t in DROP_SUBTREE_TAGS}
+_TAG_CAT.update({t: _CAT_LEAF for t in BLOCK_LEAF_TAGS})
+_TAG_CAT.update({t: _CAT_CONTAINER for t in BLOCK_CONTAINER_TAGS})
+_TAG_CAT.update({t: _CAT_CELL for t in _CELL_TAGS})
+_TAG_CAT["a"] = _CAT_A
+_TAG_CAT["br"] = _CAT_BR
+
 
 @dataclass
 class Block:
@@ -78,6 +88,12 @@ class _Builder:
 
     def _flush(self) -> None:
         tag = self.cur_tag
+        if not self.buf and not self.cells and not self.in_cell:
+            # nothing buffered: the dominant case (every block open flushes);
+            # text=="" would return below anyway, skip the joins/normalize
+            if not self.link_buf:
+                self.cur_tag = ""
+                return
         if tag == "tr":
             # join completed cells with ' | ' (grid -> row-major sequence,
             # mirroring tile row order preprocess.rs:119-127)
@@ -114,42 +130,57 @@ class _Builder:
     # ---- event handling ------------------------------------------------
 
     def open(self, tag: str, attrs: dict) -> None:
-        if tag in DROP_SUBTREE_TAGS:
-            self._flush()
-            self.drop_depth += 1
-            self.stack.append(tag)
-            return
-        if tag in BLOCK_LEAF_TAGS:
+        cat = _TAG_CAT.get(tag, 0)
+        if cat == _CAT_LEAF:
             self._flush()
             self.cur_tag = tag
             self.cur_depth = len(self.stack)
             self.stack.append(tag)
             return
-        if tag in BLOCK_CONTAINER_TAGS:
+        if cat == 0:
+            self.stack.append(tag)  # generic inline
+            return
+        if cat == _CAT_DROP:
+            self._flush()
+            self.drop_depth += 1
+            self.stack.append(tag)
+            return
+        if cat == _CAT_CONTAINER:
             self._flush()
             self.stack.append(tag)
             return
-        if tag in _CELL_TAGS:
+        if cat == _CAT_CELL:
             self._end_cell()
             self.in_cell = True
             self.stack.append(tag)
             return
-        if tag == "a":
+        if cat == _CAT_A:
             self.link_depth += 1
             self.stack.append(tag)
             return
-        if tag == "br":
-            self.buf.append("\n")
-            return
-        self.stack.append(tag)  # generic inline
+        self.buf.append("\n")  # br
 
     def close(self, tag: str) -> None:
         if tag == "br":
             return
+        stack = self.stack
+        # well-formed fast path: the close matches the top of the stack
+        if stack and stack[-1] == tag:
+            stack.pop()
+            cat = _TAG_CAT.get(tag, 0)
+            if cat == _CAT_LEAF or cat == _CAT_CONTAINER:
+                self._flush()
+            elif cat == _CAT_DROP:
+                self.drop_depth = max(0, self.drop_depth - 1)
+            elif cat == _CAT_CELL:
+                self._end_cell()
+            elif cat == _CAT_A:
+                self.link_depth = max(0, self.link_depth - 1)
+            return
         # pop to the matching open if present (tolerates mild malformation)
-        if tag in self.stack:
-            while self.stack:
-                popped = self.stack.pop()
+        if tag in stack:
+            while stack:
+                popped = stack.pop()
                 if popped in DROP_SUBTREE_TAGS:
                     self.drop_depth = max(0, self.drop_depth - 1)
                 if popped == "a":
@@ -191,4 +222,77 @@ def build_blocks(events: Iterable[Event]) -> List[Block]:
             b.open(ev[1], ev[2])
         else:
             b.close(ev[1])
+    return b.finish()
+
+
+def build_blocks_fast(payload: str) -> List[Block]:
+    """Fused whole-string scan -> Block array (the batch hot path).
+
+    Exactly ``build_blocks(tokenize_html_fast(payload))`` without
+    materializing the intermediate event-tuple list (~100 tuples per
+    payload whose only consumer is the fold above).  The scan loop mirrors
+    ``tokenize_html_fast`` statement-for-statement; differential tests pin
+    Block-level equality against the streaming tokenizer under hostile
+    chunkings (tests/test_kernel_pure.py).
+    """
+    from deepseek_ocr_rs_spark.functions.tokenizer import (
+        _RAWTEXT_CLOSE_RE,
+        _RAWTEXT_TAGS,
+        _TAG_MEMO,
+        VOID_TAGS,
+        _parse_tag,
+        decode_entities,
+    )
+
+    memo_get = _TAG_MEMO.get
+    b = _Builder()
+    b_text, b_open, b_close = b.text, b.open, b.close
+    s = payload
+    n = len(s)
+    find = s.find
+    pos = 0
+    while True:
+        lt = find("<", pos)
+        if lt < 0:
+            if pos < n:
+                b_text(decode_entities(s[pos:]))
+            break
+        if lt > pos:
+            b_text(decode_entities(s[pos:lt]))
+        gt = find(">", lt + 1)
+        if gt < 0:
+            break  # unterminated tag at EOF: dropped
+        raw = s[lt + 1 : gt]
+        pos = gt + 1
+        if raw.startswith("!--"):
+            if not raw.endswith("--"):
+                end = find("-->", pos)
+                if end < 0:
+                    break  # unterminated comment: dropped
+                pos = end + 3
+            continue
+        # inlined _TAG_MEMO probe (the memo dict doubles as the miss
+        # sentinel, exactly as _parse_tag does); real documents hit it on
+        # nearly every tag, so the wrapper call is measurable overhead
+        parsed = memo_get(raw, _TAG_MEMO)
+        if parsed is _TAG_MEMO:
+            parsed = _parse_tag(raw)
+        if parsed is None:
+            continue
+        kind, tag, attrs, self_closing = parsed
+        if kind == "open":
+            b_open(tag, attrs)
+            if tag in VOID_TAGS or self_closing:
+                b_close(tag)
+            elif tag in _RAWTEXT_TAGS:
+                m = _RAWTEXT_CLOSE_RE[tag].search(s, pos)
+                if m is None:
+                    break  # unterminated rawtext: body dropped, no close
+                b_close(tag)
+                gt2 = find(">", m.start())
+                if gt2 < 0:
+                    break
+                pos = gt2 + 1
+        else:
+            b_close(tag)
     return b.finish()

@@ -17,7 +17,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional
 
 from deepseek_ocr_rs_spark.functions.classify import classify_blocks
-from deepseek_ocr_rs_spark.functions.dom import build_blocks
+from deepseek_ocr_rs_spark.functions.dom import build_blocks, build_blocks_fast
 from deepseek_ocr_rs_spark.functions.markdown import render_blocks
 from deepseek_ocr_rs_spark.functions.normalize import normalize_text
 from deepseek_ocr_rs_spark.functions.pdflayout import looks_like_pdf, parse_pdf_payload
@@ -27,9 +27,11 @@ KIND_HTML = "html"
 KIND_PDF = "pdf"
 KIND_PLAIN = "plain"
 
-# streaming tokenizer chunk size (bytes). Exercises the chunk-boundary
-# invariant on every real payload; value is arbitrary but FIXED (determinism).
-DEFAULT_CHUNK_BYTES = 4096
+# 0 = whole-string fast tokenizer (batch default). A positive value feeds
+# the payload through the byte-streaming tokenizer in chunks of that size —
+# event-identical output (X5 invariant); tests pass 1/3/7/4096 to exercise
+# every boundary class through the full kernel.
+DEFAULT_CHUNK_BYTES = 0
 
 
 def sniff_payload_kind(text: Optional[str]) -> str:
@@ -61,8 +63,15 @@ def extract_payload(
     """
     kind = sniff_payload_kind(text)
     if kind == KIND_HTML:
-        events = tokenize_html(text, chunk_size=chunk_bytes)
-        blocks = classify_blocks(build_blocks(events))
+        # chunk_bytes=0 -> whole-string fast scanner (the batch hot path:
+        # the full payload is already in hand, so the streaming bytearray
+        # machinery is pure overhead); >0 -> byte-fed streaming path,
+        # event-identical by the X5 invariant (differentially tested)
+        if chunk_bytes == 0:
+            blocks = classify_blocks(build_blocks_fast(text))
+        else:
+            events = tokenize_html(text, chunk_size=chunk_bytes)
+            blocks = classify_blocks(build_blocks(events))
         if max_blocks is not None:
             blocks = blocks[:max_blocks]
         text_md, text_plain, spans, n_blocks, n_chars = render_blocks(blocks)

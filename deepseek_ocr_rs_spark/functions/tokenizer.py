@@ -340,3 +340,73 @@ def tokenize_html(payload: str, chunk_size: int = 0) -> List[Event]:
         events.extend(tok.feed(data))
     events.extend(tok.finish())
     return events
+
+
+# rawtext close-tag scanners: ASCII-only case-insensitivity (re.A) matches
+# the streaming path's bytes.lower(), which maps only A-Z — full-Unicode
+# folding would additionally let U+212A KELVIN match 'k'
+_RAWTEXT_CLOSE_RE = {
+    tag: re.compile("</" + tag, re.IGNORECASE | re.ASCII)
+    for tag in _RAWTEXT_TAGS
+}
+
+
+def tokenize_html_fast(payload: str) -> List[Event]:
+    """Whole-string tokenizer, event-identical to ``HtmlTokenizer`` on str
+    input (differentially tested in test_kernel_pure / hypothesis fuzz).
+
+    The streaming class exists for byte chunks arriving over time (X5); the
+    batch hot path always holds the complete payload, where the bytearray
+    cursor machinery and per-run encode/decode are pure overhead.  str input
+    is valid UTF-8 by construction, so the streaming path's
+    ``errors="replace"`` branches are unreachable and byte offsets and
+    character scans find the same '<' '>' '-->' positions.
+    """
+    out: List[Event] = []
+    s = payload
+    n = len(s)
+    find = s.find
+    pos = 0
+    while True:
+        lt = find("<", pos)
+        if lt < 0:
+            if pos < n:
+                out.append(("text", decode_entities(s[pos:])))
+            break
+        if lt > pos:
+            out.append(("text", decode_entities(s[pos:lt])))
+        gt = find(">", lt + 1)
+        if gt < 0:
+            break  # unterminated tag at EOF: dropped (streaming parity)
+        raw = s[lt + 1 : gt]
+        pos = gt + 1
+        if raw.startswith("!--"):
+            # ended at this '>' only if the body closes with '--'
+            if not raw.endswith("--"):
+                end = find("-->", pos)
+                if end < 0:
+                    break  # unterminated comment: dropped
+                pos = end + 3
+            continue
+        parsed = _parse_tag(raw)
+        if parsed is None:
+            continue
+        kind, tag, attrs, self_closing = parsed
+        if kind == "open":
+            out.append(("open", tag, attrs))
+            if tag in VOID_TAGS or self_closing:
+                out.append(("close", tag))
+            elif tag in _RAWTEXT_TAGS:
+                m = _RAWTEXT_CLOSE_RE[tag].search(s, pos)
+                if m is None:
+                    # unterminated rawtext: body dropped, no close event
+                    # (streaming-final parity)
+                    break
+                out.append(("close", tag))
+                gt2 = find(">", m.start())
+                if gt2 < 0:
+                    break
+                pos = gt2 + 1
+        else:
+            out.append(("close", tag))
+    return out

@@ -66,7 +66,8 @@ class ExtractionJobConfig:
 
     n_partitions: int = 0          # 0 -> 3x default parallelism
     salt_buckets: int = 0          # 0 -> n_partitions (full spread)
-    chunk_bytes: int = 4096        # streaming tokenizer chunk size
+    chunk_bytes: int = 0           # 0 = whole-string fast tokenizer;
+                                   # >0 = streaming path in chunks that size
     sort_output: bool = True       # restore (conv_id, turn_idx) order
     output_partitions: int = 0     # 0 -> n_partitions
     run_id: str = ""               # "" -> deterministic from config+input

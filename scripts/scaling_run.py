@@ -67,10 +67,10 @@ def measure(df_builder):
     return time.perf_counter() - t0
 
 mk_map = lambda: extract_turns(
-    corpus, run_id=f"scale-map-{cpus}", chunk_bytes=65536)
+    corpus, run_id=f"scale-map-{cpus}", chunk_bytes=0)
 mk_e2e = lambda: extract_turns(
     corpus.repartitionByRange(max(cpus * 2, 8), "conv_id", "turn_idx"),
-    run_id=f"scale-e2e-{cpus}", chunk_bytes=65536)\
+    run_id=f"scale-e2e-{cpus}", chunk_bytes=0)\
     .sortWithinPartitions("conv_id", "turn_idx")
 
 # FULL untimed warm pass of BOTH topologies first.  A partial warm-up
@@ -89,7 +89,7 @@ map_phase = min(measure(mk_map) for _ in range(2))
 end_to_end = min(measure(mk_e2e) for _ in range(2))
 chk = 0
 if with_checksum:  # one output-equality checksum per config is enough
-    chk = int(extract_turns(corpus, chunk_bytes=65536)
+    chk = int(extract_turns(corpus, chunk_bytes=0)
               .agg(F.sum(F.crc32(F.concat_ws("\x1f", "conv_id",
                    F.col("turn_idx").cast("string"), "text_md"))).alias("c"))
               .first()["c"])

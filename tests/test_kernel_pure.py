@@ -331,3 +331,85 @@ def test_extract_payload_never_raises_fuzz():
             prev_end = s["end"]
         _json.dumps(res["spans"])  # spans stay JSON-serializable
     assert extract_payload(None)["ok"] is True  # NULL text = empty plain
+
+
+# ------------------------------------------- fast-path differential parity
+
+
+def test_fast_tokenizer_matches_streaming_fuzz():
+    """tokenize_html_fast must be event-identical to the streaming
+    tokenizer on any str input — same grammar fuzz as the X5 test, plus a
+    curated hostile corpus (comment fabrication, rawtext splits,
+    unterminated everything)."""
+    import random
+
+    from deepseek_ocr_rs_spark.functions.tokenizer import tokenize_html_fast
+
+    hostile = [
+        "<p>a</p><!-- x > b->still comment--><p>c</p>",
+        "<!-->", "<!--->", "<!-- -->", "<!-- unterminated",
+        "<script>var a='</scr'+'ipt>';</script><p>x</p>",
+        "<script>no close", "<style>b{}</STYLE><p>y</p>",
+        "<SCRIPT/><p>z</p>", "<p>tail<", "<p>tail<div",
+        "&eacute; &Ouml; &frac12; &bogus; &#x41; &#65;",
+        "<script>s</script", "<script>s</scriptx>more",
+        "<script>x</script  extra>tail</p>",
+        "", "<", ">", "<>", "< >", "</>", "<!>",
+        "<div title='a>b'>t</div>",
+    ]
+    for doc in hostile:
+        base = tokenize_html(doc)
+        assert tokenize_html_fast(doc) == base, doc
+        assert tokenize_html(doc, chunk_size=3) == base, doc
+
+    rng = random.Random(0xFA57)
+    frags = [
+        "<p>", "</p>", "<div>", "</div>", "<a href=\"x&y\">", "</a>",
+        "<br>", "<br/>", "<!--", "-->", "--", "-", ">", "<", "&amp;",
+        "&eacute;", "&#x41;", "&bogus;", "&", ";", "<script>", "</script>",
+        "<style>", "</style>", "<STYLE>", "</StYlE>", "<td>", "<tr>",
+        "</tr>", "text ", "é", "日", "\U0001F600", "\n", "<!", "<h1>",
+        "</h1>", "<p attr='v>w'>",
+    ]
+    for trial in range(300):
+        doc = "".join(rng.choice(frags) for _ in range(rng.randint(1, 40)))
+        assert tokenize_html_fast(doc) == tokenize_html(doc), (trial, doc)
+
+
+def test_fused_builder_matches_streaming_fuzz():
+    """build_blocks_fast (fused scan -> Block array) must produce the same
+    blocks as folding the chunked streaming event stream."""
+    import random
+
+    from deepseek_ocr_rs_spark.functions.dom import (
+        build_blocks,
+        build_blocks_fast,
+    )
+
+    rng = random.Random(0xB10C)
+    frags = [
+        "<p>", "</p>", "<div>", "</div>", "<nav>", "</nav>", "<a href='u'>",
+        "</a>", "<br>", "<!--", "-->", "<script>", "</script>", "<td>",
+        "</td>", "<tr>", "</tr>", "<table>", "</table>", "<ul>", "<li>",
+        "</li>", "</ul>", "<h2>", "</h2>", "word ", "é日\U0001F600",
+        "&amp;", "&eacute;", "\r\n", "<pre>", "</pre>", "<b>", "</b>",
+    ]
+    for trial in range(300):
+        doc = "".join(rng.choice(frags) for _ in range(rng.randint(1, 50)))
+        expected = build_blocks(tokenize_html(doc, chunk_size=7))
+        assert build_blocks_fast(doc) == expected, (trial, doc)
+
+
+def test_extract_payload_fast_default_matches_streaming():
+    """chunk_bytes=0 (default, fused fast path) == any streaming chunking
+    through the whole kernel, including table/link/drop features."""
+    html = ("<html><head><title>t</title></head><body><nav>menu</nav>"
+            "<h1>Tïtle 🙂</h1><p>body &amp; <a href='u'>link 日本語</a></p>"
+            "<table><tr><td>a</td><td>b&eacute;</td></tr></table>"
+            "<script>drop()</script><pre>  code  </pre></body></html>")
+    fast = extract_payload(html)  # default: fused fast path
+    for cb in (1, 3, 7, 4096):
+        assert extract_payload(html, chunk_bytes=cb) == fast
+    assert "a | bé" in fast["text_plain"]  # cells joined, entity decoded
+    assert "menu" not in fast["text_plain"]  # nav subtree dropped
+    assert "drop()" not in fast["text_plain"]  # script body dropped
