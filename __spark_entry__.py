@@ -1882,6 +1882,22 @@ def train_global_ids(spark, sf_dir):
     return assign_global_ids(docs, "doc_id", n_ranges=8)
 
 
+def train_dsir_resample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): make the raw corpus
+    look like the English target — hashed unigram+bigram bucket
+    distributions, exact integer likelihood-ratio weights, and a
+    proportional md5 resample.  All JVM expressions; the score agg is the
+    single map-side-combinable shuffle (operators/dsir.py)."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_rs_spark.operators.dsir import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return dsir_resample(
+        docs, F.col("lang") == "en", n_buckets=1024, seed=7
+    )
+
+
 def doc_tfidf_topk(spark, sf_dir):
     """Top-3 characteristic terms per document by the log-free TF-IDF
     ``tf * (N/df)`` (IEEE-exact cross-engine; ln would be libm-dependent).
@@ -2078,7 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_shard_assignment": train_shard_assignment,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q11_important_parts": q11_important_parts,
-        "q12_priority_by_returnflag": q12_priority_by_returnflag,
+        "train_dsir_resample": train_dsir_resample,
         "sketch_hist_quantiles": sketch_hist_quantiles,
         "q15_top_supplier": q15_top_supplier,
         "doc_hashclf_lang": doc_hashclf_lang,
@@ -2133,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: green in a prior driver round; covered by the in-repo
         #    gate (q13/q16 keep their r03 rows; they ceded slots to the
         #    round-4 sketch_hist_quantiles / doc_hashclf_lang) -----------
+        "q12_priority_by_returnflag": q12_priority_by_returnflag,
         "q13_order_count_distribution": q13_order_count_distribution,
         "q16_supplier_count_by_attrs": q16_supplier_count_by_attrs,
         "extract_html_table": q_extract_html_table,
@@ -2223,6 +2240,7 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.payloads import (
         MISSING_IMAGE_MARKDOWN as _FALLBACK_MD,
     )
+    from deepseek_ocr_rs_spark.operators.dsir import dsir_resample_oracle_sql
     from deepseek_ocr_rs_spark.operators.redaction import redaction_oracle_exprs
     from deepseek_ocr_rs_spark.operators.sharding import (
         assign_global_ids_oracle_sql,
@@ -3283,6 +3301,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "train_global_ids": assign_global_ids_oracle_sql(
             "documents", "doc_id", select="doc_id, lang"
+        ),
+        "train_dsir_resample": dsir_resample_oracle_sql(
+            "documents", "lang = 'en'", n_buckets=1024, seed=7
         ),
         "doc_tfidf_topk": tfidf_topk_oracle_sql(
             "documents", "doc_id", "text", k=3

@@ -103,7 +103,13 @@ def main() -> None:
         materialize(extracted)
         return time.perf_counter() - t0
 
-    extract_sec = min(run_headline() for _ in range(2))
+    walls = [run_headline(), run_headline()]
+    # hostile-window insurance: when the two observations disagree by
+    # >1.5x the window is drifting (identical work swings 4-15x on this
+    # shared VM, BENCH/BASELINE.md) — buy one more observation
+    if max(walls) > 1.5 * min(walls):
+        walls.append(run_headline())
+    extract_sec = min(walls)
     timings["extract_transcripts"] = round(extract_sec, 3)
     turns_per_sec = n_turns / extract_sec
 

@@ -101,12 +101,21 @@ def assign_global_ids(
 
       1. range-partition by the key (``repartitionByRange`` — the same
          distributed-sort exchange an ORDER BY uses, every partition
-         holds a contiguous key range);
-      2. rank WITHIN each partition (window keyed by
-         ``spark_partition_id()`` — parallelism stays n_ranges);
-      3. per-partition counts (an O(n_ranges)-row aggregate) turn into
-         prefix offsets via a window over that TINY table, and attach
-         back by broadcast; id = offset + local_rank - 1.
+         holds a contiguous key range) and sort within partitions;
+      2. rank WITHIN each partition with ZERO additional exchange:
+         ``monotonically_increasing_id`` assigns ``pid << 33 | local_row``
+         in partition iteration order, so the partition index and the
+         0-based local rank are bit fields of one map-side column (a
+         window keyed on ``spark_partition_id`` would re-shuffle the
+         full dataset a second time just to rank rows already grouped);
+      3. per-partition counts (an O(n_ranges)-row aggregate over the
+         reused exchange output) turn into prefix offsets via a window
+         over that TINY table, and attach back by broadcast;
+         id = offset + local_rank.
+
+    Each range partition must hold < 2^33 rows (the mono-id record
+    field) — at any sane n_ranges that is orders of magnitude above a
+    partition that fits a machine anyway.
 
     Range boundaries come from Spark's deterministic sampler, so two
     branches over the same input see identical partition ids.  Where
@@ -119,16 +128,16 @@ def assign_global_ids(
     deterministic global positions without a serial pass
     (crates/core/src/streaming.rs:43-62 ordering discipline).
     """
-    ranged = df.repartitionByRange(n_ranges, F.col(order_col))
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    local = with_pid.withColumn(
-        "_lrn",
-        F.row_number().over(
-            Window.partitionBy("_pid").orderBy(order_col)
-        ),
+    ranged = df.repartitionByRange(
+        n_ranges, F.col(order_col)
+    ).sortWithinPartitions(order_col)
+    local = ranged.withColumn("_mid", F.monotonically_increasing_id()).select(
+        "*",
+        F.shiftright("_mid", 33).alias("_pid"),
+        F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("_lrn"),
     )
     offsets = (
-        with_pid.groupBy("_pid")
+        local.groupBy("_pid")
         .agg(F.count("*").alias("_cnt"))
         .select(
             "_pid",
@@ -144,8 +153,8 @@ def assign_global_ids(
     )
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .withColumn(id_name, F.col("_off") + F.col("_lrn") - F.lit(1))
-        .drop("_pid", "_lrn", "_off")
+        .withColumn(id_name, F.col("_off") + F.col("_lrn"))
+        .drop("_mid", "_pid", "_lrn", "_off")
     )
 
 

@@ -177,6 +177,21 @@ AUDITS = {
         ("shard-keyed window", "hashpartitioning(shard_id"),
         ("window operator", "Window"),
     ],
+    "train_global_ids": [
+        # the distributed zipWithIndex: ONE full-data exchange (the range
+        # partition); local ranks are bit fields of monotonically_
+        # increasing_id, so no second hashpartitioning exchange exists
+        # just to rank rows already grouped; prefix offsets broadcast back
+        ("range partition on the key", "rangepartitioning(doc_id"),
+        ("broadcast prefix offsets", "BroadcastHashJoin"),
+    ],
+    "train_dsir_resample": [
+        # bucket weights are a B-row table broadcast back to the exploded
+        # grams; the per-doc score agg is partial (map-side combinable)
+        ("broadcast weight join", "BroadcastHashJoin"),
+        ("partial score agg", "HashAggregate"),
+        ("pruned doc scan", "ReadSchema: struct<doc_id:bigint,text:string"),
+    ],
     "doc_tfidf_topk": [
         # tf is a map-side-combinable partial aggregate; the vocab join
         # broadcasts at this SF (shuffle join at web-scale vocab); top-k
