@@ -102,16 +102,25 @@ def assign_global_ids(
       1. range-partition by the key (``repartitionByRange`` — the same
          distributed-sort exchange an ORDER BY uses, every partition
          holds a contiguous key range) and sort within partitions;
-      2. rank WITHIN each partition with ZERO additional exchange:
+      2. rank WITHIN each partition with no extra exchange of the data:
          ``monotonically_increasing_id`` assigns ``pid << 33 | local_row``
          in partition iteration order, so the partition index and the
          0-based local rank are bit fields of one map-side column (a
          window keyed on ``spark_partition_id`` would re-shuffle the
-         full dataset a second time just to rank rows already grouped);
-      3. per-partition counts (an O(n_ranges)-row aggregate over the
-         reused exchange output) turn into prefix offsets via a window
-         over that TINY table, and attach back by broadcast;
-         id = offset + local_rank.
+         full WIDTH of the dataset a second time just to rank rows
+         already grouped);
+      3. the ranked data is pinned with ``localCheckpoint`` BEFORE it
+         forks into the count pass and the final join.  This is load-
+         bearing, not an optimization: Spark's range-boundary sampler
+         seeds from the runtime RDD id, so two independently compiled
+         exchanges over the same input may pick DIFFERENT boundaries at
+         scale (the sample is partial beyond ~100 rows/partition) — a
+         count pass under different boundaries silently corrupts ids.
+         RDD.zipWithIndex gets this stability for free from reusing one
+         partitioner object; the DataFrame analog must materialize.
+         Then per-partition counts collapse to an O(n_ranges)
+         prefix-offset table via a window over that TINY aggregate and
+         attach back by broadcast; id = offset + local_rank.
 
     Each range partition must hold < 2^33 rows (the mono-id record
     field) — at any sane n_ranges that is orders of magnitude above a
@@ -135,7 +144,7 @@ def assign_global_ids(
         "*",
         F.shiftright("_mid", 33).alias("_pid"),
         F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("_lrn"),
-    )
+    ).localCheckpoint()  # freeze boundaries + ids across the two passes
     offsets = (
         local.groupBy("_pid")
         .agg(F.count("*").alias("_cnt"))

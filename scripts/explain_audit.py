@@ -178,11 +178,12 @@ AUDITS = {
         ("window operator", "Window"),
     ],
     "train_global_ids": [
-        # the distributed zipWithIndex: ONE full-data exchange (the range
-        # partition); local ranks are bit fields of monotonically_
-        # increasing_id, so no second hashpartitioning exchange exists
-        # just to rank rows already grouped; prefix offsets broadcast back
-        ("range partition on the key", "rangepartitioning(doc_id"),
+        # the distributed zipWithIndex: the range exchange + local ranks
+        # run once inside the localCheckpoint job (boundary stability —
+        # see assign_global_ids docstring), so the final plan reads the
+        # checkpointed RDD twice (count pass + join) with NO further
+        # full-data exchange; prefix offsets broadcast back
+        ("reads the pinned checkpoint", "Scan ExistingRDD"),
         ("broadcast prefix offsets", "BroadcastHashJoin"),
     ],
     "train_dsir_resample": [
