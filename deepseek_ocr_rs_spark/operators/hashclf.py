@@ -129,7 +129,12 @@ def hashed_ngram_predict(
     return best.select(
         id_col,
         F.col("b.label").alias("pred_label"),
-        F.round(F.col("b.score"), 6).alias("score"),
+        # 6dp rounding SPELLED OUT as floor(x*1e6+0.5)/1e6: engine-native
+        # round() flips the last digit at representation boundaries
+        # (Spark HALF_UP on the binary expansion vs DuckDB rint) — the
+        # q2_min_cost_supplier discipline
+        (F.floor(F.col("b.score") * 1000000 + 0.5) / 1000000)
+        .alias("score"),
     )
 
 
@@ -196,7 +201,8 @@ def hashclf_oracle_sql(
           GROUP BY b.{id_col}, c.label
         ),
         best AS (
-          SELECT {id_col}, label AS pred_label, round(score, 6) AS score,
+          SELECT {id_col}, label AS pred_label,
+                 floor(score * 1000000 + 0.5) / 1000000 AS score,
                  row_number() OVER (PARTITION BY {id_col}
                                     ORDER BY score DESC, label DESC)
                    AS rn
