@@ -96,3 +96,29 @@ def test_all_rows_match_target_pred(spark):
            dsir_resample(df, F.col("lang") == "en").collect()}
     # target == raw: every bucket ratio ~= SCALE, scores ~ token counts
     assert got[0]["dsir_score"] > 0 and got[1]["dsir_score"] > 0
+
+
+@pytest.mark.parametrize("texts", [
+    # unicode words + punctuation boundaries
+    ["héllo wörld héllo", "héllo wörld", "日本語 テキスト 日本語", "a b a b"],
+    # digits, tabs/newlines as whitespace, repeated single word
+    ["1 22 333 1 22", "x\ty\nz  x", "w w w w w w", "solo"],
+    # very long word, single-char words, mixed case collapse
+    ["A" * 500 + " b", "a A aa AA", "Mixed CASE mixed case"],
+])
+def test_oracle_parity_hostile_corpora(spark, texts, tmp_path):
+    rows = [(i, t, "en" if i % 2 == 0 else "xx") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    p = str(tmp_path / "h.parquet")
+    df.write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW hdocs AS SELECT * FROM '{p}/*.parquet'")
+    sql = dsir_resample_oracle_sql("hdocs", "lang = 'en'",
+                                   n_buckets=64, seed=3)
+    oracle = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    got = sorted(
+        tuple(r)
+        for r in dsir_resample(df, F.col("lang") == "en",
+                               n_buckets=64, seed=3).collect()
+    )
+    assert got == oracle
