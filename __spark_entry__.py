@@ -1909,6 +1909,19 @@ def doc_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+def train_bpe_pairs(spark, sf_dir):
+    """Round-0 BPE vocabulary-induction statistics: the 40 most frequent
+    adjacent character pairs over the documents corpus (what the first
+    tokenizer merges would fuse).  One corpus-scale word-count shuffle,
+    one (left,right)-keyed hash aggregate, TakeOrderedAndProject top-k —
+    the full iterative trainer is operators/bpe.py:bpe_train (pytest
+    parity vs a pure-Python Sennrich reference).  Upstream analog of the
+    reference's pretrained tokenizer assets (crates/core tokenizer)."""
+    from deepseek_ocr_rs_spark.operators.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), "text", top_k=40)
+
+
 def doc_textrank_terms(spark, sf_dir):
     """TextRank keyword centrality: 3 PageRank iterations over the
     corpus's undirected word-adjacency graph, top-30 terms.  Fixed-fold
@@ -2099,7 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "doc_hashclf_lang": doc_hashclf_lang,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "train_bpe_pairs": train_bpe_pairs,
         "q20_promo_excess_suppliers": q20_promo_excess_suppliers,
         "q21_sole_return_supplier": q21_sole_return_supplier,
         "q22_idle_customer_balance": q22_idle_customer_balance,
@@ -2148,7 +2161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_textrank_terms": doc_textrank_terms,
         # -- 51+: green in a prior driver round; covered by the in-repo
         #    gate (q13/q16 keep their r03 rows; they ceded slots to the
-        #    round-4 sketch_hist_quantiles / doc_hashclf_lang) -----------
+        #    round-4 sketch_hist_quantiles / doc_hashclf_lang; q19 —
+        #    unchanged since its r03 green row — ceded its slot to
+        #    train_bpe_pairs) ------------------------------------------
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q12_priority_by_returnflag": q12_priority_by_returnflag,
         "q13_order_count_distribution": q13_order_count_distribution,
         "q16_supplier_count_by_attrs": q16_supplier_count_by_attrs,
@@ -2247,6 +2263,7 @@ def oracle_sql() -> dict[str, str]:
         shard_assignment_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.tfidf import tfidf_topk_oracle_sql
+    from deepseek_ocr_rs_spark.operators.bpe import bpe_pair_counts_oracle_sql
 
     _red_expr, _red_counts = redaction_oracle_exprs("planted")
     from deepseek_ocr_rs_spark.operators.lm import lm_score_oracle_sql
@@ -3307,6 +3324,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_tfidf_topk": tfidf_topk_oracle_sql(
             "documents", "doc_id", "text", k=3
+        ),
+        "train_bpe_pairs": bpe_pair_counts_oracle_sql(
+            "documents", "text", top_k=40
         ),
         "search_posting_lists": posting_lists_oracle_sql(
             "documents", min_df=2

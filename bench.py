@@ -175,6 +175,8 @@ def main() -> None:
         # canonical selection: SemDeDup cells + quality-aware pruning
         "emb_semantic_dedup",
         "dedup_quality_keep_best",
+        # BPE vocabulary induction (round-0 pair statistics)
+        "train_bpe_pairs",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

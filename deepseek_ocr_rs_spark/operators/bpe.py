@@ -1,0 +1,261 @@
+"""Distributed BPE tokenizer-vocabulary training over a document corpus.
+
+Byte-pair encoding (Sennrich et al. 2016, public) is the standard way a
+training-data pipeline derives a subword vocabulary from the corpus it is
+about to train on.  The reference engine ships a *pretrained* tokenizer
+(crates/core tokenizer assets); this module supplies the upstream,
+corpus-scale step that produces such a vocabulary — the same discipline
+family as the token-counting stats in operators/textstats.py but inductive
+rather than descriptive.
+
+Algorithm (classic, deterministic):
+  1. corpus -> (word, cnt): lowercase whitespace words, counted.  This is
+     the ONLY corpus-scale job — one hash-aggregate shuffle keyed on the
+     word (high cardinality, map-side combinable).
+  2. each distinct word becomes its character-symbol sequence.
+  3. repeat n_merges times: count adjacent symbol pairs weighted by word
+     count, pick the most frequent pair (ties broken lexicographically, so
+     reruns and retries are bit-identical), fuse every greedy
+     left-to-right occurrence of that pair.
+
+100 TB posture:
+* step 1 touches the full corpus exactly once; everything after iterates
+  over the DISTINCT-WORD vocabulary, which is orders of magnitude smaller
+  (Heaps' law) and stays distributed;
+* the per-iteration driver traffic is ONE row (the argmax pair via
+  ``orderBy(...).limit(1)`` -> TakeOrderedAndProject) — there is no
+  corpus- or vocab-sized collect anywhere;
+* the merge application is a JVM ``aggregate`` fold over each word's
+  symbol array (no Python in the loop); ``localCheckpoint`` every few
+  rounds keeps the lineage flat so round K does not replay rounds 0..K-1;
+* pair counting is a two-phase hash aggregate on (left, right) — naturally
+  balanced keys, map-side partials.
+
+The greedy left-to-right fold is exactly Sennrich's merge: after fusing,
+the new symbol (left||right) can never equal ``left`` (right is nonempty),
+so a fused symbol is not re-used as the left element within the same pass.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over lowercase whitespace tokens — the one corpus-scale
+    aggregation; identical tokenization to operators/tfidf.py."""
+    return (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _char_syms(word_col: str) -> F.Column:
+    """array<string> of the word's characters (1-indexed substring, so the
+    split is character-based on both engines)."""
+    return F.expr(
+        f"transform(sequence(1, char_length({word_col})), "
+        f"i -> substring({word_col}, i, 1))"
+    )
+
+
+def pair_counts(
+    vocab: DataFrame, syms_col: str = "syms", cnt_col: str = "cnt"
+) -> DataFrame:
+    """(left_sym, right_sym, pair_cnt): adjacent-symbol pairs across the
+    vocabulary, weighted by word count.  Overlapping occurrences within a
+    word each count (zip(s, s[1:]) semantics)."""
+    pairs = (
+        vocab.where(F.size(syms_col) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size({syms_col}) - 2), i -> "
+                    f"struct(element_at({syms_col}, i + 1) AS left_sym, "
+                    f"element_at({syms_col}, i + 2) AS right_sym))"
+                )
+            ).alias("p"),
+            F.col(cnt_col).alias("_w"),
+        )
+        .select("p.left_sym", "p.right_sym", "_w")
+    )
+    return pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("_w").cast("long").alias("pair_cnt")
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 40
+) -> DataFrame:
+    """Round-0 BPE statistics: the ``top_k`` most frequent adjacent
+    character pairs over the corpus (the pairs the first merges would
+    fuse), deterministically ordered (cnt desc, then lexicographic)."""
+    w = word_counts(df, text_col).where(F.length("word") >= 2)
+    pairs = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(word) - 1), i -> "
+                "struct(substring(word, i, 1) AS left_sym, "
+                "substring(word, i + 1, 1) AS right_sym))"
+            )
+        ).alias("p"),
+        "cnt",
+    ).select("p.left_sym", "p.right_sym", "cnt")
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("cnt").cast("long").alias("pair_cnt"))
+        .orderBy(F.desc("pair_cnt"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(top_k)
+    )
+
+
+def bpe_pair_counts_oracle_sql(
+    table: str = "documents", text_col: str = "text", top_k: int = 40
+) -> str:
+    """DuckDB SQL replicating ``bpe_pair_counts`` exactly (same
+    tokenization, same character pairing, same deterministic order)."""
+    return f"""
+        WITH w AS (
+          SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower({text_col}), '\\s+'))
+                   AS word
+            FROM {table}
+          ) WHERE word <> '' GROUP BY word
+        ), p AS (
+          SELECT substr(word, CAST(i AS INT), 1) AS left_sym,
+                 substr(word, CAST(i AS INT) + 1, 1) AS right_sym,
+                 cnt
+          FROM w, UNNEST(range(1, length(word))) AS u(i)
+          WHERE length(word) >= 2
+        )
+        SELECT left_sym, right_sym, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+        FROM p GROUP BY left_sym, right_sym
+        ORDER BY pair_cnt DESC, left_sym ASC, right_sym ASC
+        LIMIT {top_k}
+    """
+
+
+def _apply_merge(syms: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-to-right fusion of (left, right) -> left||right inside a
+    symbol array — a JVM ``aggregate`` fold, no Python."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+    checkpoint_every: int = 4,
+    spark: Optional[SparkSession] = None,
+) -> Tuple[DataFrame, DataFrame]:
+    """Train ``n_merges`` BPE merges over the corpus.
+
+    Returns (merges, vocab):
+      merges: (step, left_sym, right_sym, pair_cnt) — the learned merge
+              table in application order;
+      vocab:  (word, cnt, tokens) — every distinct corpus word with its
+              final subword segmentation.
+
+    Stops early when the best remaining pair occurs < ``min_count`` times.
+    Deterministic under any partitioning: the argmax tie-break is
+    (count desc, left asc, right asc).
+    """
+    spark = spark or df.sparkSession
+    vocab = (
+        word_counts(df, text_col)
+        .withColumn("syms", _char_syms("word"))
+        .select("word", "cnt", "syms")
+        .localCheckpoint()  # corpus-scale agg runs exactly once
+    )
+    merges: List[Tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        best = (
+            pair_counts(vocab)
+            .orderBy(F.desc("pair_cnt"), F.asc("left_sym"), F.asc("right_sym"))
+            .limit(1)
+            .collect()  # bounded: exactly one row per iteration
+        )
+        if not best or best[0]["pair_cnt"] < min_count:
+            break
+        l, r, c = best[0]["left_sym"], best[0]["right_sym"], int(best[0]["pair_cnt"])
+        merges.append((step, l, r, c))
+        vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"), l, r))
+        if (step + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()  # keep lineage flat
+    merges_df = spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_cnt long"
+    )
+    return merges_df, vocab.withColumnRenamed("syms", "tokens")
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: List[Tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Tokenize the corpus with a trained merge table (application order).
+
+    Returns (id, tokens: array<string>, n_tokens) — each document's words
+    segmented by the merges, flattened in original word order.
+
+    Scale shape: the merge folds run over the DISTINCT words only
+    (vocab-sized, Heaps'-law small), never the corpus; the corpus-side
+    work is one posexplode + one equi-join on the word and one per-doc
+    reassembly aggregation.  The join is left as a shuffle join — the
+    vocab of a 100 TB corpus is broadcastable only sometimes, and AQE
+    will convert it when it is.  A word whose characters never merge
+    passes through as its character sequence (OOV-safe by construction:
+    BPE segmentation is defined for any string over the char alphabet).
+    """
+    words = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "pos", "word"
+            ),
+        )
+        .where(F.col("word") != "")
+    )
+    seg = (
+        words.select("word")
+        .distinct()
+        .withColumn("syms", _char_syms("word"))
+    )
+    for i, m in enumerate(merges):
+        seg = seg.withColumn("syms", _apply_merge(F.col("syms"), m[0], m[1]))
+        if (i + 1) % checkpoint_every == 0:
+            seg = seg.localCheckpoint()
+    return (
+        words.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.expr("transform(array_sort(collect_list(struct(pos, syms))), "
+                       "s -> s.syms)")
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+    )
