@@ -1922,6 +1922,35 @@ def train_bpe_pairs(spark, sf_dir):
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), "text", top_k=40)
 
 
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowed document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): per doc, the distinct (pos, hash) set of window-minimum
+    k-gram hashes — the passage-level dedup primitive with the paper's
+    coverage guarantee.  One explode + one doc-partitioned forward-frame
+    window; the rightmost-min tie-break is a single packed-int64 min
+    (operators/winnow.py).  Content-hash discipline analog of the
+    reference's golden-fixture equality, made local so partial copies
+    are findable."""
+    from deepseek_ocr_rs_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8, w=16
+    )
+
+
+def doc_winnow_matches(spark, sf_dir):
+    """Cross-document partial-copy report: ordered doc pairs sharing >= 2
+    distinct winnowed fingerprint hashes, stop-fingerprint capped at
+    df <= 64 so no hash bucket can go quadratic (the LSH band-join /
+    posting-list discipline).  operators/winnow.py:winnow_matches."""
+    from deepseek_ocr_rs_spark.operators.winnow import winnow_matches
+
+    return winnow_matches(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=8, w=16, min_shared=2, max_df=64,
+    )
+
+
 def doc_textrank_terms(spark, sf_dir):
     """TextRank keyword centrality: 3 PageRank iterations over the
     corpus's undirected word-adjacency graph, top-30 terms.  Fixed-fold
@@ -2111,9 +2140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hist_quantiles": sketch_hist_quantiles,
         "q15_top_supplier": q15_top_supplier,
         "doc_hashclf_lang": doc_hashclf_lang,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "doc_winnow_fingerprints": doc_winnow_fingerprints,
         "train_bpe_pairs": train_bpe_pairs,
-        "q20_promo_excess_suppliers": q20_promo_excess_suppliers,
+        "doc_winnow_matches": doc_winnow_matches,
         "q21_sole_return_supplier": q21_sole_return_supplier,
         "q22_idle_customer_balance": q22_idle_customer_balance,
         # -- slots 17-26: sets / joins / windows / templates -------------
@@ -2161,10 +2190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_textrank_terms": doc_textrank_terms,
         # -- 51+: green in a prior driver round; covered by the in-repo
         #    gate (q13/q16 keep their r03 rows; they ceded slots to the
-        #    round-4 sketch_hist_quantiles / doc_hashclf_lang; q19 —
-        #    unchanged since its r03 green row — ceded its slot to
-        #    train_bpe_pairs) ------------------------------------------
+        #    round-4 sketch_hist_quantiles / doc_hashclf_lang; q19/q17/
+        #    q20 — unchanged since their r03 green rows — ceded slots to
+        #    train_bpe_pairs and the winnowing pair) --------------------
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_promo_excess_suppliers": q20_promo_excess_suppliers,
         "q12_priority_by_returnflag": q12_priority_by_returnflag,
         "q13_order_count_distribution": q13_order_count_distribution,
         "q16_supplier_count_by_attrs": q16_supplier_count_by_attrs,
@@ -2264,6 +2295,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.tfidf import tfidf_topk_oracle_sql
     from deepseek_ocr_rs_spark.operators.bpe import bpe_pair_counts_oracle_sql
+    from deepseek_ocr_rs_spark.operators.winnow import (
+        winnow_fingerprints_oracle_sql,
+        winnow_matches_oracle_sql,
+    )
 
     _red_expr, _red_counts = redaction_oracle_exprs("planted")
     from deepseek_ocr_rs_spark.operators.lm import lm_score_oracle_sql
@@ -3327,6 +3362,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "train_bpe_pairs": bpe_pair_counts_oracle_sql(
             "documents", "text", top_k=40
+        ),
+        "doc_winnow_fingerprints": winnow_fingerprints_oracle_sql(
+            "documents", "doc_id", "text", k=8, w=16
+        ),
+        "doc_winnow_matches": winnow_matches_oracle_sql(
+            "documents", "doc_id", "text", k=8, w=16,
+            min_shared=2, max_df=64,
         ),
         "search_posting_lists": posting_lists_oracle_sql(
             "documents", min_df=2

@@ -177,6 +177,8 @@ def main() -> None:
         "dedup_quality_keep_best",
         # BPE vocabulary induction (round-0 pair statistics)
         "train_bpe_pairs",
+        # winnowing passage matches (fingerprint + capped bucket join)
+        "doc_winnow_matches",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -1,0 +1,224 @@
+"""Winnowing document fingerprints + cross-document passage matching.
+
+Winnowing (Schleimer, Wilkerson, Aiken — "Winnowing: Local Algorithms for
+Document Fingerprinting", SIGMOD 2003, public; the MOSS algorithm) is the
+standard passage-level near-duplicate primitive: hash every character
+k-gram, slide a window of ``w`` consecutive hashes, and keep the minimum
+hash of each window (rightmost occurrence on ties).  The selected set is
+a ~``2/(w+1)`` density sample of the k-gram stream with the paper's
+guarantee: any shared substring of at least ``w + k - 1`` characters
+produces at least one shared fingerprint.  That is the property exact
+span dedup (operators/spandedup.py) cannot give at sub-shingle
+granularity and MinHash (operators/dedup.py) only gives document-wide.
+
+Exactness discipline (the repo contract): the k-gram hash is the repo's
+md5 family reduced to 39 bits, and the window's
+min-with-rightmost-tie-break is ONE integer comparison — the hash and the
+position are packed into a single int64
+
+    key = h39 * 2^24 + (2^24 - 1 - pos)
+
+so ``min(key)`` over the window picks the smallest hash and, among equal
+hashes, the LARGEST position (the paper's rightmost rule).  h39 < 2^39
+keeps the key under 2^63 — exact on both engines.  Documents are
+fingerprinted up to k-gram position 2^24 - 1 (~16 MB of text); the tail
+past the cap is excluded identically on both engines.
+
+Design for 100 TB:
+* fingerprint selection is per-document work: one explode (k-gram
+  stream), one forward-frame window partitioned BY DOCUMENT — the only
+  shuffle is the hash exchange on doc_id, and the set leaving the stage
+  is ~2/(w+1) of the gram stream (the paper's point: winnow BEFORE any
+  cross-document traffic);
+* cross-document matching groups the winnowed set by fingerprint hash —
+  a bucket join exactly like the LSH band join, never all-pairs — with a
+  ``max_df`` stop-fingerprint cap (boilerplate k-grams shared by
+  thousands of documents are dropped, the posting-list discipline) so no
+  single hash bucket can go quadratic;
+* everything is JVM expressions: no Python anywhere.
+
+Reference analog: content-hash discipline over extracted text
+(crates/assets content addressing; benchsuite golden-fixture equality) —
+winnowing is the same idea made local so PARTIAL copies are findable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 15          # 60-bit md5 prefix: fits signed int64
+_H_BITS = 39              # packed key = h * 2^24 + pos' stays < 2^63
+_POS_BITS = 24            # max fingerprintable k-gram position
+_H_MOD = 1 << _H_BITS
+_POS_MOD = 1 << _POS_BITS
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+) -> DataFrame:
+    """(id, fp_pos, fp_hash): the distinct winnowed fingerprint set.
+
+    ``fp_pos`` is the 1-based character position of the selected k-gram,
+    ``fp_hash`` its 39-bit hash.  Only FULL windows select (a document
+    with fewer than ``w`` k-grams — shorter than ``w + k - 1`` chars —
+    yields no fingerprints, matching the paper's guarantee threshold).
+    NULL text yields no fingerprints.  K-grams past position 2^24 - 1
+    are not fingerprinted (identically on both engines).  Deterministic
+    under any partitioning; ties pick the rightmost minimal hash (the
+    paper's rule)."""
+    # guard BEFORE the explode: Spark's sequence(1, n) flips to a
+    # DESCENDING [1, 0] when n = 0 (step is inferred from the sign), so a
+    # doc shorter than k chars must never reach the transform
+    grams = (
+        df.where(F.char_length(F.lower(F.col(text_col))) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, "
+                    f"char_length(lower({text_col})) - {k - 1}), "
+                    f"i -> struct(i AS pos, "
+                    f"pmod(cast(conv(substring(md5(substring("
+                    f"lower({text_col}), i, {k})), 1, {_HEX_DIGITS}), "
+                    f"16, 10) AS bigint), {_H_MOD}L) AS h))"
+                )
+            ).alias("g"),
+        )
+        .select(id_col, "g.pos", "g.h")
+        .where(F.col("pos") < _POS_MOD)
+    )
+    key = (F.col("h") * F.lit(_POS_MOD).cast("long")
+           + (F.lit(_POS_MOD - 1) - F.col("pos")))
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    whole_doc = Window.partitionBy(id_col)
+    return (
+        grams.withColumn("_key", key)
+        .withColumn("_sel", F.min("_key").over(frame))
+        .withColumn("_n", F.max("pos").over(whole_doc))
+        # full windows only: window start s has rows s..s+w-1 available
+        .where(F.col("pos") + (w - 1) <= F.col("_n"))
+        .select(
+            F.col(id_col),
+            (F.lit(_POS_MOD - 1) - F.col("_sel") % _POS_MOD)
+            .cast("int").alias("fp_pos"),
+            F.expr(f"_sel div {_POS_MOD}L").cast("long").alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
+def winnow_fingerprints_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+) -> str:
+    """DuckDB SQL replicating ``winnow_fingerprints`` bit-for-bit (same
+    hash reduction, same packed-key rightmost-tie-break, same full-window
+    rule, same short-document and position-cap exclusions)."""
+    return f"""
+        WITH g AS (
+          SELECT {id_col},
+                 CAST(i AS INTEGER) AS pos,
+                 CAST(CAST('0x' || substr(md5(substr(lower({text_col}),
+                      CAST(i AS INTEGER), {k})), 1, {_HEX_DIGITS}) AS BIGINT)
+                      % {_H_MOD} AS BIGINT) AS h
+          FROM {table},
+               UNNEST(range(1, length(lower({text_col})) - {k - 1} + 1))
+                 AS u(i)
+          WHERE length(lower({text_col})) >= {k}
+            AND CAST(i AS INTEGER) < {_POS_MOD}
+        ),
+        keyed AS (
+          SELECT {id_col}, pos,
+                 min(h * {_POS_MOD} + ({_POS_MOD - 1} - pos)) OVER (
+                   PARTITION BY {id_col} ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS sel,
+                 max(pos) OVER (PARTITION BY {id_col}) AS n
+          FROM g
+        )
+        SELECT DISTINCT {id_col},
+               CAST({_POS_MOD - 1} - (sel % {_POS_MOD}) AS INTEGER) AS fp_pos,
+               CAST(sel // {_POS_MOD} AS BIGINT) AS fp_hash
+        FROM keyed
+        WHERE pos + {w - 1} <= n
+    """
+
+
+def winnow_matches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+    max_df: int = 64,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): ordered document pairs sharing at least
+    ``min_shared`` distinct winnowed fingerprint hashes — the MOSS-style
+    partial-copy report.
+
+    Fingerprint hashes present in more than ``max_df`` distinct documents
+    are dropped before pairing (stop-fingerprints: boilerplate k-grams
+    would otherwise make one hash bucket quadratic — the posting-list /
+    LSH bucket-cap discipline).  The join is hash-bucketed, never
+    all-pairs."""
+    fp = (
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        .select(F.col(id_col).alias("_id"), "fp_hash")
+        .distinct()
+    )
+    rare = (
+        fp.groupBy("fp_hash")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fp_hash")
+    )
+    fp = fp.join(rare, "fp_hash")
+    a = fp.select(F.col("_id").alias("doc_a"), "fp_hash")
+    b = fp.select(F.col("_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_matches_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+    max_df: int = 64,
+) -> str:
+    """DuckDB SQL replicating ``winnow_matches`` exactly."""
+    fps = winnow_fingerprints_oracle_sql(table, id_col, text_col, k=k, w=w)
+    return f"""
+        WITH fps AS ({fps}),
+        fp AS (SELECT DISTINCT {id_col} AS id, fp_hash FROM fps),
+        rare AS (
+          SELECT fp_hash FROM fp GROUP BY fp_hash
+          HAVING count(*) <= {max_df}
+        ),
+        kept AS (SELECT fp.* FROM fp JOIN rare USING (fp_hash))
+        SELECT a.id AS doc_a, b.id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM kept a JOIN kept b USING (fp_hash)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}
+    """

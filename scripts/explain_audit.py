@@ -193,6 +193,25 @@ AUDITS = {
         ("partial score agg", "HashAggregate"),
         ("pruned doc scan", "ReadSchema: struct<doc_id:bigint,text:string"),
     ],
+    "doc_winnow_matches": [
+        # winnowed fingerprints leave the per-doc window stage at ~2/(w+1)
+        # density BEFORE any cross-document traffic; the pair stage
+        # shuffles on fp_hash only; no Python anywhere
+        ("doc-partitioned selection window", "hashpartitioning(doc_id"),
+        ("hash-bucketed pair join", "hashpartitioning(fp_hash"),
+        ("no Python in the plan", "!BatchEvalPython"),
+        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "train_bpe_pairs": [
+        # BPE round-0 pair stats: the word count is the one corpus-scale
+        # aggregate (map-side combinable), pair counting re-aggregates the
+        # vocab-sized table, top-k avoids a global sort, and Catalyst
+        # prunes the document scan to the text column alone
+        ("map-side partial word count", "HashAggregate"),
+        ("top-k without global sort", "TakeOrderedAndProject"),
+        ("no Python in the plan", "!BatchEvalPython"),
+        ("pruned scan (text only)", "ReadSchema: struct<text:string>"),
+    ],
     "doc_tfidf_topk": [
         # tf is a map-side-combinable partial aggregate; the vocab join
         # broadcasts at this SF (shuffle join at web-scale vocab); top-k
