@@ -1939,15 +1939,19 @@ def doc_winnow_fingerprints(spark, sf_dir):
 
 
 def doc_winnow_matches(spark, sf_dir):
-    """Cross-document partial-copy report: ordered doc pairs sharing >= 2
+    """Cross-document partial-copy report: ordered doc pairs sharing >= 4
     distinct winnowed fingerprint hashes, stop-fingerprint capped at
-    df <= 64 so no hash bucket can go quadratic (the LSH band-join /
-    posting-list discipline).  operators/winnow.py:winnow_matches."""
+    df <= 32 so no hash bucket can go quadratic (the LSH band-join /
+    posting-list discipline).  The synthetic docs are template-generated
+    and hence pathologically self-similar — at (2, 64) ~28% of ALL pairs
+    match, which is an all-near-dups corpus property, not a plan one;
+    (4, 32) keeps the gate non-vacuous (2,323 pairs at sf0.01) while
+    reporting actual shared passages.  operators/winnow.py:winnow_matches."""
     from deepseek_ocr_rs_spark.operators.winnow import winnow_matches
 
     return winnow_matches(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        k=8, w=16, min_shared=2, max_df=64,
+        k=8, w=16, min_shared=4, max_df=32,
     )
 
 
@@ -3368,7 +3372,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_winnow_matches": winnow_matches_oracle_sql(
             "documents", "doc_id", "text", k=8, w=16,
-            min_shared=2, max_df=64,
+            min_shared=4, max_df=32,
         ),
         "search_posting_lists": posting_lists_oracle_sql(
             "documents", min_df=2

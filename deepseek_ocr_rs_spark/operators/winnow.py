@@ -177,6 +177,11 @@ def winnow_matches(
         winnow_fingerprints(df, id_col, text_col, k=k, w=w)
         .select(F.col(id_col).alias("_id"), "fp_hash")
         .distinct()
+        # the fingerprint set forks three ways (df-count aggregate, pair
+        # probe a, pair probe b): without persisting, Spark re-runs the
+        # whole explode+window selection per branch (the with_minhash
+        # auto-persist lesson, operators/dedup.py:370)
+        .persist()
     )
     rare = (
         fp.groupBy("fp_hash")
