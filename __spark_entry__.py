@@ -1955,6 +1955,25 @@ def doc_winnow_matches(spark, sf_dir):
     )
 
 
+def j_interval_join_events(spark, sf_dir):
+    """Point-in-interval join without a nested loop: events against 30
+    deterministic daily service windows ([day+10h, day+16h)).  A bare
+    BETWEEN join with no equi-key compiles to BroadcastNestedLoopJoin;
+    operators/intervals.py buckets time so it becomes ONE hash equi-join
+    on the bucket id + the exact range predicate — the distributed
+    range-join plan.  The oracle is the naive theta join."""
+    from deepseek_ocr_rs_spark.operators.intervals import (
+        daily_window_intervals,
+        interval_join,
+    )
+
+    iv = daily_window_intervals("2024-01-01", 30, 10, 16)(spark)
+    return interval_join(
+        _t(spark, sf_dir, "events").select("event_id", "ts"),
+        iv, "ts", "start_ts", "end_ts", bucket=21600,
+    ).select("event_id", "interval_id")
+
+
 def doc_textrank_terms(spark, sf_dir):
     """TextRank keyword centrality: 3 PageRank iterations over the
     corpus's undirected word-adjacency graph, top-30 terms.  Fixed-fold
@@ -2147,7 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fingerprints": doc_winnow_fingerprints,
         "train_bpe_pairs": train_bpe_pairs,
         "doc_winnow_matches": doc_winnow_matches,
-        "q21_sole_return_supplier": q21_sole_return_supplier,
+        "j_interval_join_events": j_interval_join_events,
         "q22_idle_customer_balance": q22_idle_customer_balance,
         # -- slots 17-26: sets / joins / windows / templates -------------
         "set_suppliers_only_nations": set_suppliers_only_nations,
@@ -2195,9 +2214,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: green in a prior driver round; covered by the in-repo
         #    gate (q13/q16 keep their r03 rows; they ceded slots to the
         #    round-4 sketch_hist_quantiles / doc_hashclf_lang; q19/q17/
-        #    q20 — unchanged since their r03 green rows — ceded slots to
-        #    train_bpe_pairs and the winnowing pair) --------------------
+        #    q20/q21 — unchanged since their r03 green rows — ceded slots
+        #    to train_bpe_pairs, the winnowing pair, and the bucketized
+        #    interval join) ---------------------------------------------
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q21_sole_return_supplier": q21_sole_return_supplier,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q20_promo_excess_suppliers": q20_promo_excess_suppliers,
         "q12_priority_by_returnflag": q12_priority_by_returnflag,
@@ -2302,6 +2323,9 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.winnow import (
         winnow_fingerprints_oracle_sql,
         winnow_matches_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.intervals import (
+        events_in_windows_oracle_sql,
     )
 
     _red_expr, _red_counts = redaction_oracle_exprs("planted")
@@ -3373,6 +3397,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow_matches": winnow_matches_oracle_sql(
             "documents", "doc_id", "text", k=8, w=16,
             min_shared=4, max_df=32,
+        ),
+        "j_interval_join_events": events_in_windows_oracle_sql(
+            "events", "2024-01-01", 30, 10, 16
         ),
         "search_posting_lists": posting_lists_oracle_sql(
             "documents", min_df=2

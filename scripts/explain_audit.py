@@ -290,6 +290,13 @@ AUDITS = {
         ("no Python in the plan", "!BatchEvalPython"),
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
+    "j_interval_join_events": [
+        # bucketization turns the BETWEEN theta join into a hash
+        # equi-join on the bucket id — the whole point of the operator
+        ("hash equi-join on bucket", "BroadcastHashJoin"),
+        ("never a nested loop", "!NestedLoop"),
+        ("pruned events scan", "ReadSchema: struct<event_id:bigint,ts:timestamp"),
+    ],
     "search_bm25_topk": [
         # per-query shuffle carries only matching (id, term) pairs; df /
         # N / avgdl attach as broadcasts; final top-k is a per-partition

@@ -32,6 +32,7 @@ MUST_BE_IN_WINDOW = {
     "dedup_quality_keep_best",
     "sketch_hist_quantiles",
     "doc_hashclf_lang",
+    "j_interval_join_events",
 }
 
 
