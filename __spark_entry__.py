@@ -194,6 +194,63 @@ def q_extract_pdf_layout(spark, sf_dir):
     return out.select("conv_id", "payload_kind", "text_md", "n_blocks")
 
 
+def q_extract_pdf_twocol(spark, sf_dir):
+    """Multi-column PDF reading order: each doc becomes a page with a
+    full-width heading over a 2x2 two-column grid (plus page furniture),
+    with REAL block geometry.  A naive (page, y, x) sort reads the grid
+    row-major (alpha charlie bravo delta); the XY-cut in
+    functions/pdflayout.py must find the 20pt column gutter (wider than
+    the 8pt row gap) and read column-major (alpha bravo charlie delta).
+    The oracle hard-codes the column-major markdown, so the driver row
+    proves the layout analysis, not just the plumbing."""
+    from deepseek_ocr_rs_spark.operators.extract import extract_turns
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def blk(x, y, w, h, font, text_col):
+        return F.struct(
+            F.lit(float(x)).alias("x"),
+            F.lit(float(y)).alias("y"),
+            F.lit(float(w)).alias("w"),
+            F.lit(float(h)).alias("h"),
+            F.lit(float(font)).alias("font"),
+            text_col.alias("text"),
+        )
+
+    did = F.col("doc_id").cast("string")
+    nch = F.col("n_chars").cast("string")
+    payload = F.to_json(
+        F.struct(
+            F.lit("pdf").alias("kind"),
+            F.array(
+                F.struct(
+                    F.lit(1).alias("page"),
+                    F.array(
+                        # grid listed row-major to plant the trap
+                        blk(0, 42, 240, 12, 10, F.concat(F.lit("alpha "), did)),
+                        blk(260, 42, 240, 12, 10, F.concat(F.lit("charlie "), did)),
+                        blk(0, 62, 240, 12, 10, F.concat(F.lit("bravo "), nch)),
+                        blk(260, 62, 240, 12, 10, F.concat(F.lit("delta "), nch)),
+                        blk(0, 0, 500, 24, 24, F.concat(F.lit("Doc "), did)),
+                        blk(250, 800, 20, 8, 10, did),                  # page no: drop
+                        blk(0, 805, 200, 6, 6, F.lit("running footer")),  # tiny: drop
+                    ).alias("blocks"),
+                )
+            ).alias("pages"),
+        )
+    )
+    wrapped = docs.select(
+        did.alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        payload.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    out = extract_turns(wrapped)
+    return out.select("conv_id", "payload_kind", "text_md", "n_blocks")
+
+
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape — the A1 stage-totals hash aggregation analog
     (crates/cli/src/bench.rs:139-172): count/sum/min/max/avg per group."""
@@ -2167,7 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_bpe_pairs": train_bpe_pairs,
         "doc_winnow_matches": doc_winnow_matches,
         "j_interval_join_events": j_interval_join_events,
-        "q22_idle_customer_balance": q22_idle_customer_balance,
+        "extract_pdf_twocol": q_extract_pdf_twocol,
         # -- slots 17-26: sets / joins / windows / templates -------------
         "set_suppliers_only_nations": set_suppliers_only_nations,
         "j_salted_skew_join": j_salted_skew_join,
@@ -2214,11 +2271,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: green in a prior driver round; covered by the in-repo
         #    gate (q13/q16 keep their r03 rows; they ceded slots to the
         #    round-4 sketch_hist_quantiles / doc_hashclf_lang; q19/q17/
-        #    q20/q21 — unchanged since their r03 green rows — ceded slots
-        #    to train_bpe_pairs, the winnowing pair, and the bucketized
-        #    interval join) ---------------------------------------------
+        #    q20/q21/q22 — unchanged since their r03 green rows — ceded
+        #    slots to train_bpe_pairs, the winnowing pair, the bucketized
+        #    interval join, and the XY-cut two-column extraction) --------
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_sole_return_supplier": q21_sole_return_supplier,
+        "q22_idle_customer_balance": q22_idle_customer_balance,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q20_promo_excess_suppliers": q20_promo_excess_suppliers,
         "q12_priority_by_returnflag": q12_priority_by_returnflag,
@@ -2422,6 +2480,17 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN hb IS NULL THEN 0 ELSE 1 END
                     + CASE WHEN bb IS NULL THEN 0 ELSE 1 END) AS n_blocks
             FROM c
+        """,
+        "extract_pdf_twocol": """
+            SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+                   'pdf' AS payload_kind,
+                   '# Doc ' || doc_id
+                     || chr(10) || chr(10) || 'alpha ' || doc_id
+                     || chr(10) || chr(10) || 'bravo ' || n_chars
+                     || chr(10) || chr(10) || 'charlie ' || doc_id
+                     || chr(10) || chr(10) || 'delta ' || n_chars AS text_md,
+                   5 AS n_blocks
+            FROM documents
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -169,6 +169,26 @@ def _gen_pdf_payload(rng: np.random.Generator) -> Tuple[str, List[Block]]:
         expected.append(Block(tag="h1" if font >= 20.0 else "h2", depth=pno,
                               block_idx=len(expected), text=normalize_text(t)))
         y += 30.0
+        # multi-row two-column layout: a naive (y, x) sort would interleave
+        # L1 R1 L2 R2; XY-cut must read column-major (gutter gap 20 > line
+        # gap 8, so the vertical cut wins)
+        # the column region is isolated by 18-point bands above and below
+        # (wider than the 8-point row gap, narrower than nothing else on
+        # the page), so XY-cut peels it off whole before the 20-point
+        # gutter beats the row gap inside it
+        if rng.random() < 0.3:
+            lefts = [_words(rng, 3, 8) for _ in range(2)]
+            rights = [_words(rng, 3, 8) for _ in range(2)]
+            for i in range(2):
+                blocks.append({"x": 0.0, "y": y + 12.0 + 20.0 * i, "w": 240.0,
+                               "h": 12.0, "font": 10.0, "text": lefts[i]})
+                blocks.append({"x": 260.0, "y": y + 12.0 + 20.0 * i, "w": 240.0,
+                               "h": 12.0, "font": 10.0, "text": rights[i]})
+            for t in lefts + rights:  # expected: column-major
+                expected.append(Block(tag="p", depth=pno,
+                                      block_idx=len(expected),
+                                      text=normalize_text(t)))
+            y += 62.0
         # two-column row: same y, order by x
         if rng.random() < 0.4:
             tl, tr_ = _words(rng, 4, 10), _words(rng, 4, 10)

@@ -33,6 +33,7 @@ MUST_BE_IN_WINDOW = {
     "sketch_hist_quantiles",
     "doc_hashclf_lang",
     "j_interval_join_events",
+    "extract_pdf_twocol",
 }
 
 
