@@ -1779,6 +1779,41 @@ def ann_batch_lsh(spark, sf_dir):
     return batch_lsh_topk(indexed, queries_idx, k=3, bits=8)
 
 
+def ann_pq_codes(spark, sf_dir):
+    """Product-quantization encode: every vector compressed to m=8
+    4-bit-ish codes (k=16 centroids/subspace, md5-ordered sample
+    codebook).  This is the 100 TB vector-serving shape: after this one
+    scan the raw embedding column never moves again — queries touch only
+    (id, code).  Codes dash-joined for a type-stable cross-engine hash.
+    Oracle replays codebook + argmin encode bit-exactly."""
+    from deepseek_ocr_rs_spark.operators.pq import pq_codebooks, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, m=8, k=16)
+    return pq_encode(emb, cb).select(
+        "vec_id",
+        F.concat_ws("-", F.col("pq_code").cast("array<string>"))
+        .alias("pq_code_str"),
+    )
+
+
+def ann_pq_topk(spark, sf_dir):
+    """Asymmetric-distance PQ top-10 for the vec_id=0 query: LUT-sum over
+    codes only (pure JVM fold, TakeOrderedAndProject), never touching raw
+    vectors.  Oracle replays encode + query-to-centroid distances with
+    the identical left folds."""
+    from deepseek_ocr_rs_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, m=8, k=16)
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return pq_adc_topk(pq_encode(emb, cb), q, cb, k_results=10)
+
+
 def emb_dedup_components(spark, sf_dir):
     """Semantic near-dup CLUSTERS: embedding-cosine pair graph -> connected
     components (keeper = min vec id) — the embedding analog of
@@ -2215,10 +2250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": doc_pii_scrub,
         "train_shard_assignment": train_shard_assignment,
         "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q11_important_parts": q11_important_parts,
+        "ann_pq_codes": ann_pq_codes,
         "train_dsir_resample": train_dsir_resample,
         "sketch_hist_quantiles": sketch_hist_quantiles,
-        "q15_top_supplier": q15_top_supplier,
+        "ann_pq_topk": ann_pq_topk,
         "doc_hashclf_lang": doc_hashclf_lang,
         "doc_winnow_fingerprints": doc_winnow_fingerprints,
         "train_bpe_pairs": train_bpe_pairs,
@@ -2277,6 +2312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_sole_return_supplier": q21_sole_return_supplier,
         "q22_idle_customer_balance": q22_idle_customer_balance,
+        "q11_important_parts": q11_important_parts,
+        "q15_top_supplier": q15_top_supplier,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q20_promo_excess_suppliers": q20_promo_excess_suppliers,
         "q12_priority_by_returnflag": q12_priority_by_returnflag,
@@ -2384,6 +2421,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.intervals import (
         events_in_windows_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.pq import (
+        pq_adc_oracle_sql,
+        pq_codes_oracle_sql,
     )
 
     _red_expr, _red_counts = redaction_oracle_exprs("planted")
@@ -3469,6 +3510,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "j_interval_join_events": events_in_windows_oracle_sql(
             "events", "2024-01-01", 30, 10, 16
+        ),
+        "ann_pq_codes": pq_codes_oracle_sql(
+            "embeddings", m=8, k=16, dim=64
+        ),
+        "ann_pq_topk": pq_adc_oracle_sql(
+            "embeddings", m=8, k=16, dim=64, k_results=10, query_id=0
         ),
         "search_posting_lists": posting_lists_oracle_sql(
             "documents", min_df=2

@@ -34,6 +34,8 @@ MUST_BE_IN_WINDOW = {
     "doc_hashclf_lang",
     "j_interval_join_events",
     "extract_pdf_twocol",
+    "ann_pq_codes",
+    "ann_pq_topk",
 }
 
 
