@@ -1814,6 +1814,23 @@ def ann_pq_topk(spark, sf_dir):
     return pq_adc_topk(pq_encode(emb, cb), q, cb, k_results=10)
 
 
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ composed serving plan (FAISS IVFADC shape): nprobe/ n_cells
+    partition prune + compressed-code ADC — at 100 TB the encoded table
+    is partitioned by ivf_cell, so a query scans nprobe cells of (id,
+    code) bytes, never the raw vectors.  Oracle replays coarse cells, PQ
+    codebook, probe order, and the ADC folds end-to-end."""
+    from deepseek_ocr_rs_spark.operators.pq import ivfpq_topk
+    from deepseek_ocr_rs_spark.operators.similarity import _nonzero_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (
+        _nonzero_norm(emb, "embedding")
+        .where(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    return ivfpq_topk(emb, q, n_cells=8, nprobe=4, m=8, k=16, k_results=10)
+
+
 def emb_dedup_components(spark, sf_dir):
     """Semantic near-dup CLUSTERS: embedding-cosine pair graph -> connected
     components (keeper = min vec id) — the embedding analog of
@@ -2268,7 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_flatten_parts": conv_flatten_parts,
         "w_rolling_hour_value": w_rolling_hour_value,
         "t_dense_rank_suppliers": t_dense_rank_suppliers,
-        "a_cube_orders": a_cube_orders,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
         "doc_tfidf_topk": doc_tfidf_topk,
         "set_customers_without_orders": set_customers_without_orders,
         # -- slots 27-33: the seven never-driver-checked r01-r03 ops -----
@@ -2314,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customer_balance": q22_idle_customer_balance,
         "q11_important_parts": q11_important_parts,
         "q15_top_supplier": q15_top_supplier,
+        "a_cube_orders": a_cube_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q20_promo_excess_suppliers": q20_promo_excess_suppliers,
         "q12_priority_by_returnflag": q12_priority_by_returnflag,
@@ -2423,6 +2441,7 @@ def oracle_sql() -> dict[str, str]:
         events_in_windows_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.pq import (
+        ivfpq_oracle_sql,
         pq_adc_oracle_sql,
         pq_codes_oracle_sql,
     )
@@ -3516,6 +3535,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_pq_topk": pq_adc_oracle_sql(
             "embeddings", m=8, k=16, dim=64, k_results=10, query_id=0
+        ),
+        "ann_ivfpq_topk": ivfpq_oracle_sql(
+            "embeddings", n_cells=8, nprobe=4, m=8, k=16, dim=64,
+            k_results=10, query_id=0
         ),
         "search_posting_lists": posting_lists_oracle_sql(
             "documents", min_df=2

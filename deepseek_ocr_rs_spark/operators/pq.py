@@ -185,6 +185,43 @@ def pq_rerank_topk(
     )
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    n_cells: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    k: int = 16,
+    k_results: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ — the composed at-scale serving plan (the FAISS IVFADC
+    shape): coarse-quantize the corpus into ``n_cells`` cosine cells
+    (partition/prune key), PQ-encode within, and answer a query by
+    scanning ONLY the ``nprobe`` probed cells' (id, code) pairs with the
+    ADC fold.  At 100 TB the encoded table is written partitioned by
+    ``ivf_cell``, so the probe is partition pruning, not a filter scan.
+    Zero-norm vectors are excluded up front (cosine cell assignment is
+    undefined for them), mirroring ivf_topk and the oracle."""
+    from deepseek_ocr_rs_spark.operators.similarity import (
+        _nonzero_norm,
+        assign_ivf_cells,
+        ivf_centroids,
+        ivf_probe_cells,
+    )
+
+    df = _nonzero_norm(df, vec_col)
+    cents = ivf_centroids(df, n_cells, id_col, vec_col)
+    cb = pq_codebooks(df, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    coded = pq_encode(assign_ivf_cells(df, cents, vec_col), cb, vec_col)
+    probe = ivf_probe_cells(query, cents, nprobe)
+    return pq_adc_topk(
+        coded.where(F.col("ivf_cell").isin(probe)),
+        query, cb, k_results=k_results, id_col=id_col,
+    )
+
+
 # ------------------------------------------------------------- oracles
 #
 # The SQL derives the SAME md5-ordered sample codebook from the table
@@ -250,6 +287,96 @@ def pq_codes_oracle_sql(
         WITH {_base_cb_cte(table, id_col, vec_col, k)}
         SELECT b.vec_id, {joined} AS pq_code_str
         FROM base b, cb
+    """
+
+
+def ivfpq_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    k_results: int = 10,
+    query_id: int = 0,
+) -> str:
+    """Replicates ivfpq_topk end-to-end: zero-norm filter, md5-ordered
+    IVF centroids (normalized) with first-max cell assignment, md5-ordered
+    PQ codebook, nprobe probe cells (sim desc, cell asc), ADC over probed
+    rows only.  Cell math mirrors similarity.ivf_oracle_sql."""
+    dsub = dim // m
+    codes_sel = ", ".join(
+        f"{_code_sql(j, k, dsub)} AS c{j}" for j in range(m)
+    )
+    adc_terms = " + ".join(
+        _dist_sql("q.qe", j, dsub, f"cb.cl[CAST(co.c{j} + 1 AS INT)]")
+        for j in range(m)
+    )
+    vnorm = ("(CASE WHEN sqrt(list_sum(list_transform(b.e, y -> y * y)))"
+             " = 0 THEN 1.0 ELSE"
+             " sqrt(list_sum(list_transform(b.e, y -> y * y))) END)")
+    cell_sims = (
+        f"list_transform(range({n_cells}), cc -> "
+        f"list_sum(list_transform(range({dim}), j -> "
+        f"(b.e[CAST(j + 1 AS INT)] / {vnorm})"
+        f" * ic.il[CAST(cc + 1 AS INT)][CAST(j + 1 AS INT)])))"
+    )
+    return f"""
+        WITH base AS (
+          SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS e
+          FROM {table}
+          WHERE list_sum(list_transform(CAST({vec_col} AS DOUBLE[]),
+                                        x -> x * x)) > 0
+        ), seeds AS (
+          SELECT e, row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS c
+          FROM base
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {k}
+        ), cb AS (
+          SELECT list(e ORDER BY c) AS cl FROM seeds
+        ), iseeds AS (
+          SELECT list_transform(e, x -> x / (CASE WHEN
+                   sqrt(list_sum(list_transform(e, y -> y * y))) = 0
+                   THEN 1.0 ELSE
+                   sqrt(list_sum(list_transform(e, y -> y * y))) END))
+                 AS ne,
+                 row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS c
+          FROM base
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {n_cells}
+        ), ic AS (
+          SELECT list(ne ORDER BY c) AS il FROM iseeds
+        ), assigned AS (
+          SELECT b.vec_id, b.e,
+                 list_position({cell_sims}, list_max({cell_sims})) - 1
+                   AS cell
+          FROM base b, ic
+        ), q AS (
+          SELECT e AS qe,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS qn
+          FROM base WHERE vec_id = {query_id}
+        ), cellsims AS (
+          SELECT c.c AS cell,
+                 list_sum(list_transform(range({dim}), j ->
+                   ic.il[CAST(c.c + 1 AS INT)][CAST(j + 1 AS INT)]
+                   * (q.qe[CAST(j + 1 AS INT)] / q.qn))) AS sim
+          FROM (SELECT unnest(range({n_cells})) AS c) c, ic, q
+        ), probecells AS (
+          SELECT cell FROM cellsims ORDER BY sim DESC, cell ASC
+          LIMIT {nprobe}
+        ), coded AS (
+          SELECT b.vec_id, a.cell, {codes_sel}
+          FROM base b JOIN assigned a ON b.vec_id = a.vec_id, cb
+        )
+        SELECT co.vec_id, round(0.0 + {adc_terms}, 6) AS adc_dist
+        FROM coded co, cb, q
+        WHERE co.cell IN (SELECT cell FROM probecells)
+        ORDER BY (0.0 + {adc_terms}) ASC, co.vec_id ASC
+        LIMIT {k_results}
     """
 
 

@@ -123,6 +123,35 @@ def test_serving_plan_is_jvm_only(emb):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ivfpq_full_probe_equals_flat_adc(emb):
+    from deepseek_ocr_rs_spark.operators.pq import ivfpq_topk
+    from deepseek_ocr_rs_spark.operators.similarity import _nonzero_norm
+
+    df, vecs = emb
+    q = [float(x) for x in vecs[3]]
+    # probing every cell must reduce to the flat ADC scan
+    full = ivfpq_topk(df, q, n_cells=4, nprobe=4, m=4, k=8,
+                      k_results=10).collect()
+    nz = _nonzero_norm(df, "embedding")
+    cb = pq_codebooks(nz, m=4, k=8)
+    flat = pq_adc_topk(pq_encode(nz, cb), q, cb, k_results=10).collect()
+    assert [(r.vec_id, r.adc_dist) for r in full] == \
+        [(r.vec_id, r.adc_dist) for r in flat]
+
+
+def test_ivfpq_prunes_and_keeps_neighbors(emb):
+    from deepseek_ocr_rs_spark.operators.pq import ivfpq_topk
+
+    df, vecs = emb
+    q = [float(x) for x in vecs[3]]
+    got = ivfpq_topk(df, q, n_cells=4, nprobe=1, m=4, k=8,
+                     k_results=10).collect()
+    ids = [r.vec_id for r in got]
+    # the query's own row and its planted near-dup share the probed cell
+    assert 3 in ids and 7 in ids
+    assert len(ids) <= 10
+
+
 def test_dim_not_divisible_raises(emb):
     df, _ = emb
     with pytest.raises(ValueError, match="not divisible"):

@@ -36,6 +36,7 @@ MUST_BE_IN_WINDOW = {
     "extract_pdf_twocol",
     "ann_pq_codes",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 }
 
 
