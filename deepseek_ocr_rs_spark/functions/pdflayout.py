@@ -68,23 +68,49 @@ def _widest_gap(intervals: List[Tuple[float, float]]) -> Tuple[float, float]:
     return best_w, best_at
 
 
+def _leaf_key(b: _Box):
+    return (b[1], b[0], b[4], b[5])
+
+
 def xy_cut_order(boxes: List[_Box]) -> List[_Box]:
     """Recursive XY-cut reading order (see module docstring).  Pure and
-    deterministic; input order never matters."""
-    if len(boxes) <= 1:
-        return list(boxes)
-    gy, cy = _widest_gap([(b[1], b[1] + b[3]) for b in boxes])
-    gx, cx = _widest_gap([(b[0], b[0] + b[2]) for b in boxes])
-    if gy <= 0.0 and gx <= 0.0:
-        return sorted(boxes, key=lambda b: (b[1], b[0], b[4], b[5]))
-    # widest gap wins; ties prefer the horizontal cut (top-to-bottom)
-    if gy >= gx:
-        first = [b for b in boxes if b[1] + b[3] <= cy]
-        rest = [b for b in boxes if b[1] + b[3] > cy]
-    else:
-        first = [b for b in boxes if b[0] + b[2] <= cx]
-        rest = [b for b in boxes if b[0] + b[2] > cx]
-    return xy_cut_order(first) + xy_cut_order(rest)
+    deterministic; input order never matters.  Implemented as an explicit
+    work stack with a direct two-box path — the recursion bottoms out in
+    tiny groups, so per-call list building dominates a naive version."""
+    out: List[_Box] = []
+    stack = [boxes]
+    while stack:
+        grp = stack.pop()
+        n = len(grp)
+        if n == 1:
+            out.append(grp[0])
+            continue
+        if n == 2:
+            a, b = grp
+            gy = max(a[1], b[1]) - min(a[1] + a[3], b[1] + b[3])
+            gx = max(a[0], b[0]) - min(a[0] + a[2], b[0] + b[2])
+            if gy <= 0.0 and gx <= 0.0:
+                out.extend(sorted(grp, key=_leaf_key))
+            elif gy >= gx:  # ties prefer the horizontal cut
+                out.extend(grp if a[1] + a[3] <= b[1] + b[3] else [b, a])
+            else:
+                out.extend(grp if a[0] + a[2] <= b[0] + b[2] else [b, a])
+            continue
+        gy, cy = _widest_gap([(b[1], b[1] + b[3]) for b in grp])
+        gx, cx = _widest_gap([(b[0], b[0] + b[2]) for b in grp])
+        if gy <= 0.0 and gx <= 0.0:
+            out.extend(sorted(grp, key=_leaf_key))
+            continue
+        # widest gap wins; ties prefer the horizontal cut (top-to-bottom)
+        if gy >= gx:
+            first = [b for b in grp if b[1] + b[3] <= cy]
+            rest = [b for b in grp if b[1] + b[3] > cy]
+        else:
+            first = [b for b in grp if b[0] + b[2] <= cx]
+            rest = [b for b in grp if b[0] + b[2] > cx]
+        stack.append(rest)   # LIFO: first is processed before rest
+        stack.append(first)
+    return out
 
 
 def looks_like_pdf(payload: str) -> bool:
