@@ -111,6 +111,45 @@ def q_extract_html_wrapped(spark, sf_dir):
     return out.select("conv_id", "payload_kind", "text_md", "n_blocks")
 
 
+def q_extract_html_classhints(spark, sf_dir):
+    """Class/id boilerplate hints: the doc text travels inside a plain
+    <div class="content">, surrounded by plain divs/spans whose class/id
+    name them as chrome (sidebar, share, cookie banner, ad).  No tag,
+    link-density, or length rule distinguishes them — only the
+    Readability-style hint (functions/dom.py:_BOILER_HINT_RE) can drop
+    the junk and keep the content."""
+    from deepseek_ocr_rs_spark.operators.extract import extract_turns
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").rlike("^[^&<>]*$") & (F.trim("text") != "")
+    )
+    payload = F.concat(
+        F.lit(
+            '<html><body>'
+            '<div class="sidebar"><p>trending now weekly digest</p></div>'
+            '<div id="cookie-consent"><p>we use cookies accept all</p></div>'
+            '<div class="content"><p>'
+        ),
+        F.col("text"),
+        F.lit(
+            '</p></div>'
+            '<div class="social share"><p>share this article</p></div>'
+            '<p class="advertisement">sponsored placement text</p>'
+            "</body></html>"
+        ),
+    )
+    wrapped = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        payload.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    out = extract_turns(wrapped)
+    return out.select("conv_id", "payload_kind", "text_md", "n_blocks")
+
+
 def q_extract_html_table(spark, sf_dir):
     """HTML TABLE + heading extraction path with a SQL-expressible
     expectation: each doc becomes a page with an h1, a 2x2 table (header
@@ -2284,7 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_render_deepseek": conv_render_deepseek,
         "conv_flatten_parts": conv_flatten_parts,
         "w_rolling_hour_value": w_rolling_hour_value,
-        "t_dense_rank_suppliers": t_dense_rank_suppliers,
+        "extract_html_classhints": q_extract_html_classhints,
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "doc_tfidf_topk": doc_tfidf_topk,
         "set_customers_without_orders": set_customers_without_orders,
@@ -2332,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": q11_important_parts,
         "q15_top_supplier": q15_top_supplier,
         "a_cube_orders": a_cube_orders,
+        "t_dense_rank_suppliers": t_dense_rank_suppliers,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q20_promo_excess_suppliers": q20_promo_excess_suppliers,
         "q12_priority_by_returnflag": q12_priority_by_returnflag,
@@ -2497,6 +2537,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "extract_html_wrapped": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+                   'html' AS payload_kind,
+                   {_NORM_SQL} AS text_md,
+                   CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE 1 END AS n_blocks
+            FROM documents
+            WHERE regexp_full_match(text, '[^&<>]*') AND trim(text) <> ''
+        """,
+        "extract_html_classhints": f"""
             SELECT CAST(doc_id AS VARCHAR) AS conv_id,
                    'html' AS payload_kind,
                    {_NORM_SQL} AS text_md,

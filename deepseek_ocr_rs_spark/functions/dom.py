@@ -16,6 +16,7 @@ Only a bounded HTML subset matters (FIXTURES.md §2): block containers
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Iterable, List
 
@@ -40,6 +41,31 @@ BLOCK_CONTAINER_TAGS = frozenset(
 )
 
 _CELL_TAGS = frozenset({"td", "th"})
+
+# Readability/Trafilatura negative hints: an element whose class/id names
+# it as chrome (sidebar, share bar, comments, cookie banner, ...) is
+# boilerplate regardless of its tag — the single most load-bearing
+# heuristic in Readability's unlikelyCandidates (public readability.js).
+# Word-ish boundaries so content classes like "main"/"grid" never match.
+_BOILER_HINT_RE = re.compile(
+    r"(?:^|[\s_-])(?:comment(?:s)?|sidebar|side-bar|footer|masthead"
+    r"|nav(?:bar|igation)?|menu|share|sharing|social|sponsor(?:ed)?"
+    r"|advert(?:isement)?|ads?|promo(?:tion)?|related|recommend(?:ed|ation)?"
+    r"|breadcrumbs?|banner|cookie|gdpr|consent|popup|modal|overlay|widget"
+    r"|disqus|pag(?:er|ination)|skyscraper|newsletter|subscribe|signup"
+    r")(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+
+
+def _hinted_boilerplate(attrs: dict) -> bool:
+    if not attrs:
+        return False
+    c = attrs.get("class")
+    if c and _BOILER_HINT_RE.search(c):
+        return True
+    i = attrs.get("id")
+    return bool(i and _BOILER_HINT_RE.search(i))
 
 # single-probe tag category (the four sets are disjoint): one dict get in
 # the per-event hot path instead of up to five frozenset membership tests
@@ -70,7 +96,8 @@ class Block:
 
 class _Builder:
     __slots__ = ("blocks", "stack", "drop_depth", "link_depth", "buf",
-                 "link_buf", "cur_tag", "cur_depth", "cells", "in_cell")
+                 "link_buf", "cur_tag", "cur_depth", "cells", "in_cell",
+                 "hint_pos")
 
     def __init__(self) -> None:
         self.blocks: List[Block] = []
@@ -83,6 +110,9 @@ class _Builder:
         self.cur_depth = 0
         self.cells: List[str] = []     # td/th cell texts for current tr
         self.in_cell = False
+        # stack indices of elements dropped via class/id boilerplate hint
+        # (monotone ascending; the matching close undoes ONE drop level)
+        self.hint_pos: List[int] = []
 
     # ---- flushing ----------------------------------------------------
 
@@ -130,6 +160,14 @@ class _Builder:
     # ---- event handling ------------------------------------------------
 
     def open(self, tag: str, attrs: dict) -> None:
+        if attrs and tag != "br" and _hinted_boilerplate(attrs):
+            # class/id names this element as chrome: the whole subtree is
+            # boilerplate whatever its tag (Readability unlikelyCandidates)
+            self._flush()
+            self.hint_pos.append(len(self.stack))
+            self.stack.append(tag)
+            self.drop_depth += 1
+            return
         cat = _TAG_CAT.get(tag, 0)
         if cat == _CAT_LEAF:
             self._flush()
@@ -167,6 +205,13 @@ class _Builder:
         # well-formed fast path: the close matches the top of the stack
         if stack and stack[-1] == tag:
             stack.pop()
+            if self.hint_pos and self.hint_pos[-1] == len(stack):
+                # closing a hint-dropped element: undo exactly the one
+                # drop level its open added (its tag category was ignored)
+                self.hint_pos.pop()
+                self.drop_depth = max(0, self.drop_depth - 1)
+                self._flush()
+                return
             cat = _TAG_CAT.get(tag, 0)
             if cat == _CAT_LEAF or cat == _CAT_CONTAINER:
                 self._flush()
@@ -181,6 +226,15 @@ class _Builder:
         if tag in stack:
             while stack:
                 popped = stack.pop()
+                if self.hint_pos and self.hint_pos[-1] == len(stack):
+                    # hint-dropped entry: undo its one drop level and skip
+                    # its tag-category bookkeeping (the open skipped it too)
+                    self.hint_pos.pop()
+                    self.drop_depth = max(0, self.drop_depth - 1)
+                    if popped == tag:
+                        self._flush()
+                        return
+                    continue
                 if popped in DROP_SUBTREE_TAGS:
                     self.drop_depth = max(0, self.drop_depth - 1)
                 if popped == "a":

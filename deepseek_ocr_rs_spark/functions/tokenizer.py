@@ -115,13 +115,19 @@ def decode_entities(s: str) -> str:
 _TAG_NAME_RE = re.compile(r"[a-zA-Z][-a-zA-Z0-9:]*")
 _EMPTY_ATTRS: Dict[str, str] = {}
 # case-insensitive probe compiled once: one C-level scan, no .lower() copy
-_HREF_PROBE_RE = re.compile(r"href", re.IGNORECASE)
+# semantically relevant attributes: href (link density), class/id
+# (boilerplate hints, dom._BOILER_HINT_RE).  The probe needs the name in
+# attribute position — a bare substring probe for "id" would fire on
+# width=/… and defeat the no-attr fast path
+_ATTR_PROBE_RE = re.compile(r"(?:^|\s)(?:href|class|id)\s*=", re.IGNORECASE)
+_KEPT_ATTRS = frozenset({"href", "class", "id"})
 
 
-# memo for attribute-free tags: real documents repeat a handful of raw tag
-# strings ('p', '/p', 'div', ...) tens of thousands of times; the cached
-# value is immutable to callers (attrs is the shared empty dict, which the
-# DOM builder only reads).  Bounded: href-bearing and long raws skip it.
+# memo for short tags: real documents repeat a handful of raw tag strings
+# ('p', '/p', 'div', 'div class="sidebar"', ...) tens of thousands of
+# times; the cached value is treated as immutable by all callers (the DOM
+# builder only reads attrs — nothing may mutate a parsed attrs dict).
+# Bounded: long raws skip it; the table resets at _TAG_MEMO_MAX entries.
 _TAG_MEMO: Dict[str, Optional[Tuple[str, str, Dict[str, str], bool]]] = {}
 _TAG_MEMO_MAX = 8192
 
@@ -138,7 +144,7 @@ def _parse_tag(raw: str) -> Optional[Tuple[str, str, Dict[str, str], bool]]:
         if hit is not _TAG_MEMO:
             return hit
     result = _parse_tag_uncached(raw)
-    if memo_key is not None and (result is None or not result[2]):
+    if memo_key is not None:
         if len(_TAG_MEMO) >= _TAG_MEMO_MAX:
             _TAG_MEMO.clear()
         _TAG_MEMO[memo_key] = result
@@ -165,20 +171,21 @@ def _parse_tag_uncached(
     tag = m.group(0).lower()
     if closing:
         return ("close", tag, _EMPTY_ATTRS, False)
-    # only href is semantically relevant (SURVEY §2, FIXTURES §2): skip the
-    # attribute scan entirely when it can't be present (the hot path).
-    # case-insensitive probe: the attr matcher below lowercases names, so
-    # <a HREF="..."> must not take the fast path
-    if not _HREF_PROBE_RE.search(raw):
+    # only href/class/id are semantically relevant (SURVEY §2, FIXTURES §2):
+    # skip the attribute scan entirely when none can be present (the hot
+    # path).  case-insensitive probe: the attr matcher below lowercases
+    # names, so <a HREF="..."> / <div CLASS=...> must not take the fast path
+    if not _ATTR_PROBE_RE.search(raw):
         return ("open", tag, _EMPTY_ATTRS, self_closing)
     attrs: Dict[str, str] = {}
     for am in _ATTR_RE.finditer(raw[m.end():]):
-        if am.group(1).lower() != "href":
+        name = am.group(1).lower()
+        if name not in _KEPT_ATTRS:
             continue
         val = am.group(2) or ""
         if len(val) >= 2 and val[0] in "\"'" and val[-1] == val[0]:
             val = val[1:-1]
-        attrs["href"] = val
+        attrs[name] = val
     return ("open", tag, attrs, self_closing)
 
 

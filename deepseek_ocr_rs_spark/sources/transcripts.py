@@ -80,6 +80,11 @@ def _gen_html_payload(rng: np.random.Generator) -> Tuple[str, List[Block]]:
     body.append(f"<nav><ul>{nav_items}</ul></nav>")
     body.append('<div><p><a href="/x">ad one</a> <a href="/y">ad two two</a> '
                 '<a href="/z">ad three three</a></p></div>')  # link farm, density ~1
+    # class/id-hinted chrome: plain divs/spans named as boilerplate must be
+    # dropped by the Readability-style hint, not by tag or link density
+    body.append('<div class="sidebar"><p>trending now weekly digest</p>'
+                '<ul><li>item a</li><li>item b</li></ul></div>')
+    body.append('<div id="cookie-consent"><p>we use cookies accept all</p></div>')
 
     body.append('<div class="main">')
     n_pieces = int(rng.integers(2, 7))
@@ -143,6 +148,9 @@ def _gen_html_payload(rng: np.random.Generator) -> Tuple[str, List[Block]]:
             body.append(f"<blockquote>{_esc(t)}</blockquote>")
         if rng.random() < 0.2:  # interleaved boilerplate between content pieces
             body.append('<aside><p>related promo text</p></aside>')
+        if rng.random() < 0.15:  # hinted chrome interleaved with content
+            body.append('<div class="social share"><p>share this article</p>'
+                        '</div>')
     body.append("</div>")
     body.append("<footer><p>© 2024 example corp · privacy · terms</p></footer>")
     body.append("<script>trackPageview('<p>fake</p>');</script>")

@@ -297,6 +297,17 @@ AUDITS = {
         ("never a nested loop", "!NestedLoop"),
         ("pruned events scan", "ReadSchema: struct<event_id:bigint,ts:timestamp"),
     ],
+    "ann_pq_topk": [
+        # compressed-code serving: the ADC fold is a JVM expression over
+        # (id, code) only — no Python stage, no global sort
+        ("no Python in the serving plan", "!ArrowEvalPython"),
+        ("no row-Python either", "!BatchEvalPython"),
+        ("top-k without global sort", "TakeOrderedAndProject"),
+    ],
+    "ann_ivfpq_topk": [
+        ("top-k without global sort", "TakeOrderedAndProject"),
+        ("never a nested loop", "!NestedLoop"),
+    ],
     "search_bm25_topk": [
         # per-query shuffle carries only matching (id, term) pairs; df /
         # N / avgdl attach as broadcasts; final top-k is a per-partition

@@ -145,10 +145,15 @@ def test_tokenizer_rawtext_and_comment():
     assert not any("comment" in t for t in texts)
 
 
-def test_tokenizer_href_only_attr():
-    evs = tokenize_html('<a href="http://x" class="z" id="q">link</a>')
+def test_tokenizer_kept_attrs_only():
+    # href (link density) + class/id (boilerplate hints) are kept; every
+    # other attribute is skipped
+    evs = tokenize_html(
+        '<a href="http://x" class="z" id="q" title="t" data-x="1">link</a>'
+    )
     opens = [e for e in evs if e[0] == "open"]
-    assert opens[0] == ("open", "a", {"href": "http://x"})
+    assert opens[0] == ("open", "a", {"href": "http://x", "class": "z",
+                                      "id": "q"})
     # attribute names are case-insensitive per HTML: the no-href fast path
     # must not swallow <a HREF=...>
     evs = tokenize_html('<a HREF="/x">link</a>')

@@ -37,6 +37,7 @@ MUST_BE_IN_WINDOW = {
     "ann_pq_codes",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "extract_html_classhints",
 }
 
 
