@@ -2057,6 +2057,67 @@ def doc_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+def web_outlinks(spark, sf_dir):
+    """Outlink extraction + URL canonicalization (operators/urls.py):
+    each doc becomes an HTML page carrying two keep-able anchors (host,
+    path, query params all derived from doc_id) plus decoys the
+    tokenizer must drop — a relative href, a comment-wrapped anchor, a
+    mailto:.  The oracle reconstructs the same two raw hrefs in SQL and
+    canonicalizes them with the DuckDB replica of the Spark rules, so
+    tracking-param removal, bytewise param sort, userinfo/port/www./
+    trailing-dot/fragment normalization and the &amp; entity decode in
+    attribute values are all checked value-exactly.  Scale shape: one
+    Arrow pass per payload (the tokenizer), canonicalization in codegen
+    inside the href-array transform, explode AFTER the drop filter so
+    rejected links never become rows.  Reference analog: the anchor walk
+    feeding link-density boilerplate scoring, surfaced as data."""
+    from deepseek_ocr_rs_spark.operators.urls import outlinks
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    i = F.col("doc_id").cast("string")
+    b = F.pmod(F.col("doc_id"), F.lit(97)).cast("string")
+    payload = F.concat(
+        F.lit(
+            '<p>intro <a href="/rel">r</a> '
+            '<a href="HTTP://user:pw@WWW.Example'
+        ),
+        m,
+        F.lit(".COM:80/d/"),
+        i,
+        F.lit("?utm_source=x&amp;b="),
+        b,
+        F.lit(
+            '&amp;a=1#frag">one</a></p>'
+            '<!-- <a href="http://hidden.com/x">h</a> -->'
+            '<p><a href="mailto:a@b.c">m</a>'
+            ' <a href="https://CDN.site.org.:443/p/'
+        ),
+        i,
+        F.lit('?z=&amp;q=2">two</a></p>'),
+    )
+    wrapped = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        payload.alias("text"),
+    )
+    return outlinks(wrapped).select(
+        "conv_id",
+        F.col("link_pos").cast("long").alias("link_pos"),
+        "url_canon",
+        "host",
+    )
+
+
+def web_host_stats(spark, sf_dir):
+    """Per-host outlink rollup over web_outlinks: total links + distinct
+    linking docs per canonical host — the crawl-frontier / host-prior
+    aggregate.  One partial/final hash aggregate on host; the Zipfian
+    host head is absorbed by map-side combine."""
+    from deepseek_ocr_rs_spark.operators.urls import host_stats
+
+    return host_stats(web_outlinks(spark, sf_dir))
+
+
 def train_bpe_pairs(spark, sf_dir):
     """Round-0 BPE vocabulary-induction statistics: the 40 most frequent
     adjacent character pairs over the documents corpus (what the first
@@ -2365,6 +2426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q20/q21/q22 — unchanged since their r03 green rows — ceded
         #    slots to train_bpe_pairs, the winnowing pair, the bucketized
         #    interval join, and the XY-cut two-column extraction) --------
+        "web_outlinks": web_outlinks,
+        "web_host_stats": web_host_stats,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_sole_return_supplier": q21_sole_return_supplier,
         "q22_idle_customer_balance": q22_idle_customer_balance,
@@ -2472,6 +2535,10 @@ def oracle_sql() -> dict[str, str]:
         shard_assignment_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.tfidf import tfidf_topk_oracle_sql
+    from deepseek_ocr_rs_spark.operators.urls import (
+        host_stats_oracle_sql,
+        outlinks_oracle_sql,
+    )
     from deepseek_ocr_rs_spark.operators.bpe import bpe_pair_counts_oracle_sql
     from deepseek_ocr_rs_spark.operators.winnow import (
         winnow_fingerprints_oracle_sql,
@@ -3565,6 +3632,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf_topk": tfidf_topk_oracle_sql(
             "documents", "doc_id", "text", k=3
         ),
+        "web_outlinks": outlinks_oracle_sql("documents"),
+        "web_host_stats": host_stats_oracle_sql("documents"),
         "train_bpe_pairs": bpe_pair_counts_oracle_sql(
             "documents", "text", top_k=40
         ),

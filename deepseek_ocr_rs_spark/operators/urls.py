@@ -1,0 +1,330 @@
+"""Outlink extraction + URL canonicalization + host aggregation.
+
+A web-scale extraction pipeline does more with an HTML payload than strip
+boilerplate: the ``<a href>`` graph is the raw material for crawl
+frontiers, host-level quality priors, and link-spam filters.  The
+reference walks every anchor while scoring link density
+(crates: the link-character counting that feeds its boilerplate
+classifier); this module surfaces those same anchors as data — one
+outlink row per kept href — instead of only as a density statistic.
+
+Three layers, each independently reusable:
+
+* :func:`extract_hrefs` — Arrow-batched pandas UDF running the repo's own
+  streaming tokenizer (functions/tokenizer.py) over the HTML payload and
+  collecting ``href`` attributes of ``<a>`` open events in document
+  order.  Entities inside the attribute value are decoded with the same
+  HTML5 table the text path uses, so ``&amp;`` separators behave like a
+  browser's.
+* :func:`canonical_url_col` / :func:`canonical_host_col` — pure JVM
+  Column->Column expression chains (composable inside ``F.transform``
+  lambdas, so a whole href array canonicalizes without leaving codegen).
+* :func:`outlinks` / :func:`host_stats` — the operator: explode kept
+  links with their in-document ordinal, aggregate per host.
+
+Canonicalization contract (documented here, replicated verbatim in the
+DuckDB oracle builders below; every rule is a deliberate choice, not an
+accident of parsing):
+
+1. only absolute ``http://`` / ``https://`` URLs survive; everything
+   else (relative paths, ``mailto:``, ``javascript:``, ``//protocol-
+   relative``) canonicalizes to NULL,
+2. scheme and host lowercase; path/query case is preserved,
+3. userinfo (``user:pass@``) is stripped,
+4. host: trailing dot removed, leading ``www.`` removed, default port
+   (80 for http, 443 for https) removed, non-default ports kept; a host
+   that is not plain ``[a-z0-9.-]+`` after lowering (e.g. bracketed
+   IPv6) is rejected as NULL,
+5. fragment dropped,
+6. empty path becomes ``/``,
+7. query params split on ``&``: empties dropped, tracking params
+   (``utm_*``, ``fbclid``, ``gclid``, ``gbraid``, ``wbraid``,
+   ``msclkid``, ``mc_eid``, ``igshid``, ``yclid``, ``spm``, ``_ga``)
+   dropped, the rest sorted bytewise and re-joined (duplicates kept —
+   they are semantically meaningful to many endpoints).
+
+Scale notes (100 TB / 1000 executors):
+  * href collection is embarrassingly parallel per payload (one Arrow
+    batch pass, no shuffle); canonicalization is whole-stage codegen on
+    the exploded column, so the only exchange in ``host_stats`` is the
+    final partial/final hash aggregate on ``host`` — map-side combine
+    collapses each task to its distinct hosts (web host counts are
+    Zipfian, but partial aggregation absorbs the hot head the same way
+    it does for any skewed groupBy).
+  * the raw payload column never travels past the UDF projection: we
+    ``select`` (id, text) before the UDF and drop ``text`` immediately
+    after, so the explode and the aggregate shuffle only id + short URL
+    strings.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "TRACKING_PARAM_RE",
+    "canonical_url_col",
+    "canonical_host_col",
+    "extract_hrefs",
+    "outlinks",
+    "host_stats",
+    "canonical_url_sql",
+    "canonical_host_sql",
+    "outlinks_oracle_sql",
+    "host_stats_oracle_sql",
+]
+
+# (?i) anchored name-match: `name` or `name=anything`
+TRACKING_PARAM_RE = (
+    "(?i)^(utm_[^=]*|fbclid|gclid|gbraid|wbraid|msclkid"
+    "|mc_eid|igshid|yclid|spm|_ga)(=.*)?$"
+)
+
+_ABS_HTTP_RE = "(?i)^https?://"
+_SCHEME_RE = "(?i)^(https?)://"
+_AUTH_RE = "(?i)^https?://([^/?#]*)"
+_PATH_RE = "(?i)^https?://[^/?#]*([^?#]*)"
+_HOST_OK_RE = "^[a-z0-9.-]+$"
+
+
+def _canon_parts(url: Column):
+    """Shared sub-expressions for url/host canonicalization."""
+    u = F.trim(url)
+    base = F.regexp_replace(u, "#.*$", "")  # rule 5: fragment first
+    scheme = F.lower(F.regexp_extract(base, _SCHEME_RE, 1))
+    auth = F.regexp_extract(base, _AUTH_RE, 1)
+    auth = F.element_at(F.split(auth, "@"), -1)  # rule 3: userinfo
+    host = F.lower(F.regexp_extract(auth, "^([^:]*)", 1))
+    host = F.regexp_replace(host, r"\.$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(auth, ":([0-9]+)$", 1)
+    ok = (
+        u.rlike(_ABS_HTTP_RE)
+        & host.rlike(_HOST_OK_RE)
+    )
+    return u, base, scheme, host, port, ok
+
+
+def canonical_host_col(url: Column) -> Column:
+    """Canonical registrable-ish host of an absolute http(s) URL, else NULL."""
+    _, _, _, host, _, ok = _canon_parts(url)
+    return F.when(ok, host)
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL, else NULL.
+
+    Pure Column composition — usable both on a plain column and inside
+    ``F.transform`` / ``F.filter`` lambdas (stays in codegen either way).
+    """
+    u, base, scheme, host, port, ok = _canon_parts(url)
+    default_port = ((scheme == F.lit("http")) & (port == F.lit("80"))) | (
+        (scheme == F.lit("https")) & (port == F.lit("443"))
+    )
+    port_part = F.when(
+        (port != F.lit("")) & ~default_port, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    path = F.regexp_extract(base, _PATH_RE, 1)
+    path = F.when(path == F.lit(""), F.lit("/")).otherwise(path)
+    query = F.regexp_extract(base, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+    q_part = F.when(q != F.lit(""), F.concat(F.lit("?"), q)).otherwise(
+        F.lit("")
+    )
+    return F.when(
+        ok, F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    )
+
+
+def _hrefs_batches(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Document-ordered <a href> values from an HTML payload.
+
+    Runs the repo's streaming tokenizer (the same code path extraction
+    uses, including the attribute retention added for class/id hints) —
+    NOT a regex: hrefs inside comments, scripts, or rawtext do not leak,
+    and hostile markup degrades exactly like the extractor does.
+    """
+    from deepseek_ocr_rs_spark.functions.tokenizer import (
+        decode_entities,
+        tokenize_html_fast,
+    )
+
+    for ser in texts:
+        out = []
+        for payload in ser:
+            hrefs: list = []
+            if payload:
+                for ev in tokenize_html_fast(payload):
+                    if ev[0] == "open" and ev[1] == "a":
+                        href = ev[2].get("href")
+                        if href:
+                            hrefs.append(decode_entities(href))
+            out.append(hrefs)
+        yield pd.Series(out)
+
+
+def extract_hrefs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``hrefs array<string>`` — raw (entity-decoded) anchor targets."""
+    # built lazily: pandas_udf needs an active session (DDL type parse)
+    udf = F.pandas_udf(_hrefs_batches, "array<string>")
+    return df.withColumn("hrefs", udf(F.col(text_col)))
+
+
+def outlinks(
+    df: DataFrame, id_col: str = "conv_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, html) -> one row per kept outlink.
+
+    Output: ``(id_col, link_pos int, url_canon string, host string)``
+    where ``link_pos`` is the 0-based ordinal among KEPT (absolute
+    http/https) links in document order.  Canonicalization happens
+    inside a ``transform`` lambda on the href array — JVM-side, before
+    the explode, so dropped links never become rows.
+    """
+    withh = extract_hrefs(
+        df.select(id_col, text_col), text_col=text_col
+    ).select(
+        id_col,
+        F.filter(
+            F.transform("hrefs", lambda h: canonical_url_col(h)),
+            lambda c: c.isNotNull(),
+        ).alias("kept"),
+    )
+    return withh.select(
+        id_col, F.posexplode("kept").alias("link_pos", "url_canon")
+    ).withColumn("host", canonical_host_col(F.col("url_canon")))
+
+
+def host_stats(links: DataFrame, id_col: str = "conv_id") -> DataFrame:
+    """Per-host outlink stats: total links and distinct linking docs."""
+    return links.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+    )
+
+
+# ------------------------------------------------------------------ oracles
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB replica of :func:`canonical_url_col` over SQL ``expr``.
+
+    Same regexes (RE2 and Java agree on this subset), same rule order;
+    used by the pytest parity suite so the contract is pinned in BOTH
+    engines independently of the gate fixtures.
+    """
+    return f"""
+    (WITH p AS (
+       SELECT trim({expr}) AS u0,
+              regexp_replace(trim({expr}), '#.*$', '') AS b0
+     ), q AS (
+       SELECT u0, b0,
+              lower(regexp_extract(b0, '(?i)^(https?)://', 1)) AS s0,
+              str_split(regexp_extract(b0, '(?i)^https?://([^/?#]*)', 1),
+                        '@')[-1] AS a0
+       FROM p
+     ), r AS (
+       SELECT u0, b0, s0,
+              regexp_replace(regexp_replace(
+                  lower(regexp_extract(a0, '^([^:]*)', 1)),
+                  '\\.$', ''), '^www\\.', '') AS h0,
+              regexp_extract(a0, ':([0-9]+)$', 1) AS p0
+       FROM q
+     )
+     SELECT CASE WHEN regexp_matches(u0, '(?i)^https?://')
+                      AND regexp_matches(h0, '^[a-z0-9.-]+$')
+            THEN s0 || '://' || h0
+              || CASE WHEN p0 <> ''
+                       AND NOT ((s0 = 'http' AND p0 = '80')
+                                OR (s0 = 'https' AND p0 = '443'))
+                 THEN ':' || p0 ELSE '' END
+              || CASE WHEN regexp_extract(b0,
+                     '(?i)^https?://[^/?#]*([^?#]*)', 1) = '' THEN '/'
+                 ELSE regexp_extract(b0,
+                     '(?i)^https?://[^/?#]*([^?#]*)', 1) END
+              || CASE WHEN coalesce(array_to_string(list_sort(list_filter(
+                     str_split(regexp_extract(b0, '\\?(.*)$', 1), '&'),
+                     x -> x <> '' AND NOT regexp_matches(x,
+                          '{TRACKING_PARAM_RE}'))), '&'), '') = '' THEN ''
+                 ELSE '?' || array_to_string(list_sort(list_filter(
+                     str_split(regexp_extract(b0, '\\?(.*)$', 1), '&'),
+                     x -> x <> '' AND NOT regexp_matches(x,
+                          '{TRACKING_PARAM_RE}'))), '&') END
+            END
+     FROM r)
+    """
+
+
+def outlinks_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replica of the web_outlinks gate query.
+
+    Reconstructs the two kept raw hrefs per doc (post-entity-decode, as
+    the tokenizer hands them to the canonicalizer) from the same doc_id
+    arithmetic the Spark side bakes into the HTML, then canonicalizes
+    with :func:`canonical_url_sql` / :func:`canonical_host_sql` — the
+    oracle therefore re-derives BOTH the extraction positions and the
+    canonical values independently."""
+    href0 = (
+        "'HTTP://user:pw@WWW.Example' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.COM:80/d/' || CAST(doc_id AS VARCHAR)"
+        " || '?utm_source=x&b=' || CAST(doc_id % 97 AS VARCHAR)"
+        " || '&a=1#frag'"
+    )
+    href1 = (
+        "'https://CDN.site.org.:443/p/' || CAST(doc_id AS VARCHAR)"
+        " || '?z=&q=2'"
+    )
+    return f"""
+    WITH raw AS (
+      SELECT CAST(doc_id AS VARCHAR) AS conv_id, 0 AS link_pos,
+             {href0} AS href
+      FROM {table}
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), 1, {href1}
+      FROM {table}
+    )
+    SELECT conv_id, CAST(link_pos AS BIGINT) AS link_pos,
+           {canonical_url_sql('href')} AS url_canon,
+           {canonical_host_sql('href')} AS host
+    FROM raw
+    """
+
+
+def host_stats_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replica of the web_host_stats gate query."""
+    return f"""
+    SELECT host, CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_docs
+    FROM ({outlinks_oracle_sql(table)})
+    GROUP BY host
+    """
+
+
+def canonical_host_sql(expr: str) -> str:
+    """DuckDB replica of :func:`canonical_host_col`."""
+    return f"""
+    (WITH p AS (
+       SELECT trim({expr}) AS u0,
+              str_split(regexp_extract(
+                  regexp_replace(trim({expr}), '#.*$', ''),
+                  '(?i)^https?://([^/?#]*)', 1), '@')[-1] AS a0
+     ), r AS (
+       SELECT u0,
+              regexp_replace(regexp_replace(
+                  lower(regexp_extract(a0, '^([^:]*)', 1)),
+                  '\\.$', ''), '^www\\.', '') AS h0
+       FROM p
+     )
+     SELECT CASE WHEN regexp_matches(u0, '(?i)^https?://')
+                      AND regexp_matches(h0, '^[a-z0-9.-]+$')
+                 THEN h0 END
+     FROM r)
+    """
