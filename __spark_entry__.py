@@ -2108,6 +2108,32 @@ def web_outlinks(spark, sf_dir):
     )
 
 
+def graph_host_pagerank(spark, sf_dir):
+    """Integer-exact PageRank over a deterministic 23-host link graph
+    derived from doc_id arithmetic (two parallel edge families, so some
+    host pairs carry multi-edges — weighted mass).  Four fixed
+    iterations in pure int64 (rank DIV outdeg, damping 85/100), so the
+    DuckDB oracle unrolls the identical fixed point CTE-by-CTE and the
+    value hash is exact — no float sums whose grouping order could
+    drift.  Scale shape: edge list hash-partitioned on src ONCE and
+    persisted; per iteration one rank-to-edges equi-join + one dst-keyed
+    hash aggregate (the Pregel message pattern), zero driver actions
+    (operators/linkgraph.py)."""
+    from deepseek_ocr_rs_spark.operators.linkgraph import pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = lambda e: F.concat(F.lit("h"), F.pmod(e, F.lit(23)).cast("string"))
+    e1 = d.select(
+        h(F.col("doc_id")).alias("src"),
+        h(F.col("doc_id") * 7 + 3).alias("dst"),
+    )
+    e2 = d.select(
+        h(F.col("doc_id") * 3 + 1).alias("src"),
+        h(F.col("doc_id") * 13 + 5).alias("dst"),
+    )
+    return pagerank(e1.unionByName(e2), iters=4)
+
+
 def web_host_stats(spark, sf_dir):
     """Per-host outlink rollup over web_outlinks: total links + distinct
     linking docs per canonical host — the crawl-frontier / host-prior
@@ -2428,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    interval join, and the XY-cut two-column extraction) --------
         "web_outlinks": web_outlinks,
         "web_host_stats": web_host_stats,
+        "graph_host_pagerank": graph_host_pagerank,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_sole_return_supplier": q21_sole_return_supplier,
         "q22_idle_customer_balance": q22_idle_customer_balance,
@@ -2539,6 +2566,7 @@ def oracle_sql() -> dict[str, str]:
         host_stats_oracle_sql,
         outlinks_oracle_sql,
     )
+    from deepseek_ocr_rs_spark.operators.linkgraph import pagerank_oracle_sql
     from deepseek_ocr_rs_spark.operators.bpe import bpe_pair_counts_oracle_sql
     from deepseek_ocr_rs_spark.operators.winnow import (
         winnow_fingerprints_oracle_sql,
@@ -3634,6 +3662,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "web_outlinks": outlinks_oracle_sql("documents"),
         "web_host_stats": host_stats_oracle_sql("documents"),
+        "graph_host_pagerank": pagerank_oracle_sql(
+            """
+            SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                   'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) AS dst
+            FROM documents
+            UNION ALL
+            SELECT 'h' || CAST((doc_id * 3 + 1) % 23 AS VARCHAR),
+                   'h' || CAST((doc_id * 13 + 5) % 23 AS VARCHAR)
+            FROM documents
+            """,
+            iters=4,
+        ),
         "train_bpe_pairs": bpe_pair_counts_oracle_sql(
             "documents", "text", top_k=40
         ),

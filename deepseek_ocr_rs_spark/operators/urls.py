@@ -198,9 +198,20 @@ def outlinks(
             lambda c: c.isNotNull(),
         ).alias("kept"),
     )
-    return withh.select(
-        id_col, F.posexplode("kept").alias("link_pos", "url_canon")
-    ).withColumn("host", canonical_host_col(F.col("url_canon")))
+    # posexplode_outer, NOT posexplode: the non-outer form makes Catalyst
+    # push an implicit `size(kept) > 0` filter BELOW the Generate, and
+    # because `kept` references the pandas UDF output the tokenizer would
+    # be evaluated twice per row (one ArrowEvalPython for the filter, one
+    # for the projection).  Outer explode keeps a single UDF pass; the
+    # empty-array placeholder rows drop in a JVM-side null filter above.
+    return (
+        withh.select(
+            id_col,
+            F.posexplode_outer("kept").alias("link_pos", "url_canon"),
+        )
+        .where(F.col("url_canon").isNotNull())
+        .withColumn("host", canonical_host_col(F.col("url_canon")))
+    )
 
 
 def host_stats(links: DataFrame, id_col: str = "conv_id") -> DataFrame:
