@@ -2108,6 +2108,90 @@ def web_outlinks(spark, sf_dir):
     )
 
 
+def _synth_host():
+    """Deterministic host synth shared by the domain gate queries: four
+    host families keyed on doc_id, covering multi-level public suffixes
+    (co.uk, com.au), deep subdomains, and plain .com/.org."""
+    d = F.col("doc_id")
+    s = lambda e, m: F.pmod(e, F.lit(m)).cast("string")
+    return (
+        F.when(
+            F.pmod(d, F.lit(4)) == 0,
+            F.concat(F.lit("a"), s(d, 7), F.lit(".shop"), s(d, 5),
+                     F.lit(".co.uk")),
+        )
+        .when(
+            F.pmod(d, F.lit(4)) == 1,
+            F.concat(F.lit("cdn"), s(d, 11), F.lit(".media"), s(d, 5),
+                     F.lit(".com")),
+        )
+        .when(
+            F.pmod(d, F.lit(4)) == 2,
+            F.concat(F.lit("news"), s(d, 3), F.lit(".org")),
+        )
+        .otherwise(
+            F.concat(F.lit("x.y.z"), s(d, 2), F.lit(".com.au"))
+        )
+    )
+
+
+_SYNTH_HOST_SQL = """
+    CASE doc_id % 4
+      WHEN 0 THEN 'a' || CAST(doc_id % 7 AS VARCHAR) || '.shop'
+                  || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+      WHEN 1 THEN 'cdn' || CAST(doc_id % 11 AS VARCHAR) || '.media'
+                  || CAST(doc_id % 5 AS VARCHAR) || '.com'
+      WHEN 2 THEN 'news' || CAST(doc_id % 3 AS VARCHAR) || '.org'
+      ELSE 'x.y.z' || CAST(doc_id % 2 AS VARCHAR) || '.com.au'
+    END
+"""
+
+_BLOCKED_DOMAINS = ["shop1.co.uk", "media2.com", "news0.org"]
+
+
+def web_registrable_domains(spark, sf_dir):
+    """Registrable-domain rollup (operators/domains.py): hosts synthed
+    from doc_id cover multi-level public suffixes (shopN.co.uk,
+    x.y.zN.com.au), deep subdomains, and plain .com/.org; the PSL-lite
+    suffix rule collapses each to its registrable domain, aggregated to
+    (domain, n_hosts, n_rows).  The oracle replicates the suffix rule in
+    SQL (registrable_domain_sql), so the label-slice logic itself is
+    cross-engine checked, not just the aggregate."""
+    from deepseek_ocr_rs_spark.operators.domains import (
+        registrable_domain_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hosts = docs.select(_synth_host().alias("host"))
+    return (
+        hosts.select(
+            "host", registrable_domain_col(F.col("host")).alias("domain")
+        )
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def web_blocklist_filter(spark, sf_dir):
+    """Subdomain-aware blocklist filtering: the same synthetic hosts
+    anti-joined against a 3-domain blocklist; a host drops when it IS a
+    blocked domain or any subdomain of one.  Spark side: suffix-chain
+    explode over DISTINCT hosts + LEFT ANTI equi-join (never an
+    endswith cross-join); oracle: NOT EXISTS with label-boundary LIKE.
+    Output is the kept (doc_id, host) rows."""
+    from deepseek_ocr_rs_spark.operators.domains import filter_blocklisted
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    links = docs.select("doc_id", _synth_host().alias("host"))
+    bl = spark.createDataFrame(
+        [(b,) for b in _BLOCKED_DOMAINS], "domain string"
+    )
+    return filter_blocklisted(links, bl).select("doc_id", "host")
+
+
 def graph_host_pagerank(spark, sf_dir):
     """Integer-exact PageRank over a deterministic 23-host link graph
     derived from doc_id arithmetic (two parallel edge families, so some
@@ -2455,6 +2539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_outlinks": web_outlinks,
         "web_host_stats": web_host_stats,
         "graph_host_pagerank": graph_host_pagerank,
+        "web_registrable_domains": web_registrable_domains,
+        "web_blocklist_filter": web_blocklist_filter,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_sole_return_supplier": q21_sole_return_supplier,
         "q22_idle_customer_balance": q22_idle_customer_balance,
@@ -2567,6 +2653,9 @@ def oracle_sql() -> dict[str, str]:
         outlinks_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.linkgraph import pagerank_oracle_sql
+    from deepseek_ocr_rs_spark.operators.domains import (
+        registrable_domain_sql,
+    )
     from deepseek_ocr_rs_spark.operators.bpe import bpe_pair_counts_oracle_sql
     from deepseek_ocr_rs_spark.operators.winnow import (
         winnow_fingerprints_oracle_sql,
@@ -3662,6 +3751,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "web_outlinks": outlinks_oracle_sql("documents"),
         "web_host_stats": host_stats_oracle_sql("documents"),
+        "web_registrable_domains": f"""
+            WITH hosts AS (
+              SELECT {_SYNTH_HOST_SQL} AS host FROM documents
+            )
+            SELECT {registrable_domain_sql('host')} AS domain,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM hosts
+            GROUP BY 1
+        """,
+        "web_blocklist_filter": f"""
+            WITH links AS (
+              SELECT doc_id, {_SYNTH_HOST_SQL} AS host FROM documents
+            ),
+            bl AS (
+              SELECT unnest({_BLOCKED_DOMAINS!r}) AS domain
+            )
+            SELECT doc_id, host
+            FROM links l
+            WHERE NOT EXISTS (
+              SELECT 1 FROM bl
+              WHERE l.host = bl.domain
+                 OR l.host LIKE '%.' || bl.domain
+            )
+        """,
         "graph_host_pagerank": pagerank_oracle_sql(
             """
             SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
