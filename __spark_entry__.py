@@ -2108,6 +2108,59 @@ def web_outlinks(spark, sf_dir):
     )
 
 
+def warc_parse_records(spark, sf_dir):
+    """WARC container source (sources/warc.py): each doc becomes a
+    two-record WARC file (an http response carrying the doc text + a
+    warc-fields metadata record), built as a JVM-side byte string and
+    parsed back by the mapInPandas record reader.  The oracle derives
+    every output field directly from the doc columns — Content-Length in
+    OCTETS (octet_length/encode), so multibyte docs prove the parser
+    slices bytes, not chars.  Scale shape: scan -> mapInPandas, one
+    stage, no shuffle; file = row = unit of parallelism."""
+    from deepseek_ocr_rs_spark.sources.warc import parse_warc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    i = F.col("doc_id").cast("string")
+    uri = F.concat(
+        F.lit("http://example"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".com/d/"),
+        i,
+    )
+    meta_body = F.concat(F.lit("lang: "), F.col("lang"), F.lit("\r\n"))
+    blob = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:doc-"),
+        i,
+        F.lit("-0>\r\nContent-Type: text/html\r\nWARC-Target-URI: "),
+        uri,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length("text").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("text"),
+        F.lit("\r\n\r\nWARC/1.0\r\nWARC-Type: metadata\r\nWARC-Record-ID: <urn:uuid:doc-"),
+        i,
+        F.lit("-1>\r\nContent-Type: application/warc-fields\r\nContent-Length: "),
+        F.octet_length(meta_body).cast("string"),
+        F.lit("\r\n\r\n"),
+        meta_body,
+        F.lit("\r\n\r\n"),
+    )
+    files = docs.select(
+        i.alias("file_id"), F.encode(blob, "UTF-8").alias("content")
+    )
+    out = parse_warc(files)
+    return out.select(
+        "file_id",
+        "rec_idx",
+        "warc_type",
+        "target_uri",
+        "record_id",
+        "content_type",
+        "content_length",
+        F.col("payload").cast("string").alias("payload_text"),
+    )
+
+
 def _synth_host():
     """Deterministic host synth shared by the domain gate queries: four
     host families keyed on doc_id, covering multi-level public suffixes
@@ -2541,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_pagerank": graph_host_pagerank,
         "web_registrable_domains": web_registrable_domains,
         "web_blocklist_filter": web_blocklist_filter,
+        "warc_parse_records": warc_parse_records,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_sole_return_supplier": q21_sole_return_supplier,
         "q22_idle_customer_balance": q22_idle_customer_balance,
@@ -3751,6 +3805,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "web_outlinks": outlinks_oracle_sql("documents"),
         "web_host_stats": host_stats_oracle_sql("documents"),
+        "warc_parse_records": """
+            SELECT CAST(doc_id AS VARCHAR) AS file_id,
+                   0 AS rec_idx,
+                   'response' AS warc_type,
+                   'http://example' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.com/d/' || CAST(doc_id AS VARCHAR) AS target_uri,
+                   '<urn:uuid:doc-' || CAST(doc_id AS VARCHAR) || '-0>'
+                     AS record_id,
+                   'text/html' AS content_type,
+                   CAST(octet_length(encode(text)) AS BIGINT)
+                     AS content_length,
+                   text AS payload_text
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 1, 'metadata', NULL,
+                   '<urn:uuid:doc-' || CAST(doc_id AS VARCHAR) || '-1>',
+                   'application/warc-fields',
+                   CAST(octet_length(encode('lang: ' || lang
+                        || chr(13) || chr(10))) AS BIGINT),
+                   'lang: ' || lang || chr(13) || chr(10)
+            FROM documents
+        """,
         "web_registrable_domains": f"""
             WITH hosts AS (
               SELECT {_SYNTH_HOST_SQL} AS host FROM documents
