@@ -2108,6 +2108,51 @@ def web_outlinks(spark, sf_dir):
     )
 
 
+def web_robots_filter(spark, sf_dir):
+    """robots.txt crawl-permission filtering (operators/robots.py): one
+    synthetic robots body per host (7 hosts from doc_id%7) — even hosts
+    carry a specific 'curator' group (Disallow /d/, blocking every test
+    path), odd hosts only a '*' group whose Disallow /d/<m> is overridden
+    by a longer Allow /d/<m><m>.  The Spark side genuinely PARSES the
+    bodies (group state, agent fallback, longest-prefix, allow
+    tie-break); the oracle re-derives each verdict with independent CASE
+    arithmetic — simpler than the implementation, as an oracle should
+    be.  Scale shape: rules are tiny per host -> broadcast host join +
+    max_by fold at the URL grain, no window over the frontier."""
+    from deepseek_ocr_rs_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.pmod(F.col("doc_id"), F.lit(7))
+    ms = m.cast("string")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("example"), ms, F.lit(".com")).alias("host"),
+        F.concat(F.lit("/d/"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    hosts = urls.select(
+        "host", F.element_at(F.split("host", r"\D+"), 2).alias("hm")
+    ).distinct()
+    body = F.concat(
+        F.lit("# synthetic robots\n\n"),
+        F.when(
+            F.col("hm").cast("int") % 2 == 0,
+            F.lit("User-agent: curator\nDisallow: /d/\n\n"),
+        ).otherwise(F.lit("")),
+        F.lit("User-agent: *\nDisallow: /d/"),
+        F.col("hm"),
+        F.lit("\nAllow: /d/"),
+        F.col("hm"),
+        F.col("hm"),
+        F.lit("\n"),
+    )
+    robots = hosts.select("host", body.alias("robots_txt"))
+    verdicts = robots_allowed(urls, parse_robots(robots), "curator")
+    return verdicts.select("doc_id", "host", "path", "allowed")
+
+
 def warc_parse_records(spark, sf_dir):
     """WARC container source (sources/warc.py): each doc becomes a
     two-record WARC file (an http response carrying the doc text + a
@@ -2595,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_registrable_domains": web_registrable_domains,
         "web_blocklist_filter": web_blocklist_filter,
         "warc_parse_records": warc_parse_records,
+        "web_robots_filter": web_robots_filter,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_sole_return_supplier": q21_sole_return_supplier,
         "q22_idle_customer_balance": q22_idle_customer_balance,
@@ -3805,6 +3851,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "web_outlinks": outlinks_oracle_sql("documents"),
         "web_host_stats": host_stats_oracle_sql("documents"),
+        "web_robots_filter": """
+            WITH u AS (
+              SELECT doc_id,
+                     CAST(doc_id % 7 AS VARCHAR) AS m,
+                     '/d/' || CAST(doc_id AS VARCHAR) AS path
+              FROM documents
+            )
+            SELECT doc_id,
+                   'example' || m || '.com' AS host,
+                   path,
+                   CASE WHEN CAST(m AS INTEGER) % 2 = 0 THEN FALSE
+                        ELSE (path NOT LIKE '/d/' || m || '%'
+                              OR path LIKE '/d/' || m || m || '%')
+                   END AS allowed
+            FROM u
+        """,
         "warc_parse_records": """
             SELECT CAST(doc_id AS VARCHAR) AS file_id,
                    0 AS rec_idx,

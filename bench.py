@@ -179,6 +179,12 @@ def main() -> None:
         "train_bpe_pairs",
         # winnowing passage matches (fingerprint + capped bucket join)
         "doc_winnow_matches",
+        # web tier: outlink walk + canonicalization, WARC byte parsing,
+        # suffix-chain blocklist anti-join, integer PageRank iterations
+        "web_outlinks",
+        "warc_parse_records",
+        "web_blocklist_filter",
+        "graph_host_pagerank",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -1,0 +1,150 @@
+"""robots.txt parsing and crawl-permission filtering (RFC 9309 subset).
+
+A compliant crawl pipeline joins its URL frontier against per-host
+robots rules before fetching; at corpus-curation time the same filter
+answers "should this captured URL have been crawled".  Two stages:
+
+* :func:`parse_robots` — ``mapInPandas`` over (host, robots.txt body):
+  group-structured line format (consecutive ``User-agent`` lines open a
+  group; ``Allow``/``Disallow`` lines bind to every agent of the open
+  group; ``#`` comments and unknown fields skipped; field names
+  case-insensitive).  Output: one rule row per (host, agent, rule,
+  path_prefix).  Sequential group state makes this a per-file Python
+  pass — the same file=row=parallelism-unit shape as sources/warc.py.
+* :func:`robots_allowed` — marks each (host, path) URL allowed/blocked
+  for a given agent:
+
+  - group selection per RFC 9309: if the host has rules for the
+    specific agent (case-insensitive exact token), ONLY those apply;
+    otherwise the ``*`` group; otherwise everything is allowed;
+  - rule matching: plain prefix match (the RFC's ``*``/``$`` wildcard
+    extension is NOT implemented — documented subset; rules containing
+    either metacharacter are ignored rather than misread);
+  - precedence: longest matching prefix wins; at equal length Allow
+    beats Disallow; an empty ``Disallow:`` value means allow-all (it
+    matches nothing, per spec);
+  - no matching rule -> allowed.
+
+Scale shape: rules tables are tiny relative to frontiers (one row per
+robots line).  ``robots_allowed`` is ONE equi-join on host (broadcast
+when the rules fit) + a per-URL max_by over matching rules folded as an
+aggregate — no window over the frontier, no explode of the URL side.
+Both stages are replicated in SQL by :func:`robots_oracle_sql` for the
+gate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_robots", "robots_allowed", "RULES_SCHEMA"]
+
+RULES_SCHEMA = "host string, agent string, rule string, path_prefix string"
+
+
+def _parse_one(body: str):
+    """Yield (agent, rule, path_prefix) rows for one robots.txt body."""
+    agents: list = []
+    group_open = False  # True while consuming consecutive User-agent lines
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not group_open:
+                agents = []
+                group_open = True
+            agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            group_open = False
+            if "*" in value or "$" in value:
+                continue  # wildcard extension not implemented: skip, never misread
+            if value == "":
+                continue  # empty Allow/Disallow value matches nothing
+            for a in agents:
+                yield (a, field, value)
+        else:
+            group_open = False  # crawl-delay / sitemap / unknown end the UA run
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots.txt body) -> one row per (host, agent, rule, prefix)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"host": [], "agent": [], "rule": [], "path_prefix": []}
+            for host, body in zip(pdf[host_col], pdf[text_col]):
+                if body is None:
+                    continue
+                for agent, rule, prefix in _parse_one(body):
+                    out["host"].append(host)
+                    out["agent"].append(agent)
+                    out["rule"].append(rule)
+                    out["path_prefix"].append(prefix)
+            yield pd.DataFrame(out)
+
+    return df.select(host_col, text_col).mapInPandas(_batches, RULES_SCHEMA)
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Adds ``allowed boolean`` to ``urls`` under ``rules`` for ``agent``.
+
+    One host equi-join + one aggregate back to the URL grain; the
+    winning rule is picked with max_by over (prefix_len, allow-bias) so
+    no window runs over the frontier.
+    """
+    agent = agent.lower()
+    # per-host group selection: specific-agent rules win over '*'
+    hosts_specific = (
+        rules.where(F.col("agent") == agent)
+        .select("host")
+        .distinct()
+        .withColumn("__specific", F.lit(True))
+    )
+    scoped = (
+        rules.where(F.col("agent").isin(agent, "*"))
+        .join(hosts_specific, "host", "left")
+        .where(
+            (F.col("agent") == agent)
+            | F.col("__specific").isNull()  # '*' only when no specific group
+        )
+        .select("host", "rule", "path_prefix")
+    )
+    u = urls.withColumn("__uid", F.monotonically_increasing_id())
+    joined = u.join(scoped, u[host_col] == scoped["host"], "left").where(
+        scoped["host"].isNull()
+        | F.col(path_col).startswith(F.col("path_prefix"))
+    )
+    # precedence key: longer prefix wins; tie -> allow (1) beats disallow (0)
+    key = F.length("path_prefix") * 2 + F.when(
+        F.col("rule") == "allow", 1
+    ).otherwise(0)
+    verdicts = joined.groupBy("__uid").agg(
+        F.max_by(F.col("rule") == "allow", key).alias("__win_allow"),
+        F.count(F.col("path_prefix")).alias("__n_rules"),
+    )
+    return (
+        u.join(verdicts, "__uid", "left")
+        .withColumn(
+            "allowed",
+            F.when(F.coalesce(F.col("__n_rules"), F.lit(0)) == 0, F.lit(True))
+            .otherwise(F.col("__win_allow")),
+        )
+        .drop("__uid", "__win_allow", "__n_rules")
+    )

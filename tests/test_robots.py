@@ -1,0 +1,108 @@
+"""robots.txt parsing + allow filtering (operators/robots.py)."""
+
+from deepseek_ocr_rs_spark.operators.robots import parse_robots, robots_allowed
+
+ROBOTS = """# comment line
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Disallow: /tmp
+
+User-agent: goodbot
+User-Agent: nicebot
+Disallow: /secret/
+Allow:
+
+Crawl-delay: 10
+User-agent: badbot
+Disallow: /
+Disallow: /star/*/mid
+Disallow:
+"""
+
+
+def _rules(spark, pairs=None):
+    rb = spark.createDataFrame(
+        pairs or [("a.com", ROBOTS), ("b.com", None)],
+        "host string, robots_txt string",
+    )
+    return parse_robots(rb)
+
+
+def test_parse_groups_and_skips(spark):
+    rows = sorted(tuple(r) for r in _rules(spark).collect())
+    assert rows == sorted([
+        ("a.com", "*", "disallow", "/private/"),
+        ("a.com", "*", "allow", "/private/ok"),
+        ("a.com", "*", "disallow", "/tmp"),
+        # two consecutive UA lines share the group's rules
+        ("a.com", "goodbot", "disallow", "/secret/"),
+        ("a.com", "nicebot", "disallow", "/secret/"),
+        # badbot: '/' kept; wildcard rule skipped; empty Disallow skipped
+        ("a.com", "badbot", "disallow", "/"),
+    ])
+
+
+def _verdicts(spark, agent, urls=None):
+    u = spark.createDataFrame(
+        urls
+        or [
+            ("a.com", "/private/x"),
+            ("a.com", "/private/ok/x"),
+            ("a.com", "/tmpfile"),       # RFC prefix semantics: /tmp matches
+            ("a.com", "/public"),
+            ("b.com", "/anything"),      # host with no rules
+            ("c.com", "/x"),             # host absent from robots set
+        ],
+        "host string, path string",
+    )
+    out = robots_allowed(u, _rules(spark), agent)
+    return {(r["host"], r["path"]): r["allowed"] for r in out.collect()}
+
+
+def test_star_group_longest_prefix_and_allow_tiebreak(spark):
+    v = _verdicts(spark, "somebot")
+    assert v[("a.com", "/private/x")] is False
+    assert v[("a.com", "/private/ok/x")] is True   # longer Allow wins
+    assert v[("a.com", "/tmpfile")] is False
+    assert v[("a.com", "/public")] is True
+    assert v[("b.com", "/anything")] is True
+    assert v[("c.com", "/x")] is True
+
+
+def test_specific_group_shadows_star(spark):
+    # goodbot's own group has only /secret/: the * rules must NOT apply
+    v = _verdicts(spark, "GoodBot")  # case-insensitive agent token
+    assert v[("a.com", "/private/x")] is True
+    assert v[("a.com", "/tmpfile")] is True
+    v2 = _verdicts(
+        spark, "goodbot", urls=[("a.com", "/secret/f"), ("a.com", "/s")]
+    )
+    assert v2[("a.com", "/secret/f")] is False
+    assert v2[("a.com", "/s")] is True
+
+
+def test_disallow_root_blocks_everything(spark):
+    v = _verdicts(spark, "badbot")
+    assert v[("a.com", "/private/ok/x")] is False
+    assert v[("a.com", "/public")] is False
+    assert v[("b.com", "/anything")] is True
+
+
+def test_equal_length_allow_beats_disallow(spark):
+    body = "User-agent: *\nDisallow: /p\nAllow: /p\n"
+    rules = parse_robots(
+        spark.createDataFrame([("h.com", body)], "host string, robots_txt string")
+    )
+    u = spark.createDataFrame([("h.com", "/p/q")], "host string, path string")
+    out = robots_allowed(u, rules, "any").collect()
+    assert out[0]["allowed"] is True
+
+
+def test_duplicate_urls_keep_their_rows(spark):
+    rules = _rules(spark)
+    u = spark.createDataFrame(
+        [("a.com", "/private/x")] * 3, "host string, path string"
+    )
+    out = robots_allowed(u, rules, "somebot").collect()
+    assert len(out) == 3 and all(r["allowed"] is False for r in out)
