@@ -2108,6 +2108,58 @@ def web_outlinks(spark, sf_dir):
     )
 
 
+def web_page_metadata(spark, sf_dir):
+    """Page-metadata plane (operators/metadata.py): synthetic heads built
+    per doc carry a comment decoy, a content-less meta, a second title, a
+    script-wrapped title, a stylesheet link before the canonical, mixed
+    attribute-value case, and entities in both text and attribute values —
+    so only a real tokenizer-backed first-occurrence fold (never a regex
+    over the raw bytes) reproduces the oracle, which re-derives every
+    field by construction.  og:url additionally flows through the shared
+    URL canonicalizer (www./default-port strip, tracking-param drop,
+    bytewise param sort).  Scale shape: one Arrow pass per payload, no
+    shuffle; the payload column dies at the UDF projection."""
+    from deepseek_ocr_rs_spark.operators.metadata import (
+        extract_page_metadata,
+    )
+    from deepseek_ocr_rs_spark.operators.urls import canonical_url_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    html = F.concat(
+        F.lit('<!doctype html><html lang="en-US"><head>'),
+        F.lit('<!-- <meta name="description" content="comment decoy"> -->'),
+        F.lit('<meta name="description">'),
+        F.lit("<title> Doc &amp;\n Title "), i, F.lit(" </title>"),
+        F.lit("<title>second decoy</title>"),
+        F.lit('<meta name="Description" content="Summary &ouml; '), i,
+        F.lit('">'),
+        F.lit('<meta property="og:title" content="OG '), i, F.lit('"/>'),
+        F.lit('<meta property="og:url" content="HTTP://WWW.Example'), m,
+        F.lit(".com:80/p/"), i, F.lit('?utm_source=x&amp;b=2&amp;a=1">'),
+        F.lit('<link rel="stylesheet" href="/s.css">'),
+        F.lit('<link rel="Alternate CANONICAL" href="https://example'), m,
+        F.lit(".com/canon/"), i, F.lit('#frag">'),
+        F.lit('<meta name="author" content="Author '),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("string"), F.lit('">'),
+        F.lit('<script>var t="<title>script decoy</title>";</script>'),
+        F.lit("</head><body><p>b</p></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("text"))
+    out = extract_page_metadata(pages)
+    return out.select(
+        "doc_id",
+        F.col("page_meta.title").alias("title"),
+        F.col("page_meta.description").alias("description"),
+        F.col("page_meta.author").alias("author"),
+        F.col("page_meta.og_title").alias("og_title"),
+        canonical_url_col(F.col("page_meta.og_url")).alias("og_canonical"),
+        F.col("page_meta.canonical_href").alias("canonical_href"),
+        F.col("page_meta.html_lang").alias("html_lang"),
+    )
+
+
 def web_robots_filter(spark, sf_dir):
     """robots.txt crawl-permission filtering (operators/robots.py): one
     synthetic robots body per host (7 hosts from doc_id%7) — even hosts
@@ -2641,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_blocklist_filter": web_blocklist_filter,
         "warc_parse_records": warc_parse_records,
         "web_robots_filter": web_robots_filter,
+        "web_page_metadata": web_page_metadata,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_sole_return_supplier": q21_sole_return_supplier,
         "q22_idle_customer_balance": q22_idle_customer_balance,
@@ -3865,6 +3918,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (path NOT LIKE '/d/' || m || '%'
                               OR path LIKE '/d/' || m || m || '%')
                    END AS allowed
+            FROM u
+        """,
+        "web_page_metadata": """
+            WITH u AS (
+              SELECT doc_id,
+                     CAST(doc_id AS VARCHAR) AS i,
+                     CAST(doc_id % 7 AS VARCHAR) AS m
+              FROM documents
+            )
+            SELECT doc_id,
+                   'Doc & Title ' || i AS title,
+                   'Summary ' || chr(246) || ' ' || i AS description,
+                   'Author ' || CAST(doc_id % 5 AS VARCHAR) AS author,
+                   'OG ' || i AS og_title,
+                   'http://example' || m || '.com/p/' || i || '?a=1&b=2'
+                       AS og_canonical,
+                   'https://example' || m || '.com/canon/' || i || '#frag'
+                       AS canonical_href,
+                   'en-us' AS html_lang
             FROM u
         """,
         "warc_parse_records": """

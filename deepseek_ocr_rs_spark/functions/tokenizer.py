@@ -121,6 +121,17 @@ _EMPTY_ATTRS: Dict[str, str] = {}
 # width=/… and defeat the no-attr fast path
 _ATTR_PROBE_RE = re.compile(r"(?:^|\s)(?:href|class|id)\s*=", re.IGNORECASE)
 _KEPT_ATTRS = frozenset({"href", "class", "id"})
+# tag-scoped retention: metadata carriers keep their own attribute set and
+# always take the attr scan (they essentially never appear bare), so the
+# no-attr fast path for p/div/span/a is untouched.  head-metadata surface:
+# <meta name/property/content/charset/http-equiv>, <link rel/href>,
+# <html lang> (operators/metadata.py consumes these)
+_TAG_EXTRA_ATTRS: Dict[str, frozenset] = {
+    "meta": frozenset({"name", "property", "content", "charset",
+                       "http-equiv"}),
+    "link": frozenset({"rel", "href"}),
+    "html": frozenset({"lang"}),
+}
 
 
 # memo for short tags: real documents repeat a handful of raw tag strings
@@ -175,12 +186,15 @@ def _parse_tag_uncached(
     # skip the attribute scan entirely when none can be present (the hot
     # path).  case-insensitive probe: the attr matcher below lowercases
     # names, so <a HREF="..."> / <div CLASS=...> must not take the fast path
-    if not _ATTR_PROBE_RE.search(raw):
-        return ("open", tag, _EMPTY_ATTRS, self_closing)
+    kept = _TAG_EXTRA_ATTRS.get(tag)
+    if kept is None:
+        kept = _KEPT_ATTRS
+        if not _ATTR_PROBE_RE.search(raw):
+            return ("open", tag, _EMPTY_ATTRS, self_closing)
     attrs: Dict[str, str] = {}
     for am in _ATTR_RE.finditer(raw[m.end():]):
         name = am.group(1).lower()
-        if name not in _KEPT_ATTRS:
+        if name not in kept:
             continue
         val = am.group(2) or ""
         if len(val) >= 2 and val[0] in "\"'" and val[-1] == val[0]:
