@@ -2160,6 +2160,65 @@ def web_page_metadata(spark, sf_dir):
     )
 
 
+def web_sitemap_urls(spark, sf_dir):
+    """Sitemap URL discovery (operators/sitemaps.py): synthetic sitemap
+    bodies per doc carry a comment-wrapped decoy entry, a loc-less entry
+    (dropped by protocol), whitespace + ``&amp;`` inside <loc>, and an
+    XML declaration — the streaming tokenizer (not a regex) must parse
+    them to reproduce the oracle, which re-derives both kept rows by
+    construction.  Scale shape: one Arrow pass per body + explode, no
+    shuffle; the XML column dies at the UDF projection."""
+    from deepseek_ocr_rs_spark.operators.sitemaps import parse_sitemaps
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    d = (F.pmod(F.col("doc_id"), F.lit(9)) + 1).cast("string")
+    p = F.pmod(F.col("doc_id"), F.lit(10)).cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'),
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.lit("<!-- <url><loc>https://decoy.example/x</loc></url> -->"),
+        F.lit("<url><loc> https://example"), m, F.lit(".com/p/"), i,
+        F.lit("?a=1&amp;b=2 </loc><lastmod>2024-01-0"), d,
+        F.lit("</lastmod><priority>0."), p, F.lit("</priority></url>"),
+        F.lit("<url><lastmod>2024-02-02</lastmod></url>"),
+        F.lit("<url><loc>https://example"), m, F.lit(".com/q/"), i,
+        F.lit("</loc><changefreq>daily</changefreq></url>"),
+        F.lit("</urlset>"),
+    )
+    pages = docs.select("doc_id", xml.alias("text"))
+    return parse_sitemaps(pages).select(
+        "doc_id", "kind", "loc", "lastmod", "priority", "changefreq",
+        "ordinal",
+    )
+
+
+def web_frontier_schedule(spark, sf_dir):
+    """Politeness frontier scheduling (operators/frontier.py): per-host
+    priority queues as ONE window over the frontier (single host hash
+    exchange), wave = per-host rank, eta = wave * crawl-delay, per-host
+    budget cap dropping the tail (megahost defense).  Ties on priority
+    break by url_id so the schedule is deterministic; the oracle is a
+    plain ROW_NUMBER window with the same cap.  With ~500 urls over 7
+    hosts and a cap of 30, both kept and dropped sets are non-empty."""
+    from deepseek_ocr_rs_spark.operators.frontier import schedule_frontier
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url_id"),
+        F.concat(
+            F.lit("example"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".com"),
+        ).alias("host"),
+        F.pmod(F.col("doc_id"), F.lit(13)).cast("int").alias("priority"),
+    )
+    return schedule_frontier(
+        urls, per_host_delay_s=5, max_per_host=30
+    ).select("url_id", "host", "priority", "wave", "eta_s")
+
+
 def web_robots_filter(spark, sf_dir):
     """robots.txt crawl-permission filtering (operators/robots.py): one
     synthetic robots body per host (7 hosts from doc_id%7) — even hosts
@@ -2694,6 +2753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_parse_records": warc_parse_records,
         "web_robots_filter": web_robots_filter,
         "web_page_metadata": web_page_metadata,
+        "web_sitemap_urls": web_sitemap_urls,
+        "web_frontier_schedule": web_frontier_schedule,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_sole_return_supplier": q21_sole_return_supplier,
         "q22_idle_customer_balance": q22_idle_customer_balance,
@@ -3919,6 +3980,50 @@ def oracle_sql() -> dict[str, str]:
                               OR path LIKE '/d/' || m || m || '%')
                    END AS allowed
             FROM u
+        """,
+        "web_sitemap_urls": """
+            WITH u AS (
+              SELECT doc_id,
+                     CAST(doc_id AS VARCHAR) AS i,
+                     CAST(doc_id % 7 AS VARCHAR) AS m,
+                     CAST(doc_id % 9 + 1 AS VARCHAR) AS d,
+                     CAST(doc_id % 10 AS VARCHAR) AS p
+              FROM documents
+            )
+            SELECT doc_id, 'url' AS kind,
+                   'https://example' || m || '.com/p/' || i || '?a=1&b=2'
+                       AS loc,
+                   '2024-01-0' || d AS lastmod,
+                   '0.' || p AS priority,
+                   CAST(NULL AS VARCHAR) AS changefreq,
+                   0 AS ordinal
+            FROM u
+            UNION ALL
+            SELECT doc_id, 'url',
+                   'https://example' || m || '.com/q/' || i,
+                   NULL, NULL, 'daily', 1
+            FROM u
+        """,
+        "web_frontier_schedule": """
+            WITH u AS (
+              SELECT 'u' || CAST(doc_id AS VARCHAR) AS url_id,
+                     'example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                         AS host,
+                     CAST(doc_id % 13 AS INTEGER) AS priority
+              FROM documents
+            ), ranked AS (
+              SELECT url_id, host, priority,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY host
+                       ORDER BY priority DESC, url_id ASC
+                     ) - 1 AS wave
+              FROM u
+            )
+            SELECT url_id, host, priority,
+                   CAST(wave AS INTEGER) AS wave,
+                   CAST(wave * 5 AS BIGINT) AS eta_s
+            FROM ranked
+            WHERE wave < 30
         """,
         "web_page_metadata": """
             WITH u AS (
