@@ -2437,6 +2437,112 @@ def web_host_stats(spark, sf_dir):
     return host_stats(web_outlinks(spark, sf_dir))
 
 
+def _anchor_fixture(spark, sf_dir):
+    """Shared HTML fixture for the anchor-text gates: per doc, four
+    kept anchors (one shared "hub" target so the per-target rollup is
+    non-trivial) plus decoys the capture contract must reject — a
+    relative href, a comment-wrapped anchor, an href-less ``<a>``, a
+    script-quoted anchor — and one implicit-close nested-anchor pair
+    (HTML5: a new <a> closes the open one).  Entities appear in BOTH
+    the href (&amp; separators) and the anchor text (&amp;), and the
+    bold-wrapped span checks that formatting tags contribute text but
+    not structure."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    b = F.pmod(F.col("doc_id"), F.lit(97)).cast("string")
+    h = F.pmod(F.col("doc_id"), F.lit(13)).cast("string")
+    a3 = F.pmod(F.col("doc_id"), F.lit(3)).cast("string")
+    html = F.concat(
+        F.lit('<p>see <a href="/rel">skip</a> and '),
+        F.lit('<a href="https://news.example'), m, F.lit(".com/a/"), i,
+        F.lit("?b="), b, F.lit('&amp;a=1#f">Read &amp;\n more '), i,
+        F.lit("</a></p>"),
+        F.lit('<!-- <a href="http://decoy.com/c">decoy</a> -->'),
+        F.lit("<a>stop</a>"),
+        F.lit('<a href="https://img.example'), m, F.lit(".org/i/"), i,
+        F.lit('"><b></b></a>'),
+        F.lit('<p><a href="https://one.example'), m, F.lit(".net/x/"), i,
+        F.lit('">first '), b,
+        F.lit(' <a href="https://hub.example'), m, F.lit(".com/t/"), h,
+        F.lit('">hub <b>'), a3, F.lit("</b></a></p>"),
+        F.lit("<script>var s='<a href=\"http://s.com/\">s</a>';</script>"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        html.alias("text"),
+    )
+
+
+def _anchor_texts_oracle_sql(table: str) -> str:
+    """DuckDB replica of the web_anchor_texts gate: re-derives the four
+    kept (href, anchor) pairs per doc by construction — including the
+    implicit-close text split and the empty image-link anchor — and
+    canonicalizes the raw hrefs with the shared SQL replica."""
+    from deepseek_ocr_rs_spark.operators.urls import canonical_url_sql
+
+    m = "CAST(doc_id % 7 AS VARCHAR)"
+    i = "CAST(doc_id AS VARCHAR)"
+    b = "CAST(doc_id % 97 AS VARCHAR)"
+    h = "CAST(doc_id % 13 AS VARCHAR)"
+    a3 = "CAST(doc_id % 3 AS VARCHAR)"
+    return f"""
+    (WITH rawlinks AS (
+      SELECT CAST(doc_id AS VARCHAR) AS conv_id, 0 AS link_pos,
+             'https://news.example' || {m} || '.com/a/' || {i}
+               || '?b=' || {b} || '&a=1#f' AS href,
+             'Read & more ' || {i} AS anchor
+      FROM {table}
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), 1,
+             'https://img.example' || {m} || '.org/i/' || {i}, ''
+      FROM {table}
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), 2,
+             'https://one.example' || {m} || '.net/x/' || {i},
+             'first ' || {b}
+      FROM {table}
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), 3,
+             'https://hub.example' || {m} || '.com/t/' || {h},
+             'hub ' || {a3}
+      FROM {table}
+    )
+    SELECT conv_id, CAST(link_pos AS BIGINT) AS link_pos,
+           {canonical_url_sql('href')} AS url_canon, anchor
+    FROM rawlinks)
+    """
+
+
+def web_anchor_texts(spark, sf_dir):
+    """Anchor-text edge list (operators/anchors.py): one row per kept
+    link with the text inside its <a> element — the (target,
+    description) web-graph signal.  The oracle re-derives all four rows
+    per doc by construction, including the implicit-close split (anchor
+    'first {b}' ends where the hub anchor opens) and the empty-string
+    anchor of the image link.  Scale shape: one Arrow pass per payload,
+    canonicalization in a codegen transform before the explode."""
+    from deepseek_ocr_rs_spark.operators.anchors import anchor_outlinks
+
+    return anchor_outlinks(_anchor_fixture(spark, sf_dir))
+
+
+def web_anchor_stats(spark, sf_dir):
+    """Per-target anchor rollup over web_anchor_texts: link volume,
+    distinct linking docs, and the modal anchor text (ties -> bytewise
+    smallest).  The hub target is shared by ~doc_count/91 docs with 3
+    rotating anchor strings, so the argmax and its tie-break are both
+    exercised; unique per-doc targets pin the n_links = n_docs = 1
+    base case.  Two map-side-combinable aggregates, no window over the
+    edge list (operators/anchors.py:anchor_stats)."""
+    from deepseek_ocr_rs_spark.operators.anchors import (
+        anchor_outlinks,
+        anchor_stats,
+    )
+
+    return anchor_stats(anchor_outlinks(_anchor_fixture(spark, sf_dir)))
+
+
 def train_bpe_pairs(spark, sf_dir):
     """Round-0 BPE vocabulary-induction statistics: the 40 most frequent
     adjacent character pairs over the documents corpus (what the first
@@ -2747,6 +2853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    interval join, and the XY-cut two-column extraction) --------
         "web_outlinks": web_outlinks,
         "web_host_stats": web_host_stats,
+        "web_anchor_texts": web_anchor_texts,
+        "web_anchor_stats": web_anchor_stats,
         "graph_host_pagerank": graph_host_pagerank,
         "web_registrable_domains": web_registrable_domains,
         "web_blocklist_filter": web_blocklist_filter,
@@ -3965,6 +4073,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "web_outlinks": outlinks_oracle_sql("documents"),
         "web_host_stats": host_stats_oracle_sql("documents"),
+        "web_anchor_texts": _anchor_texts_oracle_sql("documents"),
+        "web_anchor_stats": f"""
+    WITH edges AS ({_anchor_texts_oracle_sql("documents")}),
+    per_anchor AS (
+      SELECT url_canon, anchor, count(*) AS cnt
+      FROM edges GROUP BY url_canon, anchor
+    ),
+    top AS (
+      SELECT url_canon, anchor AS top_anchor
+      FROM per_anchor
+      QUALIFY row_number() OVER (
+        PARTITION BY url_canon ORDER BY cnt DESC, anchor ASC) = 1
+    ),
+    agg AS (
+      SELECT url_canon, CAST(count(*) AS BIGINT) AS n_links,
+             CAST(count(DISTINCT conv_id) AS BIGINT) AS n_docs
+      FROM edges GROUP BY url_canon
+    )
+    SELECT agg.url_canon, agg.n_links, agg.n_docs, top.top_anchor
+    FROM agg JOIN top USING (url_canon)
+    """,
         "web_robots_filter": """
             WITH u AS (
               SELECT doc_id,

@@ -35,10 +35,19 @@ def _normalize_cell(v):
     return v
 
 
+def _sort_key(row):
+    # None-safe total order: rows that tie on leading columns and mix
+    # NULL with non-NULL later (outer joins, first-leaf-wins NULLs)
+    # must still sort, so key each cell by (is-None, type, value) —
+    # same discipline as scripts/gate_check.py.
+    return tuple((v is None, type(v).__name__, v) for v in row)
+
+
 def _as_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(_normalize_cell(r[i]) for i in order) for r in rows
+        (tuple(_normalize_cell(r[i]) for i in order) for r in rows),
+        key=_sort_key,
     )
 
 
