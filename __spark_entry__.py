@@ -2317,6 +2317,111 @@ def warc_parse_records(spark, sf_dir):
     )
 
 
+def warc_http_responses(spark, sf_dir):
+    """HTTP response layer over the WARC source (sources/http.py): per
+    doc one WARC response record whose payload is a full HTTP/1.x
+    response, rotated over 4 charset-resolution branches — declared
+    utf-8, declared ISO-8859-1 (latin-1 octets differ from utf-8, so a
+    wrong decode is observable), an undeclared UTF-8 BOM (must win and
+    be stripped), and an undeclared <meta charset> probe — times 3
+    status lines and 2 HTTP versions, with header-name case rotating.
+    The oracle re-derives every field by construction.  Scale shape:
+    scan -> mapInPandas -> Arrow struct pass, a single stage with zero
+    shuffles; the octets die at the struct projection."""
+    from deepseek_ocr_rs_spark.sources.http import parse_http_responses
+    from deepseek_ocr_rs_spark.sources.warc import parse_warc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    c4 = F.pmod(F.col("doc_id"), F.lit(4))
+    s3 = F.pmod(F.col("doc_id"), F.lit(3))
+    v2 = F.pmod(F.col("doc_id"), F.lit(2))
+
+    body_bin = (
+        F.when(c4 == 0, F.encode(F.concat(F.lit("café plain "), i), "UTF-8"))
+        .when(c4 == 1, F.encode(F.concat(F.lit("café latin "), i), "ISO-8859-1"))
+        .when(c4 == 2, F.encode(F.concat(F.lit("\ufeff" + "café bom "), i), "UTF-8"))
+        .otherwise(
+            F.encode(
+                F.concat(
+                    F.lit('<meta charset="ISO-8859-1">café meta '), i
+                ),
+                "ISO-8859-1",
+            )
+        )
+    )
+    ctype = (
+        F.when(c4 == 0, F.lit("text/html; charset=UTF-8"))
+        .when(c4 == 1, F.lit("Text/HTML; charset=ISO-8859-1"))
+        .otherwise(F.lit("text/html"))
+    )
+    status_line = (
+        F.when(s3 == 0, F.lit(" 200 OK"))
+        .when(s3 == 1, F.lit(" 301 Moved Permanently"))
+        .otherwise(F.lit(" 404 Not Found"))
+    )
+    version = F.when(v2 == 0, F.lit("HTTP/1.1")).otherwise(F.lit("HTTP/1.0"))
+    ct_name = F.when(v2 == 0, F.lit("Content-Type")).otherwise(
+        F.lit("CONTENT-TYPE")
+    )
+    head = F.concat(
+        version, status_line, F.lit("\r\n"),
+        ct_name, F.lit(": "), ctype, F.lit("\r\n"),
+        F.lit("Content-Length: "), F.octet_length(body_bin).cast("string"),
+        F.lit("\r\nX-Doc: "), i, F.lit("\r\n\r\n"),
+    )
+    http_payload = F.concat(F.encode(head, "UTF-8"), body_bin)
+    warc_head = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:h-"),
+        i,
+        F.lit(">\r\nContent-Type: application/http;msgtype=response"),
+        F.lit("\r\nWARC-Target-URI: http://example"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".com/d/"), i,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(http_payload).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    blob = F.concat(
+        F.encode(warc_head, "UTF-8"), http_payload, F.encode(F.lit("\r\n\r\n"), "UTF-8")
+    )
+    files = docs.select(i.alias("file_id"), blob.alias("content"))
+    recs = parse_warc(files).where(F.col("warc_type") == "response")
+    out = parse_http_responses(recs)
+    return out.select(
+        "file_id",
+        F.col("http.status").alias("status"),
+        F.col("http.http_version").alias("http_version"),
+        F.col("http.reason").alias("reason"),
+        F.col("http.content_type").alias("content_type"),
+        F.col("http.charset").alias("charset"),
+        F.col("http.n_headers").alias("n_headers"),
+        F.col("http.body_text").alias("body_text"),
+    )
+
+
+_WARC_HTTP_ORACLE = """
+    SELECT CAST(doc_id AS VARCHAR) AS file_id,
+      CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 301
+           ELSE 404 END AS INTEGER) AS status,
+      CASE doc_id % 2 WHEN 0 THEN '1.1' ELSE '1.0' END AS http_version,
+      CASE doc_id % 3 WHEN 0 THEN 'OK' WHEN 1 THEN 'Moved Permanently'
+           ELSE 'Not Found' END AS reason,
+      'text/html' AS content_type,
+      CASE WHEN doc_id % 4 IN (0, 2) THEN 'utf-8'
+           ELSE 'iso-8859-1' END AS charset,
+      CAST(3 AS INTEGER) AS n_headers,
+      CASE doc_id % 4
+        WHEN 0 THEN 'café plain ' || CAST(doc_id AS VARCHAR)
+        WHEN 1 THEN 'café latin ' || CAST(doc_id AS VARCHAR)
+        WHEN 2 THEN 'café bom ' || CAST(doc_id AS VARCHAR)
+        ELSE '<meta charset="ISO-8859-1">café meta '
+             || CAST(doc_id AS VARCHAR)
+      END AS body_text
+    FROM documents
+"""
+
+
 def _synth_host():
     """Deterministic host synth shared by the domain gate queries: four
     host families keyed on doc_id, covering multi-level public suffixes
@@ -2855,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_stats": web_host_stats,
         "web_anchor_texts": web_anchor_texts,
         "web_anchor_stats": web_anchor_stats,
+        "warc_http_responses": warc_http_responses,
         "graph_host_pagerank": graph_host_pagerank,
         "web_registrable_domains": web_registrable_domains,
         "web_blocklist_filter": web_blocklist_filter,
@@ -4073,6 +4179,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "web_outlinks": outlinks_oracle_sql("documents"),
         "web_host_stats": host_stats_oracle_sql("documents"),
+        "warc_http_responses": _WARC_HTTP_ORACLE,
         "web_anchor_texts": _anchor_texts_oracle_sql("documents"),
         "web_anchor_stats": f"""
     WITH edges AS ({_anchor_texts_oracle_sql("documents")}),

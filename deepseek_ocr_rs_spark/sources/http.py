@@ -1,0 +1,171 @@
+"""HTTP/1.x response parsing + charset-sniffed body decode.
+
+A WARC ``response`` record's payload is a raw HTTP response — status
+line, headers, octet body (sources/warc.py hands it over as ``binary``).
+Turning those octets into *text* is the step every web corpus gets
+subtly wrong: the body's encoding is declared in up to three competing
+places and real crawls disagree with themselves.  This module pins one
+deterministic contract (replicated by the gate oracle by construction
+and by the pytest corpus against hand-built responses):
+
+1. payload must start with ``HTTP/``; anything else parses to an
+   all-NULL struct (the quarantine discipline of sources/formats.py),
+2. head/body split at the first ``CRLF CRLF`` (LF LF tolerated — real
+   servers emit it); a response with no terminator is all headers and
+   an empty body (tolerant tail, like the WARC reader),
+3. status line ``HTTP/<ver> <code> <reason...>``: non-integer code =>
+   all-NULL struct; reason may be empty and may contain spaces,
+4. headers are case-insensitive, first occurrence wins (the metadata
+   first-wins discipline); malformed lines (no colon) are skipped, not
+   fatal; ``n_headers`` counts well-formed lines,
+5. ``content_type`` = the media type lowercased (before any ``;``),
+6. charset resolution order: **BOM** (UTF-8 / UTF-16 LE / BE — the
+   WHATWG encoding-sniff rule: a BOM beats every declaration) ->
+   ``charset=`` parameter of Content-Type -> ``<meta charset>`` /
+   ``http-equiv`` probe over the first 1024 octets -> ``utf-8``;
+   the emitted ``charset`` is the *normalized* name actually used,
+7. decode with ``errors="replace"`` (a torn multibyte tail yields
+   U+FFFD, never a crash); a consumed BOM is stripped from the text;
+   an unknown declared charset falls back to utf-8.
+
+Scale shape: one Arrow batch pass per record row (composes with
+parse_warc's scan -> mapInPandas single stage, still no shuffle); the
+struct projection lets downstream prune to ``http.body_text`` only, so
+the raw octets die at this operator.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_http_responses", "HTTP_STRUCT"]
+
+HTTP_STRUCT = (
+    "struct<status:int,http_version:string,reason:string,"
+    "content_type:string,charset:string,n_headers:int,body_text:string>"
+)
+
+_CHARSET_PARAM_RE = re.compile(rb"""(?i);\s*charset\s*=\s*"?\s*([a-z0-9_\-]+)""")
+_META_CHARSET_RE = re.compile(
+    rb"""(?i)<meta[^>]*charset\s*=\s*["']?\s*([a-z0-9_\-]+)"""
+)
+
+# alias -> (python codec, normalized name); unknown aliases -> utf-8
+_CHARSETS = {
+    "utf-8": ("utf-8", "utf-8"),
+    "utf8": ("utf-8", "utf-8"),
+    "iso-8859-1": ("iso-8859-1", "iso-8859-1"),
+    "iso8859-1": ("iso-8859-1", "iso-8859-1"),
+    "latin-1": ("iso-8859-1", "iso-8859-1"),
+    "latin1": ("iso-8859-1", "iso-8859-1"),
+    "us-ascii": ("ascii", "us-ascii"),
+    "ascii": ("ascii", "us-ascii"),
+    "windows-1252": ("cp1252", "windows-1252"),
+    "cp1252": ("cp1252", "windows-1252"),
+    "utf-16": ("utf-16", "utf-16"),
+    "utf-16le": ("utf-16-le", "utf-16le"),
+    "utf-16be": ("utf-16-be", "utf-16be"),
+}
+
+_NULL_ROW = (None, None, None, None, None, None, None)
+
+
+def _declared_charset(ct_raw: Optional[bytes], body: bytes):
+    """(codec, normalized) from the Content-Type param or meta probe."""
+    if ct_raw is not None:
+        m = _CHARSET_PARAM_RE.search(ct_raw)
+        if m:
+            return _CHARSETS.get(m.group(1).lower().decode("ascii"))
+    m = _META_CHARSET_RE.search(body[:1024])
+    if m:
+        return _CHARSETS.get(m.group(1).lower().decode("ascii"))
+    return None
+
+
+def _parse_response(payload: bytes):
+    """One (status, version, reason, content_type, charset, n_headers,
+    body_text) tuple per the module contract; all-NULL on malformed."""
+    if not payload or not payload.startswith(b"HTTP/"):
+        return _NULL_ROW
+    split = payload.find(b"\r\n\r\n")
+    if split >= 0:
+        head, body = payload[:split], payload[split + 4:]
+    else:
+        split = payload.find(b"\n\n")
+        if split >= 0:
+            head, body = payload[:split], payload[split + 2:]
+        else:
+            head, body = payload, b""
+    lines = head.replace(b"\r\n", b"\n").split(b"\n")
+    status_parts = lines[0].split(b" ", 2)
+    if len(status_parts) < 2 or not status_parts[1].isdigit():
+        return _NULL_ROW
+    version = status_parts[0][5:].decode("ascii", "replace")
+    status = int(status_parts[1])
+    reason = (
+        status_parts[2].decode("ascii", "replace").strip()
+        if len(status_parts) > 2
+        else ""
+    )
+    headers: dict = {}
+    n_headers = 0
+    for ln in lines[1:]:
+        sep = ln.find(b":")
+        if sep <= 0:
+            continue  # malformed header line: skipped, not fatal
+        n_headers += 1
+        name = ln[:sep].strip().lower()
+        if name not in headers:  # first occurrence wins
+            headers[name] = ln[sep + 1:].strip()
+
+    ct_raw = headers.get(b"content-type")
+    content_type = None
+    if ct_raw is not None:
+        content_type = (
+            ct_raw.split(b";", 1)[0].strip().lower().decode("ascii", "replace")
+        )
+
+    # BOM beats every declaration (WHATWG sniff rule); it is consumed
+    if body.startswith(b"\xef\xbb\xbf"):
+        codec, norm, body = "utf-8", "utf-8", body[3:]
+    elif body.startswith(b"\xff\xfe"):
+        codec, norm, body = "utf-16-le", "utf-16le", body[2:]
+    elif body.startswith(b"\xfe\xff"):
+        codec, norm, body = "utf-16-be", "utf-16be", body[2:]
+    else:
+        hit = _declared_charset(ct_raw, body)
+        codec, norm = hit if hit else ("utf-8", "utf-8")
+    return (
+        status,
+        version,
+        reason,
+        content_type,
+        norm,
+        n_headers,
+        body.decode(codec, "replace"),
+    )
+
+
+def _response_batches(payloads: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    cols = (
+        "status", "http_version", "reason", "content_type",
+        "charset", "n_headers", "body_text",
+    )
+    for ser in payloads:
+        rows = [
+            _parse_response(bytes(p) if p is not None else b"") for p in ser
+        ]
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def parse_http_responses(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "http"
+) -> DataFrame:
+    """Add ``out_col`` = parsed-response struct (:data:`HTTP_STRUCT`)."""
+    udf = F.pandas_udf(_response_batches, HTTP_STRUCT)
+    return df.withColumn(out_col, udf(F.col(payload_col)))

@@ -1,0 +1,128 @@
+"""HTTP response parsing + charset sniffing contract (sources/http.py)."""
+
+from deepseek_ocr_rs_spark.sources.http import _parse_response, parse_http_responses
+
+
+def _resp(head: str, body: bytes) -> bytes:
+    return head.encode("ascii") + b"\r\n\r\n" + body
+
+
+def test_basic_utf8_declared():
+    r = _parse_response(_resp(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8",
+        "café".encode("utf-8"),
+    ))
+    assert r == (200, "1.1", "OK", "text/html", "utf-8", 1, "café")
+
+
+def test_latin1_decode_differs_from_utf8():
+    r = _parse_response(_resp(
+        "HTTP/1.0 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1",
+        "café".encode("iso-8859-1"),
+    ))
+    assert r[4] == "iso-8859-1" and r[6] == "café"
+    # the same octets read as utf-8 would have been mojibake
+    assert "café".encode("iso-8859-1") != "café".encode("utf-8")
+
+
+def test_bom_beats_declaration_and_is_stripped():
+    body = ("\ufeff" + "café").encode("utf-8")
+    r = _parse_response(_resp(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1",
+        body,
+    ))
+    assert (r[4], r[6]) == ("utf-8", "café")
+
+
+def test_utf16le_bom():
+    r = _parse_response(_resp(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html",
+        ("\ufeff" + "hi é").encode("utf-16-le"),
+    ))
+    assert (r[4], r[6]) == ("utf-16le", "hi é")
+
+
+def test_meta_charset_probe_within_1024():
+    body = b'<html><meta charset="windows-1252"><p>' + "€".encode("cp1252")
+    r = _parse_response(_resp("HTTP/1.1 200 OK\r\nContent-Type: text/html", body))
+    assert r[4] == "windows-1252" and r[6].endswith("€")
+
+
+def test_meta_charset_beyond_1024_ignored():
+    body = b" " * 1100 + b'<meta charset="iso-8859-1">'
+    r = _parse_response(_resp("HTTP/1.1 200 OK\r\nContent-Type: text/html", body))
+    assert r[4] == "utf-8"
+
+
+def test_lf_only_separators():
+    payload = b"HTTP/1.1 404 Not Found\nContent-Type: text/plain\n\nbody"
+    r = _parse_response(payload)
+    assert r == (404, "1.1", "Not Found", "text/plain", "utf-8", 1, "body")
+
+
+def test_no_terminator_is_all_headers_empty_body():
+    r = _parse_response(b"HTTP/1.1 200 OK\r\nX-A: 1\r\nX-B: 2")
+    assert (r[0], r[5], r[6]) == (200, 2, "")
+
+
+def test_non_http_and_bad_status_are_null():
+    assert _parse_response(b"GIF89a....") == (None,) * 7
+    assert _parse_response(b"") == (None,) * 7
+    assert _parse_response(b"HTTP/1.1 abc OK\r\n\r\nx") == (None,) * 7
+
+
+def test_first_content_type_wins_and_malformed_header_skipped():
+    r = _parse_response(_resp(
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: text/html\r\n"
+        "garbage-line-without-colon\r\n"
+        "content-type: application/json",
+        b"x",
+    ))
+    assert r[3] == "text/html"
+    assert r[5] == 2  # the colon-less line is skipped, not counted
+
+
+def test_unknown_charset_falls_back_utf8():
+    r = _parse_response(_resp(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=klingon",
+        "ok é".encode("utf-8"),
+    ))
+    assert (r[4], r[6]) == ("utf-8", "ok é")
+
+
+def test_torn_multibyte_tail_replaces_never_crashes():
+    body = "café".encode("utf-8")[:-1]  # é truncated mid-sequence
+    r = _parse_response(_resp(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8", body
+    ))
+    assert r[6] == "caf�"
+
+
+def test_empty_reason_and_spaced_reason():
+    assert _parse_response(b"HTTP/1.1 204\r\n\r\n")[0:3] == (204, "1.1", "")
+    r = _parse_response(b"HTTP/1.1 301 Moved Permanently\r\n\r\n")
+    assert r[2] == "Moved Permanently"
+
+
+def test_spark_operator_and_plan(spark):
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("a", _resp("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8",
+                    "café".encode("utf-8"))),
+        ("b", b"not http at all"),
+        ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "file_id string, payload binary")
+    out = parse_http_responses(df).select("file_id", "http.*")
+    got = {r.file_id: r for r in out.collect()}
+    assert got["a"].status == 200 and got["a"].body_text == "café"
+    assert got["b"].status is None and got["c"].status is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # partitioning invariance
+    base = sorted(map(tuple, out.collect()))
+    rep = parse_http_responses(df.repartition(5)).select("file_id", "http.*")
+    assert sorted(map(tuple, rep.collect())) == base
