@@ -2422,6 +2422,74 @@ _WARC_HTTP_ORACLE = """
 """
 
 
+def _capture_log(spark, sf_dir, parity=None):
+    """Synthetic capture log from events: RAW urls exercise the full
+    canonicalizer (case, userinfo, www., default port, tracking param,
+    fragment), ``/gone`` pages exist only at even event_ids and
+    ``/new`` pages only at odd ones (so a parity split yields real
+    added/gone rows), digest = md5(user:event_type) so recaptures
+    revisit or change depending on the event stream."""
+    ev = _t(spark, sf_dir, "events")
+    if parity is not None:
+        ev = ev.where(F.pmod(F.col("event_id"), F.lit(2)) == parity)
+    u = F.col("user_id").cast("string")
+    sfx = (
+        F.when(F.pmod(F.col("event_id"), F.lit(4)) == 0, F.lit("/gone"))
+        .when(F.pmod(F.col("event_id"), F.lit(4)) == 1, F.lit("/new"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("HTTP://user@WWW.Site"),
+        F.pmod(F.col("user_id"), F.lit(50)).cast("string"),
+        F.lit(".COM:80/p/"), u, sfx,
+        F.lit("?b=2&utm_x=1&a=1#frag"),
+    )
+    digest = F.md5(F.concat(u, F.lit(":"), F.col("event_type")))
+    return ev.select(
+        url.alias("url"), F.col("ts"), digest.alias("digest")
+    )
+
+
+_CAPTURE_CTE = """
+  SELECT 'http://site' || CAST(user_id % 50 AS VARCHAR) || '.com/p/'
+         || CAST(user_id AS VARCHAR)
+         || CASE event_id % 4 WHEN 0 THEN '/gone'
+                              WHEN 1 THEN '/new' ELSE '' END
+         || '?a=1&b=2' AS url_canon,
+         ts,
+         md5(CAST(user_id AS VARCHAR) || ':' || event_type) AS digest
+  FROM events{where}
+"""
+
+
+def web_surt_latest(spark, sf_dir):
+    """CDX latest-capture view (operators/cdx.py): the capture log
+    collapses to one row per SURT key — capture count, distinct-digest
+    count (revisit awareness), and the latest (ts, digest, url) under
+    the deterministic max(struct) tie-break.  The oracle re-derives the
+    canonical urls by construction and replicates the rollup with a
+    row_number window.  Scale shape: SURT key in codegen, ONE map-side-
+    combinable aggregation pipeline, no window over the raw log."""
+    from deepseek_ocr_rs_spark.operators.cdx import latest_captures
+
+    return latest_captures(_capture_log(spark, sf_dir))
+
+
+def web_crawl_diff(spark, sf_dir):
+    """Snapshot-to-snapshot crawl diff (operators/cdx.py): captures
+    split by event_id parity form the old/new crawls; /gone pages
+    exist only in old, /new only in new, shared pages compare latest
+    digests -> all four statuses are populated (added/gone/changed/
+    unchanged).  One full-outer equi-join of two aggregated snapshots
+    on their natural key — the incremental-extraction contract that
+    keeps a recurring 100 TB crawl from re-processing unchanged pages."""
+    from deepseek_ocr_rs_spark.operators.cdx import crawl_diff, latest_captures
+
+    old = latest_captures(_capture_log(spark, sf_dir, parity=0))
+    new = latest_captures(_capture_log(spark, sf_dir, parity=1))
+    return crawl_diff(old, new)
+
+
 def _synth_host():
     """Deterministic host synth shared by the domain gate queries: four
     host families keyed on doc_id, covering multi-level public suffixes
@@ -2961,6 +3029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_texts": web_anchor_texts,
         "web_anchor_stats": web_anchor_stats,
         "warc_http_responses": warc_http_responses,
+        "web_surt_latest": web_surt_latest,
+        "web_crawl_diff": web_crawl_diff,
         "graph_host_pagerank": graph_host_pagerank,
         "web_registrable_domains": web_registrable_domains,
         "web_blocklist_filter": web_blocklist_filter,
@@ -3076,6 +3146,9 @@ def oracle_sql() -> dict[str, str]:
         shard_assignment_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.tfidf import tfidf_topk_oracle_sql
+    from deepseek_ocr_rs_spark.operators.cdx import (
+        latest_captures_oracle_sql,
+    )
     from deepseek_ocr_rs_spark.operators.urls import (
         host_stats_oracle_sql,
         outlinks_oracle_sql,
@@ -4180,6 +4253,24 @@ def oracle_sql() -> dict[str, str]:
         "web_outlinks": outlinks_oracle_sql("documents"),
         "web_host_stats": host_stats_oracle_sql("documents"),
         "warc_http_responses": _WARC_HTTP_ORACLE,
+        "web_surt_latest": latest_captures_oracle_sql(
+            _CAPTURE_CTE.format(where="")
+        ),
+        "web_crawl_diff": f"""
+    WITH oldsnap AS ({latest_captures_oracle_sql(
+        _CAPTURE_CTE.format(where=" WHERE event_id % 2 = 0"))}),
+    newsnap AS ({latest_captures_oracle_sql(
+        _CAPTURE_CTE.format(where=" WHERE event_id % 2 = 1"))})
+    SELECT COALESCE(o.surt, n.surt) AS surt,
+      CASE WHEN o.surt IS NULL THEN 'added'
+           WHEN n.surt IS NULL THEN 'gone'
+           WHEN o.last_digest = n.last_digest THEN 'unchanged'
+           ELSE 'changed' END AS status,
+      COALESCE(n.last_url, o.last_url) AS url,
+      o.last_digest AS old_digest, n.last_digest AS new_digest,
+      o.last_ts AS old_ts, n.last_ts AS new_ts
+    FROM oldsnap o FULL OUTER JOIN newsnap n ON o.surt = n.surt
+    """,
         "web_anchor_texts": _anchor_texts_oracle_sql("documents"),
         "web_anchor_stats": f"""
     WITH edges AS ({_anchor_texts_oracle_sql("documents")}),

@@ -1,0 +1,211 @@
+"""CDX-style capture indexing: SURT keys, revisit dedup, snapshot diff.
+
+A recurring crawl produces many *captures* of the same page; the index
+layer that makes 100 TB of captures queryable is the CDX discipline
+(the Common Crawl / web-archive format): a canonical **SURT** sort key
+per URL, a latest-capture view with revisit (same-digest) awareness,
+and a snapshot-to-snapshot diff that tells the extraction tier what is
+new, changed, or gone — the incremental-processing contract that keeps
+a recurring pipeline from re-extracting an unchanged web.
+
+* :func:`surt_key_col` — pure Column: canonical URL -> SURT key
+  ``com,example[:port])/path?query``.  Host labels reversed and
+  comma-joined so one registrable domain's pages sort contiguously
+  (range scans / partition pruning by domain become prefix scans);
+  the scheme is dropped — http/https captures of a page collapse to
+  one key, which is the point of the CDX key.  Port kept only when
+  the canonical URL kept it (non-default).
+* :func:`latest_captures` — captures ``(url, ts, digest)`` -> one row
+  per SURT: capture count, distinct-digest count (1 == the page never
+  changed: every recapture was a revisit), and the latest capture's
+  (ts, digest, url) under a fully deterministic tie-break
+  (``max(struct(ts, digest, url))``).
+* :func:`crawl_diff` — two latest-capture snapshots -> one row per
+  SURT with status ``added`` / ``gone`` / ``changed`` / ``unchanged``
+  (digest comparison decides changed).
+
+Scale shape (100 TB / 1000 executors): the SURT key is whole-stage
+codegen on top of the shared URL canonicalizer (no Python anywhere);
+``latest_captures`` is ONE aggregation pipeline on the key — max/count
+are map-side combinable, so the Zipfian capture head (home pages
+recrawled daily) collapses per task before the shuffle; ``crawl_diff``
+is one full-outer equi-join of two already-aggregated snapshots on
+their natural key.  Nothing here ever windows over the raw capture
+log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deepseek_ocr_rs_spark.operators.urls import canonical_url_col
+
+__all__ = [
+    "surt_key_col",
+    "latest_captures",
+    "crawl_diff",
+    "surt_key_sql",
+    "latest_captures_oracle_sql",
+]
+
+
+def surt_key_col(url: Column) -> Column:
+    """Canonical URL (or NULL) -> SURT sort key (or NULL)."""
+    c = canonical_url_col(url)
+    hostport = F.regexp_extract(c, r"^https?://([^/]*)", 1)
+    host = F.split(hostport, ":")[0]
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    rest = F.regexp_replace(c, r"^https?://[^/]*", "")
+    return F.when(
+        c.isNotNull(),
+        F.concat(
+            F.array_join(F.reverse(F.split(host, r"\.")), ","),
+            F.when(port != F.lit(""), F.concat(F.lit(":"), port)).otherwise(
+                F.lit("")
+            ),
+            F.lit(")"),
+            rest,
+        ),
+    )
+
+
+def latest_captures(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Capture log -> one row per SURT key (latest capture + history).
+
+    Output: ``(surt, n_captures long, n_digests long, last_ts,
+    last_digest string, last_url string)``.  ``n_digests`` = 1 means
+    every recapture was a revisit (unchanged content).  Rows whose URL
+    fails canonicalization are dropped (they have no key).
+
+    Plan note (audited in tests/test_cdx.py): ``max(struct)`` — like
+    every var-length max in Spark — fails HashAggregateExec's
+    mutable-buffer check and runs as a partial+final SortAggregate.
+    The partial step still combines map-side (the shuffle carries one
+    row per key per task, which is what matters for a Zipfian capture
+    head), so the cost vs a hash aggregate is a per-task sort, not
+    shuffle volume.  The alternatives are strictly worse at scale: a
+    Window means a row-preserving shuffle of the full log; an argmax
+    via max(ts)+self-join means a second scan plus two more exchanges.
+    """
+    keyed = df.select(
+        surt_key_col(F.col(url_col)).alias("surt"),
+        F.col(ts_col).alias("_ts"),
+        F.col(digest_col).alias("_dg"),
+        canonical_url_col(F.col(url_col)).alias("_url"),
+    ).where(F.col("surt").isNotNull())
+    latest = F.max(F.struct("_ts", "_dg", "_url")).alias("_last")
+    return (
+        keyed.groupBy("surt")
+        .agg(
+            F.count("*").cast("long").alias("n_captures"),
+            F.countDistinct("_dg").cast("long").alias("n_digests"),
+            latest,
+        )
+        .select(
+            "surt",
+            "n_captures",
+            "n_digests",
+            F.col("_last._ts").alias("last_ts"),
+            F.col("_last._dg").alias("last_digest"),
+            F.col("_last._url").alias("last_url"),
+        )
+    )
+
+
+def crawl_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Two :func:`latest_captures` snapshots -> per-SURT change status.
+
+    Output: ``(surt, status string, url string, old_digest, new_digest,
+    old_ts, new_ts)`` where status is ``added`` (key only in new),
+    ``gone`` (only in old), ``changed`` (both, digests differ),
+    ``unchanged`` (both, same digest).  ``url`` coalesces new-side
+    first (the current canonical form wins).
+    """
+    o = old.select(
+        "surt",
+        F.col("last_digest").alias("old_digest"),
+        F.col("last_ts").alias("old_ts"),
+        F.col("last_url").alias("_old_url"),
+    )
+    n = new.select(
+        "surt",
+        F.col("last_digest").alias("new_digest"),
+        F.col("last_ts").alias("new_ts"),
+        F.col("last_url").alias("_new_url"),
+    )
+    j = o.join(n, "surt", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("gone"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "surt",
+        status.alias("status"),
+        F.coalesce("_new_url", "_old_url").alias("url"),
+        "old_digest",
+        "new_digest",
+        "old_ts",
+        "new_ts",
+    )
+
+
+# ------------------------------------------------------------------ oracles
+
+
+def surt_key_sql(expr: str) -> str:
+    """DuckDB replica of :func:`surt_key_col` over an ALREADY-CANONICAL
+    SQL ``expr`` (compose with ``canonical_url_sql`` for raw URLs)."""
+    return f"""
+    (WITH s AS (
+       SELECT {expr} AS c
+     ), t AS (
+       SELECT c,
+              regexp_extract(c, '^https?://([^/]*)', 1) AS hp,
+              regexp_replace(c, '^https?://[^/]*', '') AS rest
+       FROM s
+     )
+     SELECT CASE WHEN c IS NOT NULL THEN
+       array_to_string(list_reverse(str_split(str_split(hp, ':')[1], '.')),
+                       ',')
+       || CASE WHEN regexp_extract(hp, ':([0-9]+)$', 1) <> ''
+          THEN ':' || regexp_extract(hp, ':([0-9]+)$', 1) ELSE '' END
+       || ')' || rest
+     END FROM t)
+    """
+
+
+def latest_captures_oracle_sql(captures_cte: str) -> str:
+    """DuckDB replica of :func:`latest_captures` over a CTE/subquery
+    producing ``(url_canon, ts, digest)`` with url_canon ALREADY
+    canonical (the gate synthesizes canonical URLs on both sides)."""
+    return f"""
+    WITH caps AS ({captures_cte}),
+    keyed AS (
+      SELECT {surt_key_sql('url_canon')} AS surt, ts, digest,
+             url_canon AS url
+      FROM caps
+    ),
+    ranked AS (
+      SELECT surt, ts, digest, url,
+             row_number() OVER (
+               PARTITION BY surt
+               ORDER BY ts DESC, digest DESC, url DESC) AS rn
+      FROM keyed WHERE surt IS NOT NULL
+    ),
+    agg AS (
+      SELECT surt, CAST(count(*) AS BIGINT) AS n_captures,
+             CAST(count(DISTINCT digest) AS BIGINT) AS n_digests
+      FROM keyed WHERE surt IS NOT NULL GROUP BY surt
+    )
+    SELECT agg.surt, agg.n_captures, agg.n_digests,
+           r.ts AS last_ts, r.digest AS last_digest, r.url AS last_url
+    FROM agg JOIN ranked r ON agg.surt = r.surt AND r.rn = 1
+    """
