@@ -2490,6 +2490,60 @@ def web_crawl_diff(spark, sf_dir):
     return crawl_diff(old, new)
 
 
+def web_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py): events
+    synthesize a functional redirect graph — group g = event_id div 6
+    has a chain of len = 1 + (g % 6) nodes whose tail either cycles
+    back to the head (g % 4 == 0) or lands on a terminal, so resolved
+    chains of every length 1..4, give-ups past max_hops=4, and cycles
+    all appear.  Spark resolves by pointer doubling (3 self-joins for
+    the hop-4 bound); the oracle walks hop-by-hop in a bounded
+    recursive CTE.  Scale shape: O(log max_hops) equi-joins over one
+    row per redirect source, localCheckpoint per round, no collect."""
+    from deepseek_ocr_rs_spark.operators.redirects import resolve_redirects
+
+    ev = _t(spark, sf_dir, "events")
+    g = F.expr("event_id div 6")
+    pos = F.pmod(F.col("event_id"), F.lit(6))
+    ln = F.pmod(g, F.lit(6)) + F.lit(1)
+    gs = g.cast("string")
+    tail = F.when(
+        F.pmod(g, F.lit(4)) == 0,
+        F.concat(F.lit("s"), gs, F.lit("_0")),
+    ).otherwise(F.concat(F.lit("t"), gs))
+    edges = (
+        ev.where(pos < ln)
+        .select(
+            F.concat(F.lit("s"), gs, F.lit("_"), pos.cast("string")).alias(
+                "src"
+            ),
+            F.when(pos == ln - 1, tail)
+            .otherwise(
+                F.concat(
+                    F.lit("s"), gs, F.lit("_"), (pos + 1).cast("string")
+                )
+            )
+            .alias("dst"),
+        )
+    )
+    return resolve_redirects(edges, max_hops=4)
+
+
+_REDIRECT_EDGES_CTE = """
+  SELECT 's' || CAST(g AS VARCHAR) || '_' || CAST(pos AS VARCHAR) AS src,
+         CASE WHEN pos = len - 1 THEN
+                CASE WHEN g % 4 = 0
+                     THEN 's' || CAST(g AS VARCHAR) || '_0'
+                     ELSE 't' || CAST(g AS VARCHAR) END
+              ELSE 's' || CAST(g AS VARCHAR) || '_'
+                   || CAST(pos + 1 AS VARCHAR) END AS dst
+  FROM (SELECT event_id // 6 AS g, event_id % 6 AS pos,
+               1 + ((event_id // 6) % 6) AS len
+        FROM events)
+  WHERE pos < len
+"""
+
+
 def _synth_host():
     """Deterministic host synth shared by the domain gate queries: four
     host families keyed on doc_id, covering multi-level public suffixes
@@ -3031,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_http_responses": warc_http_responses,
         "web_surt_latest": web_surt_latest,
         "web_crawl_diff": web_crawl_diff,
+        "web_redirect_resolve": web_redirect_resolve,
         "graph_host_pagerank": graph_host_pagerank,
         "web_registrable_domains": web_registrable_domains,
         "web_blocklist_filter": web_blocklist_filter,
@@ -3148,6 +3203,9 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.tfidf import tfidf_topk_oracle_sql
     from deepseek_ocr_rs_spark.operators.cdx import (
         latest_captures_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.redirects import (
+        resolve_redirects_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.urls import (
         host_stats_oracle_sql,
@@ -4255,6 +4313,9 @@ def oracle_sql() -> dict[str, str]:
         "warc_http_responses": _WARC_HTTP_ORACLE,
         "web_surt_latest": latest_captures_oracle_sql(
             _CAPTURE_CTE.format(where="")
+        ),
+        "web_redirect_resolve": resolve_redirects_oracle_sql(
+            _REDIRECT_EDGES_CTE, max_hops=4
         ),
         "web_crawl_diff": f"""
     WITH oldsnap AS ({latest_captures_oracle_sql(
