@@ -81,6 +81,16 @@ def q_extract_docs_plain(spark, sf_dir):
     )
 
 
+# boilerplate shell shared by the wrapped-HTML gate queries: the
+# extractor must strip all of it and recover exactly the payload text
+_BOILER_PRE = (
+    '<html><head><title>t</title></head><body>'
+    '<header><h1>Site</h1></header>'
+    '<nav><ul><li><a href="/">Home</a></li></ul></nav><div><p>'
+)
+_BOILER_POST = "</p></div><footer><p>c 2024</p></footer></body></html>"
+
+
 def q_extract_html_wrapped(spark, sf_dir):
     """HTML extraction path with a SQL-expressible expected value: wrap each
     doc's text in boilerplate-laden HTML; the extractor must recover exactly
@@ -91,13 +101,7 @@ def q_extract_html_wrapped(spark, sf_dir):
         F.col("text").rlike("^[^&<>]*$") & (F.trim("text") != "")
     )
     payload = F.concat(
-        F.lit(
-            '<html><head><title>t</title></head><body>'
-            '<header><h1>Site</h1></header>'
-            '<nav><ul><li><a href="/">Home</a></li></ul></nav><div><p>'
-        ),
-        F.col("text"),
-        F.lit("</p></div><footer><p>c 2024</p></footer></body></html>"),
+        F.lit(_BOILER_PRE), F.col("text"), F.lit(_BOILER_POST)
     )
     wrapped = docs.select(
         F.col("doc_id").cast("string").alias("conv_id"),
@@ -2529,6 +2533,89 @@ def web_redirect_resolve(spark, sf_dir):
     return resolve_redirects(edges, max_hops=4)
 
 
+def pipeline_incremental_extract(spark, sf_dir):
+    """Incremental extraction (plans/incremental.py): two synthetic
+    crawl snapshots of the documents table — doc_id%7==2 pages exist
+    only in the new crawl (added), %7==1 only in the old (gone),
+    %5==0 pages changed content — flow through the digest diff; ONLY
+    added/changed pages enter the real HTML extractor (boilerplate
+    wrap + extract_turns), unchanged pages reuse the previous run's
+    stored text via an equi-join, gone pages tombstone.  The oracle
+    replicates the diff and the extraction contract (NORM of the new
+    text) in one full-outer join.  Scale shape: the Arrow/Python node
+    sits strictly under the status filter — a daily recrawl extracts
+    the changed fraction, not the web."""
+    from deepseek_ocr_rs_spark.operators.extract import extract_turns
+    from deepseek_ocr_rs_spark.plans.incremental import incremental_extract
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").rlike("^[^&<>]*$") & (F.trim("text") != "")
+    )
+    key = F.col("doc_id").cast("string").alias("key")
+    m7 = F.pmod(F.col("doc_id"), F.lit(7))
+    new_text = F.when(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+        F.concat(F.col("text"), F.lit(" updated")),
+    ).otherwise(F.col("text"))
+
+    old = docs.where(m7 != 2)
+    new = docs.where(m7 != 1).select(key, new_text.alias("payload"))
+    old_digests = old.select(key, F.md5("text").alias("digest"))
+    new_pages = new.select(
+        "key", F.md5("payload").alias("digest"), "payload"
+    )
+    # the previous run's sink: what a full run would have stored (the
+    # extraction contract = normalized text, same as the NORM oracle)
+    stored = old.select(key, F.expr(_NORM_SQL).alias("text_md"))
+
+    def _extract(todo):
+        wrapped = todo.select(
+            F.col("key").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(
+                F.lit(_BOILER_PRE), F.col("payload"), F.lit(_BOILER_POST)
+            ).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        return extract_turns(wrapped).select(
+            F.col("conv_id").alias("key"), "text_md"
+        )
+
+    return incremental_extract(old_digests, new_pages, stored, _extract)
+
+
+_INCR_EXTRACT_ORACLE_TMPL = """
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      WHERE regexp_full_match(text, '[^&<>]*') AND trim(text) <> ''
+    ),
+    oldsnap AS (SELECT doc_id, text FROM base WHERE doc_id % 7 <> 2),
+    newsnap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+                  ELSE text END AS text
+      FROM base WHERE doc_id % 7 <> 1
+    ),
+    joined AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             o.text AS old_text, n.text AS text,
+             o.doc_id IS NULL AS is_added, n.doc_id IS NULL AS is_gone
+      FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS key,
+           CASE WHEN is_added THEN 'added'
+                WHEN is_gone THEN 'gone'
+                WHEN md5(old_text) = md5(text) THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           CASE WHEN is_gone THEN NULL ELSE {norm} END AS text_md,
+           (is_added OR (NOT is_gone AND md5(old_text) <> md5(text)))
+             AS extracted_now
+    FROM joined
+"""
+
+
 _REDIRECT_EDGES_CTE = """
   SELECT 's' || CAST(g AS VARCHAR) || '_' || CAST(pos AS VARCHAR) AS src,
          CASE WHEN pos = len - 1 THEN
@@ -3086,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_surt_latest": web_surt_latest,
         "web_crawl_diff": web_crawl_diff,
         "web_redirect_resolve": web_redirect_resolve,
+        "pipeline_incremental_extract": pipeline_incremental_extract,
         "graph_host_pagerank": graph_host_pagerank,
         "web_registrable_domains": web_registrable_domains,
         "web_blocklist_filter": web_blocklist_filter,
@@ -4316,6 +4404,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "web_redirect_resolve": resolve_redirects_oracle_sql(
             _REDIRECT_EDGES_CTE, max_hops=4
+        ),
+        "pipeline_incremental_extract": _INCR_EXTRACT_ORACLE_TMPL.format(
+            norm=_NORM_SQL
         ),
         "web_crawl_diff": f"""
     WITH oldsnap AS ({latest_captures_oracle_sql(
