@@ -2533,6 +2533,78 @@ def web_redirect_resolve(spark, sf_dir):
     return resolve_redirects(edges, max_hops=4)
 
 
+def web_feed_entries(spark, sf_dir):
+    """Feed URL discovery (operators/feeds.py): even docs carry an RSS
+    body (comment-wrapped decoy item, entity in the title, whitespace
+    around the link text, a guid-fallback item, a url-less dropped
+    item), odd docs an Atom body (rel=self decoy before the alternate
+    link, an id-fallback entry).  The streaming tokenizer must parse
+    all of it to reproduce the oracle, which re-derives every kept row
+    by construction.  Scale shape: one Arrow pass per body + explode,
+    no shuffle; the XML dies at the UDF projection."""
+    from deepseek_ocr_rs_spark.operators.feeds import parse_feeds
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    d = (F.pmod(F.col("doc_id"), F.lit(9)) + 1).cast("string")
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'),
+        F.lit("<title>chan</title>"),
+        F.lit("<!-- <item><link>https://decoy.example/x</link></item> -->"),
+        F.lit("<item><title>T "), i, F.lit(" &amp; more</title>"),
+        F.lit("<link> https://rss"), m, F.lit(".com/a/"), i,
+        F.lit(" </link><pubDate>Mon, 0"), d,
+        F.lit(" Jan 2024 00:00:00 GMT</pubDate></item>"),
+        F.lit("<item><guid>https://rss"), m, F.lit(".com/g/"), i,
+        F.lit("</guid><title>G"), i, F.lit("</title></item>"),
+        F.lit("<item><title>dropped</title></item>"),
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+        F.lit("<title>feed</title>"),
+        F.lit('<entry><title>A '), i, F.lit(' &amp; x</title>'),
+        F.lit('<link rel="self" href="https://self.example/s"/>'),
+        F.lit('<link rel="alternate" href="https://atom'), m,
+        F.lit(".com/e/"), i, F.lit('"/>'),
+        F.lit("<updated>2024-02-0"), d, F.lit("T00:00:00Z</updated></entry>"),
+        F.lit("<entry><id>https://atom"), m, F.lit(".com/id/"), i,
+        F.lit("</id><title>B"), i, F.lit("</title></entry>"),
+        F.lit("</feed>"),
+    )
+    xml = F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, rss).otherwise(atom)
+    return parse_feeds(docs.select("doc_id", xml.alias("text")))
+
+
+_FEED_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+             CAST(doc_id % 7 AS VARCHAR) AS m,
+             CAST(doc_id % 9 + 1 AS VARCHAR) AS dd
+      FROM documents
+    )
+    SELECT doc_id, 'rss' AS feed_type,
+           'https://rss' || m || '.com/a/' || i AS url,
+           'T ' || i || ' & more' AS title,
+           'Mon, 0' || dd || ' Jan 2024 00:00:00 GMT' AS published,
+           0 AS ordinal
+    FROM d WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'rss', 'https://rss' || m || '.com/g/' || i,
+           'G' || i, NULL, 1
+    FROM d WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'atom', 'https://atom' || m || '.com/e/' || i,
+           'A ' || i || ' & x', '2024-02-0' || dd || 'T00:00:00Z', 0
+    FROM d WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id, 'atom', 'https://atom' || m || '.com/id/' || i,
+           'B' || i, NULL, 1
+    FROM d WHERE doc_id % 2 = 1
+"""
+
+
 def pipeline_incremental_extract(spark, sf_dir):
     """Incremental extraction (plans/incremental.py): two synthetic
     crawl snapshots of the documents table — doc_id%7==2 pages exist
@@ -3174,6 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_crawl_diff": web_crawl_diff,
         "web_redirect_resolve": web_redirect_resolve,
         "pipeline_incremental_extract": pipeline_incremental_extract,
+        "web_feed_entries": web_feed_entries,
         "graph_host_pagerank": graph_host_pagerank,
         "web_registrable_domains": web_registrable_domains,
         "web_blocklist_filter": web_blocklist_filter,
@@ -4408,6 +4481,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_incremental_extract": _INCR_EXTRACT_ORACLE_TMPL.format(
             norm=_NORM_SQL
         ),
+        "web_feed_entries": _FEED_ORACLE,
         "web_crawl_diff": f"""
     WITH oldsnap AS ({latest_captures_oracle_sql(
         _CAPTURE_CTE.format(where=" WHERE event_id % 2 = 0"))}),
