@@ -175,12 +175,23 @@ def parse_feeds(
     """
     udf = F.pandas_udf(_feed_batches, _ENTRY_DDL)
     entries = df.select(*id_cols, udf(F.col(xml_col)).alias("_entries"))
-    e = F.explode("_entries")
-    return entries.select(*id_cols, e.alias("_e")).select(
-        *id_cols,
-        F.col("_e.feed_type").alias("feed_type"),
-        F.col("_e.url").alias("url"),
-        F.col("_e.title").alias("title"),
-        F.col("_e.published").alias("published"),
-        F.col("_e.ordinal").alias("ordinal"),
+    # explode_outer, NOT explode: the non-outer form makes Catalyst push
+    # an implicit `size(_entries) > 0` filter below the Generate, and
+    # because _entries is the pandas-UDF output the parser would run
+    # TWICE per row (one ArrowEvalPython for the filter, one for the
+    # projection).  Outer explode keeps one UDF pass; placeholder rows
+    # from empty files drop in the JVM-side null filter (plan pinned by
+    # tests/test_feeds.py).
+    e = F.explode_outer("_entries")
+    return (
+        entries.select(*id_cols, e.alias("_e"))
+        .where(F.col("_e").isNotNull())
+        .select(
+            *id_cols,
+            F.col("_e.feed_type").alias("feed_type"),
+            F.col("_e.url").alias("url"),
+            F.col("_e.title").alias("title"),
+            F.col("_e.published").alias("published"),
+            F.col("_e.ordinal").alias("ordinal"),
+        )
     )

@@ -124,13 +124,24 @@ def parse_sitemaps(
     """
     udf = F.pandas_udf(_sitemap_batches, _ENTRY_DDL)
     entries = df.select(*id_cols, udf(F.col(xml_col)).alias("_entries"))
-    e = F.explode("_entries")
-    return entries.select(*id_cols, e.alias("_e")).select(
-        *id_cols,
-        F.col("_e.kind").alias("kind"),
-        F.col("_e.loc").alias("loc"),
-        F.col("_e.lastmod").alias("lastmod"),
-        F.col("_e.priority").alias("priority"),
-        F.col("_e.changefreq").alias("changefreq"),
-        F.col("_e.ordinal").alias("ordinal"),
+    # explode_outer, NOT explode: the non-outer form makes Catalyst push
+    # an implicit `size(_entries) > 0` filter below the Generate, and
+    # because _entries is the pandas-UDF output the parser would run
+    # TWICE per row (one ArrowEvalPython for the filter, one for the
+    # projection).  Outer explode keeps one UDF pass; placeholder rows
+    # from empty files drop in the JVM-side null filter (plan pinned by
+    # tests/test_sitemaps_frontier.py).
+    e = F.explode_outer("_entries")
+    return (
+        entries.select(*id_cols, e.alias("_e"))
+        .where(F.col("_e").isNotNull())
+        .select(
+            *id_cols,
+            F.col("_e.kind").alias("kind"),
+            F.col("_e.loc").alias("loc"),
+            F.col("_e.lastmod").alias("lastmod"),
+            F.col("_e.priority").alias("priority"),
+            F.col("_e.changefreq").alias("changefreq"),
+            F.col("_e.ordinal").alias("ordinal"),
+        )
     )

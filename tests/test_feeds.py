@@ -91,8 +91,13 @@ def test_parse_feeds_explode(spark):
         [(1, RSS), (2, ATOM), (3, None), (4, "<p>nope</p>")],
         "doc_id long, text string",
     )
-    out = parse_feeds(df).collect()
+    parsed = parse_feeds(df)
+    out = parsed.collect()
     got = {(r["doc_id"], r["ordinal"]): (r["feed_type"], r["url"]) for r in out}
     assert len(out) == 6
     assert got[(1, 0)] == ("rss", "https://a.com/1")
     assert got[(2, 2)] == ("atom", "https://b.com/id3")
+    # exactly ONE UDF pass: non-outer explode would push a size()>0
+    # filter below the Generate and evaluate the parser twice per row
+    plan = parsed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan

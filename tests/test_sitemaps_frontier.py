@@ -100,6 +100,10 @@ def test_parse_sitemaps_spark_and_partitioning(spark):
     ]
     repart = parse_sitemaps(df.repartition(5, "doc_id")).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, repart))
+    # exactly ONE UDF pass: non-outer explode would push a size()>0
+    # filter below the Generate and evaluate the parser twice per row
+    plan = parse_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
 
 
 def test_frontier_waves_priority_ties_and_cap(spark):
