@@ -2506,6 +2506,12 @@ def web_redirect_resolve(spark, sf_dir):
     row per redirect source, localCheckpoint per round, no collect."""
     from deepseek_ocr_rs_spark.operators.redirects import resolve_redirects
 
+    return resolve_redirects(_redirect_edges(spark, sf_dir), max_hops=4)
+
+
+def _redirect_edges(spark, sf_dir):
+    """The chain/cycle redirect graph shared by the redirect gates (see
+    web_redirect_resolve docstring and _REDIRECT_EDGES_CTE)."""
     ev = _t(spark, sf_dir, "events")
     g = F.expr("event_id div 6")
     pos = F.pmod(F.col("event_id"), F.lit(6))
@@ -2515,7 +2521,7 @@ def web_redirect_resolve(spark, sf_dir):
         F.pmod(g, F.lit(4)) == 0,
         F.concat(F.lit("s"), gs, F.lit("_0")),
     ).otherwise(F.concat(F.lit("t"), gs))
-    edges = (
+    return (
         ev.where(pos < ln)
         .select(
             F.concat(F.lit("s"), gs, F.lit("_"), pos.cast("string")).alias(
@@ -2530,7 +2536,78 @@ def web_redirect_resolve(spark, sf_dir):
             .alias("dst"),
         )
     )
-    return resolve_redirects(edges, max_hops=4)
+
+
+def web_redirect_from_warc(spark, sf_dir):
+    """Tier composition WARC -> HTTP -> redirect resolution: the SAME
+    chain/cycle graph as web_redirect_resolve, but each edge delivered
+    as a WARC response record whose payload is an HTTP 301 with a
+    Location header, plus a decoy 200 record (no Location) per chain
+    terminal that the redirect filter must drop.  Edges = (target_uri,
+    http.location) for 3xx records; the oracle is the SAME bounded
+    recursive CTE over the constructed graph — a hash match proves the
+    byte-exact WARC parse, the header extraction, the non-redirect
+    filter, and the pointer doubling compose losslessly.  Scale shape:
+    scan -> mapInPandas (WARC) -> Arrow struct pass (HTTP), zero
+    shuffles until the log-round joins."""
+    from deepseek_ocr_rs_spark.operators.redirects import resolve_redirects
+    from deepseek_ocr_rs_spark.sources.http import parse_http_responses
+    from deepseek_ocr_rs_spark.sources.warc import parse_warc
+
+    edges = _redirect_edges(spark, sf_dir)
+
+    def _warc_blob(uri, http_payload):
+        head = F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: "),
+            F.lit("<urn:uuid:r-"), uri,
+            F.lit(">\r\nContent-Type: application/http;msgtype=response"),
+            F.lit("\r\nWARC-Target-URI: "), uri,
+            F.lit("\r\nContent-Length: "),
+            F.octet_length(http_payload).cast("string"),
+            F.lit("\r\n\r\n"),
+        )
+        return F.concat(
+            F.encode(head, "UTF-8"),
+            http_payload,
+            F.encode(F.lit("\r\n\r\n"), "UTF-8"),
+        )
+
+    redirect_http = F.encode(
+        F.concat(
+            F.lit("HTTP/1.1 301 Moved Permanently\r\nLocation: "),
+            F.col("dst"),
+            F.lit("\r\n\r\n"),
+        ),
+        "UTF-8",
+    )
+    moved = edges.select(
+        F.col("src").alias("file_id"),
+        _warc_blob(F.col("src"), redirect_http).alias("content"),
+    )
+    # decoy terminal pages: 200, no Location — must NOT become edges
+    ok_http = F.encode(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nok"),
+        "UTF-8",
+    )
+    landed = (
+        edges.where(F.col("dst").startswith("t"))
+        .select(
+            F.col("dst").alias("file_id"),
+            _warc_blob(F.col("dst"), ok_http).alias("content"),
+        )
+    )
+    recs = parse_warc(moved.unionAll(landed)).where(
+        F.col("warc_type") == "response"
+    )
+    http = parse_http_responses(recs)
+    parsed_edges = http.where(
+        F.col("http.status").isin(301, 302, 307, 308)
+        & F.col("http.location").isNotNull()
+    ).select(
+        F.col("target_uri").alias("src"),
+        F.col("http.location").alias("dst"),
+    )
+    return resolve_redirects(parsed_edges, max_hops=4)
 
 
 def web_feed_entries(spark, sf_dir):
@@ -3245,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_surt_latest": web_surt_latest,
         "web_crawl_diff": web_crawl_diff,
         "web_redirect_resolve": web_redirect_resolve,
+        "web_redirect_from_warc": web_redirect_from_warc,
         "pipeline_incremental_extract": pipeline_incremental_extract,
         "web_feed_entries": web_feed_entries,
         "graph_host_pagerank": graph_host_pagerank,
@@ -4476,6 +4554,10 @@ def oracle_sql() -> dict[str, str]:
             _CAPTURE_CTE.format(where="")
         ),
         "web_redirect_resolve": resolve_redirects_oracle_sql(
+            _REDIRECT_EDGES_CTE, max_hops=4
+        ),
+        # same constructed graph: the WARC/HTTP delivery must be lossless
+        "web_redirect_from_warc": resolve_redirects_oracle_sql(
             _REDIRECT_EDGES_CTE, max_hops=4
         ),
         "pipeline_incremental_extract": _INCR_EXTRACT_ORACLE_TMPL.format(

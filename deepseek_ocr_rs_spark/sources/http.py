@@ -47,7 +47,8 @@ __all__ = ["parse_http_responses", "HTTP_STRUCT"]
 
 HTTP_STRUCT = (
     "struct<status:int,http_version:string,reason:string,"
-    "content_type:string,charset:string,n_headers:int,body_text:string>"
+    "content_type:string,charset:string,n_headers:int,location:string,"
+    "body_text:string>"
 )
 
 _CHARSET_PARAM_RE = re.compile(rb"""(?i);\s*charset\s*=\s*"?\s*([a-z0-9_\-]+)""")
@@ -72,7 +73,7 @@ _CHARSETS = {
     "utf-16be": ("utf-16-be", "utf-16be"),
 }
 
-_NULL_ROW = (None, None, None, None, None, None, None)
+_NULL_ROW = (None, None, None, None, None, None, None, None)
 
 
 def _declared_charset(ct_raw: Optional[bytes], body: bytes):
@@ -89,7 +90,9 @@ def _declared_charset(ct_raw: Optional[bytes], body: bytes):
 
 def _parse_response(payload: bytes):
     """One (status, version, reason, content_type, charset, n_headers,
-    body_text) tuple per the module contract; all-NULL on malformed."""
+    location, body_text) tuple per the module contract; all-NULL on
+    malformed.  ``location`` is the raw first Location header (ascii,
+    stripped) — the redirect-resolution tier's edge target."""
     if not payload or not payload.startswith(b"HTTP/"):
         return _NULL_ROW
     split = payload.find(b"\r\n\r\n")
@@ -123,6 +126,11 @@ def _parse_response(payload: bytes):
         if name not in headers:  # first occurrence wins
             headers[name] = ln[sep + 1:].strip()
 
+    loc_raw = headers.get(b"location")
+    location = (
+        loc_raw.decode("ascii", "replace") if loc_raw is not None else None
+    ) or None
+
     ct_raw = headers.get(b"content-type")
     content_type = None
     if ct_raw is not None:
@@ -147,6 +155,7 @@ def _parse_response(payload: bytes):
         content_type,
         norm,
         n_headers,
+        location,
         body.decode(codec, "replace"),
     )
 
@@ -154,7 +163,7 @@ def _parse_response(payload: bytes):
 def _response_batches(payloads: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     cols = (
         "status", "http_version", "reason", "content_type",
-        "charset", "n_headers", "body_text",
+        "charset", "n_headers", "location", "body_text",
     )
     for ser in payloads:
         rows = [

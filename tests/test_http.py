@@ -12,7 +12,7 @@ def test_basic_utf8_declared():
         "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8",
         "café".encode("utf-8"),
     ))
-    assert r == (200, "1.1", "OK", "text/html", "utf-8", 1, "café")
+    assert r == (200, "1.1", "OK", "text/html", "utf-8", 1, None, "café")
 
 
 def test_latin1_decode_differs_from_utf8():
@@ -20,7 +20,7 @@ def test_latin1_decode_differs_from_utf8():
         "HTTP/1.0 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1",
         "café".encode("iso-8859-1"),
     ))
-    assert r[4] == "iso-8859-1" and r[6] == "café"
+    assert r[4] == "iso-8859-1" and r[7] == "café"
     # the same octets read as utf-8 would have been mojibake
     assert "café".encode("iso-8859-1") != "café".encode("utf-8")
 
@@ -31,7 +31,7 @@ def test_bom_beats_declaration_and_is_stripped():
         "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1",
         body,
     ))
-    assert (r[4], r[6]) == ("utf-8", "café")
+    assert (r[4], r[7]) == ("utf-8", "café")
 
 
 def test_utf16le_bom():
@@ -39,13 +39,13 @@ def test_utf16le_bom():
         "HTTP/1.1 200 OK\r\nContent-Type: text/html",
         ("\ufeff" + "hi é").encode("utf-16-le"),
     ))
-    assert (r[4], r[6]) == ("utf-16le", "hi é")
+    assert (r[4], r[7]) == ("utf-16le", "hi é")
 
 
 def test_meta_charset_probe_within_1024():
     body = b'<html><meta charset="windows-1252"><p>' + "€".encode("cp1252")
     r = _parse_response(_resp("HTTP/1.1 200 OK\r\nContent-Type: text/html", body))
-    assert r[4] == "windows-1252" and r[6].endswith("€")
+    assert r[4] == "windows-1252" and r[7].endswith("€")
 
 
 def test_meta_charset_beyond_1024_ignored():
@@ -57,18 +57,18 @@ def test_meta_charset_beyond_1024_ignored():
 def test_lf_only_separators():
     payload = b"HTTP/1.1 404 Not Found\nContent-Type: text/plain\n\nbody"
     r = _parse_response(payload)
-    assert r == (404, "1.1", "Not Found", "text/plain", "utf-8", 1, "body")
+    assert r == (404, "1.1", "Not Found", "text/plain", "utf-8", 1, None, "body")
 
 
 def test_no_terminator_is_all_headers_empty_body():
     r = _parse_response(b"HTTP/1.1 200 OK\r\nX-A: 1\r\nX-B: 2")
-    assert (r[0], r[5], r[6]) == (200, 2, "")
+    assert (r[0], r[5], r[7]) == (200, 2, "")
 
 
 def test_non_http_and_bad_status_are_null():
-    assert _parse_response(b"GIF89a....") == (None,) * 7
-    assert _parse_response(b"") == (None,) * 7
-    assert _parse_response(b"HTTP/1.1 abc OK\r\n\r\nx") == (None,) * 7
+    assert _parse_response(b"GIF89a....") == (None,) * 8
+    assert _parse_response(b"") == (None,) * 8
+    assert _parse_response(b"HTTP/1.1 abc OK\r\n\r\nx") == (None,) * 8
 
 
 def test_first_content_type_wins_and_malformed_header_skipped():
@@ -88,7 +88,7 @@ def test_unknown_charset_falls_back_utf8():
         "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=klingon",
         "ok é".encode("utf-8"),
     ))
-    assert (r[4], r[6]) == ("utf-8", "ok é")
+    assert (r[4], r[7]) == ("utf-8", "ok é")
 
 
 def test_torn_multibyte_tail_replaces_never_crashes():
@@ -96,13 +96,29 @@ def test_torn_multibyte_tail_replaces_never_crashes():
     r = _parse_response(_resp(
         "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8", body
     ))
-    assert r[6] == "caf�"
+    assert r[7] == "caf�"
 
 
 def test_empty_reason_and_spaced_reason():
     assert _parse_response(b"HTTP/1.1 204\r\n\r\n")[0:3] == (204, "1.1", "")
     r = _parse_response(b"HTTP/1.1 301 Moved Permanently\r\n\r\n")
     assert r[2] == "Moved Permanently"
+
+
+def test_location_header_extracted():
+    r = _parse_response(
+        b"HTTP/1.1 301 Moved Permanently\r\nLocation: https://x.com/a\r\n\r\n"
+    )
+    assert r[6] == "https://x.com/a"
+    # case-insensitive, first occurrence wins, whitespace stripped
+    r2 = _parse_response(
+        b"HTTP/1.1 302 F\r\nLOCATION:  https://first \r\n"
+        b"location: https://second\r\n\r\n"
+    )
+    assert r2[6] == "https://first"
+    assert _parse_response(b"HTTP/1.1 200 OK\r\n\r\nx")[6] is None
+    # empty Location normalizes to NULL, never ''
+    assert _parse_response(b"HTTP/1.1 301 M\r\nLocation:\r\n\r\n")[6] is None
 
 
 def test_spark_operator_and_plan(spark):
