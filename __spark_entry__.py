@@ -2164,6 +2164,67 @@ def web_page_metadata(spark, sf_dir):
     )
 
 
+def web_noindex_filter(spark, sf_dir):
+    """Robots-meta indexing gate (operators/metadata.py): pages rotate
+    over six directive shapes — absent, index-follow, NOINDEX (case),
+    none (the noindex,nofollow shorthand), nofollow-only (must stay
+    indexable: it gates links, not the page), and a padded noindex
+    token list — extracted by the real tokenizer fold, then classified
+    by the codegen robots_noindex_col token test.  The oracle re-derives
+    directive and verdict by construction, so both the extraction and
+    the token semantics are value-checked (~1/2 of rows suppressed:
+    neither verdict vacuous).  Scale shape: one Arrow pass + a codegen
+    filter; at 100 TB this runs scan-side before extraction spends a
+    single Python cycle on a suppressed page."""
+    from deepseek_ocr_rs_spark.operators.metadata import (
+        extract_page_metadata,
+        robots_noindex_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m6 = F.pmod(F.col("doc_id"), F.lit(6))
+    directive = (
+        F.when(m6 == 1, F.lit("index, follow"))
+        .when(m6 == 2, F.lit("NOINDEX"))
+        .when(m6 == 3, F.lit("none"))
+        .when(m6 == 4, F.lit("nofollow"))
+        .when(m6 == 5, F.lit(" noindex , nofollow "))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>p</title>"),
+        F.when(
+            m6 != 0,
+            F.concat(
+                F.lit('<meta name="robots" content="'),
+                directive,
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    out = extract_page_metadata(docs.select("doc_id", html.alias("text")))
+    robots = F.col("page_meta.meta_robots")
+    return out.select(
+        "doc_id",
+        robots.alias("meta_robots"),
+        robots_noindex_col(robots).alias("noindex"),
+    )
+
+
+_NOINDEX_ORACLE = """
+    SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 1 THEN 'index, follow'
+             WHEN 2 THEN 'NOINDEX'
+             WHEN 3 THEN 'none'
+             WHEN 4 THEN 'nofollow'
+             WHEN 5 THEN ' noindex , nofollow '
+           END AS meta_robots,
+           doc_id % 6 IN (2, 3, 5) AS noindex
+    FROM documents
+"""
+
+
 def web_sitemap_urls(spark, sf_dir):
     """Sitemap URL discovery (operators/sitemaps.py): synthetic sitemap
     bodies per doc carry a comment-wrapped decoy entry, a loc-less entry
@@ -3325,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_redirect_from_warc": web_redirect_from_warc,
         "pipeline_incremental_extract": pipeline_incremental_extract,
         "web_feed_entries": web_feed_entries,
+        "web_noindex_filter": web_noindex_filter,
         "graph_host_pagerank": graph_host_pagerank,
         "web_registrable_domains": web_registrable_domains,
         "web_blocklist_filter": web_blocklist_filter,
@@ -4564,6 +4626,7 @@ def oracle_sql() -> dict[str, str]:
             norm=_NORM_SQL
         ),
         "web_feed_entries": _FEED_ORACLE,
+        "web_noindex_filter": _NOINDEX_ORACLE,
         "web_crawl_diff": f"""
     WITH oldsnap AS ({latest_captures_oracle_sql(
         _CAPTURE_CTE.format(where=" WHERE event_id % 2 = 0"))}),

@@ -64,9 +64,14 @@ METADATA_FIELDS = (
     "og_url",
     "canonical_href",
     "html_lang",
+    "meta_robots",
 )
 
-_META_NAME_FIELDS = {"description": "description", "author": "author"}
+_META_NAME_FIELDS = {
+    "description": "description",
+    "author": "author",
+    "robots": "meta_robots",
+}
 _META_PROP_FIELDS = {"og:title": "og_title", "og:url": "og_url"}
 
 
@@ -168,3 +173,26 @@ def extract_page_metadata(
     schema = ", ".join(f"{f} string" for f in METADATA_FIELDS)
     udf = F.pandas_udf(_metadata_batches, f"struct<{schema}>")
     return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+def robots_noindex_col(robots) -> "F.Column":
+    """meta-robots content -> true iff indexing is forbidden.
+
+    The directive value is a comma-separated token list; ``noindex`` or
+    the shorthand ``none`` (== noindex,nofollow) forbids indexing,
+    case-insensitively with arbitrary whitespace around tokens.  A
+    missing/empty tag means indexable — the web's default — so NULL maps
+    to false.  ``nofollow`` alone does NOT suppress the page (it only
+    gates link extraction).  Pure Column (codegen); the SQL replica is
+    :func:`robots_noindex_sql`.
+    """
+    toks = F.split(F.lower(F.coalesce(robots, F.lit(""))), ",")
+    return F.exists(toks, lambda t: F.trim(t).isin("noindex", "none"))
+
+
+def robots_noindex_sql(expr: str) -> str:
+    """DuckDB replica of :func:`robots_noindex_col` over SQL ``expr``."""
+    return (
+        f"len(list_filter(str_split(lower(coalesce({expr}, '')), ','), "
+        "t -> trim(t) IN ('noindex', 'none'))) > 0"
+    )

@@ -37,6 +37,7 @@ def test_full_head():
         "og_url": "http://x.com/?a=1&b=2",
         "canonical_href": "/c?x=1&y=2",
         "html_lang": "en-us",
+        "meta_robots": None,
     }
 
 
@@ -156,3 +157,38 @@ def test_spark_struct_and_partitioning_invariance(spark):
     assert {k: tuple(v) for k, v in out.items()} == {
         k: tuple(v) for k, v in repart.items()
     }
+
+
+def test_meta_robots_extraction_and_noindex_column(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_rs_spark.operators.metadata import (
+        page_metadata,
+        robots_noindex_col,
+        robots_noindex_sql,
+    )
+    from deepseek_ocr_rs_spark.functions.tokenizer import tokenize_html_fast
+
+    m = page_metadata(
+        tokenize_html_fast('<meta name="ROBOTS" content="NoIndex, nofollow">')
+    )
+    assert m["meta_robots"] == "NoIndex, nofollow"
+
+    cases = [None, "", "index, follow", "NOINDEX", "none", "nofollow",
+             " noindex , nofollow ", "noindexx", "all,NONE"]
+    want = [False, False, False, True, True, False, True, False, True]
+    df = spark.createDataFrame([(c,) for c in cases], "robots string")
+    got = [
+        r[0]
+        for r in df.select(robots_noindex_col(F.col("robots"))).collect()
+    ]
+    assert got == want
+    con = duckdb.connect()
+    values = ", ".join(
+        "(NULL)" if c is None else "('%s')" % c for c in cases
+    )
+    sql = (
+        f"SELECT {robots_noindex_sql('r')} FROM (VALUES {values}) t(r)"
+    )
+    assert [row[0] for row in con.sql(sql).fetchall()] == want
