@@ -2211,6 +2211,109 @@ def web_noindex_filter(spark, sf_dir):
     )
 
 
+def pipeline_discovery_schedule(spark, sf_dir):
+    """Discovery-tier capstone: sitemap XML (even docs) and RSS feeds
+    (odd docs) are PARSED (not pattern-matched) into one discovered URL
+    each, unioned, robots-filtered (every host disallows /d/ — the
+    doc_id%3==0 third of paths), and politeness-scheduled into per-host
+    waves (7 hosts, priority = doc_id%10, deterministic tie-break, cap
+    40/host so drops are real at sf>=0.01).  Four tiers compose; the
+    oracle re-derives the whole thing as one CTE chain (construction +
+    LIKE filter + ROW_NUMBER), value-checking every seam.  Scale shape:
+    two Arrow parse passes + broadcast robots join + ONE host-window
+    over the already-filtered frontier."""
+    from deepseek_ocr_rs_spark.operators.feeds import parse_feeds
+    from deepseek_ocr_rs_spark.operators.frontier import schedule_frontier
+    from deepseek_ocr_rs_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+    from deepseek_ocr_rs_spark.operators.sitemaps import parse_sitemaps
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    m7 = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    seg = F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit("/d/")).otherwise(
+        F.lit("/p/")
+    )
+    url = F.concat(F.lit("https://h"), m7, F.lit(".com"), seg, i)
+
+    even = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+    odd = docs.where(F.pmod("doc_id", F.lit(2)) == 1)
+    sitemap_xml = F.concat(
+        F.lit("<urlset><url><loc>"), url, F.lit("</loc></url></urlset>")
+    )
+    feed_xml = F.concat(
+        F.lit("<rss><channel><item><link>"), url,
+        F.lit("</link></item></channel></rss>"),
+    )
+    from_sitemaps = parse_sitemaps(
+        even.select("doc_id", sitemap_xml.alias("text"))
+    ).select("doc_id", F.col("loc").alias("url"))
+    from_feeds = parse_feeds(
+        odd.select("doc_id", feed_xml.alias("text"))
+    ).select("doc_id", "url")
+    discovered = from_sitemaps.unionAll(from_feeds).select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"^https://([^/]+)", 1).alias("host"),
+        F.regexp_replace("url", r"^https://[^/]+", "").alias("path"),
+    )
+
+    robots_bodies = (
+        discovered.select("host")
+        .distinct()
+        .select(
+            "host",
+            F.lit("User-agent: *\nDisallow: /d/\n").alias("robots_txt"),
+        )
+    )
+    rules = parse_robots(robots_bodies)
+    allowed = robots_allowed(discovered, rules, agent="curator").where(
+        F.col("allowed")
+    )
+
+    sched = schedule_frontier(
+        allowed.select(
+            "url",
+            "host",
+            F.pmod(F.col("doc_id"), F.lit(10)).alias("priority"),
+        ),
+        id_col="url",
+        per_host_delay_s=5,
+        max_per_host=40,
+    )
+    return sched.select(
+        "url", "host", "priority", "wave", F.col("eta_s").cast("long")
+        .alias("eta_s")
+    )
+
+
+_DISCOVERY_SCHED_ORACLE = """
+    WITH disc AS (
+      SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             || CASE WHEN doc_id % 3 = 0 THEN '/d/' ELSE '/p/' END
+             || CAST(doc_id AS VARCHAR) AS url,
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+             CAST(doc_id % 10 AS INTEGER) AS priority
+      FROM documents
+    ),
+    allowed AS (
+      SELECT * FROM disc
+      WHERE url NOT LIKE 'https://h_.com/d/%'
+    ),
+    ranked AS (
+      SELECT url, host, priority,
+             CAST(row_number() OVER (
+               PARTITION BY host
+               ORDER BY priority DESC, url ASC) - 1 AS INTEGER) AS wave
+      FROM allowed
+    )
+    SELECT url, host, priority, wave, CAST(wave * 5 AS BIGINT) AS eta_s
+    FROM ranked WHERE wave < 40
+"""
+
+
 _NOINDEX_ORACLE = """
     SELECT doc_id,
            CASE doc_id % 6
@@ -3387,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_incremental_extract": pipeline_incremental_extract,
         "web_feed_entries": web_feed_entries,
         "web_noindex_filter": web_noindex_filter,
+        "pipeline_discovery_schedule": pipeline_discovery_schedule,
         "graph_host_pagerank": graph_host_pagerank,
         "web_registrable_domains": web_registrable_domains,
         "web_blocklist_filter": web_blocklist_filter,
@@ -4627,6 +4731,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "web_feed_entries": _FEED_ORACLE,
         "web_noindex_filter": _NOINDEX_ORACLE,
+        "pipeline_discovery_schedule": _DISCOVERY_SCHED_ORACLE,
         "web_crawl_diff": f"""
     WITH oldsnap AS ({latest_captures_oracle_sql(
         _CAPTURE_CTE.format(where=" WHERE event_id % 2 = 0"))}),
