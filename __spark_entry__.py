@@ -2211,6 +2211,55 @@ def web_noindex_filter(spark, sf_dir):
     )
 
 
+def web_hreflang_clusters(spark, sf_dir):
+    """hreflang translation clusters (operators/hreflang.py): each doc
+    declares its 3-member cluster (cluster = doc_id div 3; langs
+    en/fr/de) amid decoys — a stylesheet link, a comment-wrapped
+    alternate, an hreflang-less feed-autodiscovery alternate, and a
+    duplicate-lang spam link (first occurrence per lang wins).  Every
+    member emits the same cluster_key (min href of the declared set)
+    with no join — the label the dedup tier uses to exempt declared
+    translations from near-dup pruning.  Oracle re-derives all three
+    edges per doc by construction.  Scale shape: one ArrowEvalPython +
+    explode, no shuffle."""
+    from deepseek_ocr_rs_spark.operators.hreflang import extract_hreflang
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    c = F.expr("doc_id div 3").cast("string")
+    i = F.col("doc_id").cast("string")
+
+    def alt(lang):
+        return F.concat(
+            F.lit(f'<link rel="alternate" hreflang="{lang}" href="https://c'),
+            c,
+            F.lit(f'.example/{lang}">'),
+        )
+
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.lit('<link rel="stylesheet" href="/s.css">'),
+        F.lit('<!-- <link rel="alternate" hreflang="xx" href="https://d/x"> -->'),
+        alt("en"), alt("fr"), alt("de"),
+        F.lit('<link rel="alternate" type="application/rss+xml" href="/feed">'),
+        F.lit('<link rel="alternate" hreflang="en" href="https://spam/'),
+        i, F.lit('">'),
+        F.lit("</head></html>"),
+    )
+    return extract_hreflang(docs.select("doc_id", html.alias("text")))
+
+
+_HREFLANG_ORACLE = """
+    SELECT doc_id, l.lang,
+           'https://c' || CAST(doc_id // 3 AS VARCHAR) || '.example/'
+             || l.lang AS href,
+           CAST(l.ord AS INTEGER) AS ordinal,
+           'https://c' || CAST(doc_id // 3 AS VARCHAR) || '.example/de'
+             AS cluster_key
+    FROM documents,
+         (VALUES ('en', 0), ('fr', 1), ('de', 2)) AS l(lang, ord)
+"""
+
+
 def pipeline_discovery_schedule(spark, sf_dir):
     """Discovery-tier capstone: sitemap XML (even docs) and RSS feeds
     (odd docs) are PARSED (not pattern-matched) into one discovered URL
@@ -3491,6 +3540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_feed_entries": web_feed_entries,
         "web_noindex_filter": web_noindex_filter,
         "pipeline_discovery_schedule": pipeline_discovery_schedule,
+        "web_hreflang_clusters": web_hreflang_clusters,
         "graph_host_pagerank": graph_host_pagerank,
         "web_registrable_domains": web_registrable_domains,
         "web_blocklist_filter": web_blocklist_filter,
@@ -4732,6 +4782,7 @@ def oracle_sql() -> dict[str, str]:
         "web_feed_entries": _FEED_ORACLE,
         "web_noindex_filter": _NOINDEX_ORACLE,
         "pipeline_discovery_schedule": _DISCOVERY_SCHED_ORACLE,
+        "web_hreflang_clusters": _HREFLANG_ORACLE,
         "web_crawl_diff": f"""
     WITH oldsnap AS ({latest_captures_oracle_sql(
         _CAPTURE_CTE.format(where=" WHERE event_id % 2 = 0"))}),

@@ -129,7 +129,7 @@ _KEPT_ATTRS = frozenset({"href", "class", "id"})
 _TAG_EXTRA_ATTRS: Dict[str, frozenset] = {
     "meta": frozenset({"name", "property", "content", "charset",
                        "http-equiv"}),
-    "link": frozenset({"rel", "href"}),
+    "link": frozenset({"rel", "href", "hreflang"}),
     "html": frozenset({"lang"}),
 }
 
@@ -431,3 +431,33 @@ def tokenize_html_fast(payload: str) -> List[Event]:
         else:
             out.append(("close", tag))
     return out
+
+
+# ---------------------------------------------------------------- XML mode
+
+_CDATA_RE = re.compile(r"<!\[CDATA\[(.*?)\]\]>", re.S)
+
+
+def escape_cdata(s: str) -> str:
+    """XML-mode preprocessor: rewrite ``<![CDATA[...]]>`` sections as
+    entity-escaped text so the tokenizer surfaces their content as
+    ordinary text events (``decode_entities`` restores it exactly).
+
+    The HTML tokenizer treats ``<![...`` as bogus markup ending at the
+    first ``>`` — WHATWG-faithful for HTML, where CDATA outside foreign
+    content IS a bogus comment — so CDATA values in XML (RSS titles,
+    sitemap locs) would otherwise drop, or worse leak a tail fragment
+    when the content contains ``>``.  The XML parsers (sitemaps, feeds)
+    call this first; the HTML extraction path deliberately does NOT.
+    An unterminated CDATA section is left untouched (the tokenizer's
+    bogus-comment handling drops it, matching its other EOF rules).
+    """
+    if "<![CDATA[" not in s:
+        return s
+    return _CDATA_RE.sub(
+        lambda m: m.group(1)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;"),
+        s,
+    )

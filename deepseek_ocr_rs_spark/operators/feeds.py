@@ -59,8 +59,12 @@ _LINK_RELS_KEPT = frozenset({"", "alternate"})
 
 def feed_entries(xml: str) -> List[dict]:
     """Pure parse of one feed body -> list of entry dicts (no Spark)."""
-    from deepseek_ocr_rs_spark.functions.tokenizer import tokenize_html_fast
+    from deepseek_ocr_rs_spark.functions.tokenizer import (
+        escape_cdata,
+        tokenize_html_fast,
+    )
 
+    xml = escape_cdata(xml)  # real feeds CDATA-wrap titles/links routinely
     rows: List[dict] = []
     container = None  # 'item' | 'entry' while inside one
     leaf = None

@@ -49,8 +49,12 @@ _LEAVES = frozenset({"loc", "lastmod", "priority", "changefreq"})
 
 def sitemap_entries(xml: str) -> List[dict]:
     """Pure parse of one sitemap body -> list of entry dicts (no Spark)."""
-    from deepseek_ocr_rs_spark.functions.tokenizer import tokenize_html_fast
+    from deepseek_ocr_rs_spark.functions.tokenizer import (
+        escape_cdata,
+        tokenize_html_fast,
+    )
 
+    xml = escape_cdata(xml)  # CDATA-wrapped <loc> surfaces as text
     rows: List[dict] = []
     container = None  # 'url' | 'sitemap' while inside one
     leaf = None

@@ -101,3 +101,23 @@ def test_parse_feeds_explode(spark):
     # filter below the Generate and evaluate the parser twice per row
     plan = parsed._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_cdata_wrapped_values():
+    # real feeds CDATA-wrap titles/links; content with '>' must neither
+    # drop nor leak a tail fragment
+    rows = feed_entries(
+        "<item><title><![CDATA[a > b & c]]></title>"
+        "<link><![CDATA[https://c.com/1?a=1&b=2]]></link></item>"
+    )
+    assert rows == [
+        {
+            "feed_type": "rss",
+            "url": "https://c.com/1?a=1&b=2",
+            "title": "a > b & c",
+            "published": None,
+            "ordinal": 0,
+        }
+    ]
+    # unterminated CDATA: dropped like other EOF-truncated markup
+    assert feed_entries("<item><title><![CDATA[x</title></item>") == []

@@ -140,3 +140,13 @@ def test_frontier_single_exchange_plan(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1  # exactly the host hash partition
+
+
+def test_cdata_wrapped_loc():
+    from deepseek_ocr_rs_spark.operators.sitemaps import sitemap_entries
+
+    rows = sitemap_entries(
+        "<urlset><url><loc><![CDATA[https://e.com/x?a=1&b>2]]></loc>"
+        "</url></urlset>"
+    )
+    assert [r["loc"] for r in rows] == ["https://e.com/x?a=1&b>2"]
