@@ -2248,6 +2248,54 @@ def web_hreflang_clusters(spark, sf_dir):
     return extract_hreflang(docs.select("doc_id", html.alias("text")))
 
 
+def web_wet_roundtrip(spark, sf_dir):
+    """WET writer round-trip (sources/wet.py): every document's
+    normalized text is framed as a WARC/1.0 conversion record (codegen
+    string concat, octet-length framing), packed 10 records per file in
+    doc_id order, then read back through the repo's own byte-exact WARC
+    reader — target URI, type, octet length, and the text itself must
+    all survive.  The oracle re-derives each field by construction, so
+    a single flipped byte anywhere in the writer/reader pair fails the
+    hash.  Scale shape: record assembly is JVM concat on the
+    extraction output; ONE file-id aggregation = the write's natural
+    partitioning."""
+    from deepseek_ocr_rs_spark.sources.warc import parse_warc
+    from deepseek_ocr_rs_spark.sources.wet import wet_files, wet_record_col
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    uri = F.concat(
+        F.lit("https://w"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".com/d/"), i,
+    )
+    recs = docs.select(
+        F.expr("doc_id div 10").cast("string").alias("file_id"),
+        F.col("doc_id").alias("ord"),
+        wet_record_col(
+            uri,
+            F.expr(_NORM_SQL),
+            F.concat(F.lit("<urn:uuid:w-"), i, F.lit(">")),
+        ).alias("record"),
+    )
+    back = parse_warc(wet_files(recs))
+    return back.select(
+        "target_uri",
+        "warc_type",
+        "content_length",
+        F.decode(F.col("payload"), "UTF-8").alias("text_md"),
+    )
+
+
+_WET_ORACLE_TMPL = """
+    SELECT 'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.com/d/'
+             || CAST(doc_id AS VARCHAR) AS target_uri,
+           'conversion' AS warc_type,
+           CAST(octet_length(encode({norm})) AS BIGINT) AS content_length,
+           {norm} AS text_md
+    FROM documents
+"""
+
+
 _HREFLANG_ORACLE = """
     SELECT doc_id, l.lang,
            'https://c' || CAST(doc_id // 3 AS VARCHAR) || '.example/'
@@ -3541,6 +3589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_noindex_filter": web_noindex_filter,
         "pipeline_discovery_schedule": pipeline_discovery_schedule,
         "web_hreflang_clusters": web_hreflang_clusters,
+        "web_wet_roundtrip": web_wet_roundtrip,
         "graph_host_pagerank": graph_host_pagerank,
         "web_registrable_domains": web_registrable_domains,
         "web_blocklist_filter": web_blocklist_filter,
@@ -4783,6 +4832,7 @@ def oracle_sql() -> dict[str, str]:
         "web_noindex_filter": _NOINDEX_ORACLE,
         "pipeline_discovery_schedule": _DISCOVERY_SCHED_ORACLE,
         "web_hreflang_clusters": _HREFLANG_ORACLE,
+        "web_wet_roundtrip": _WET_ORACLE_TMPL.format(norm=_NORM_SQL),
         "web_crawl_diff": f"""
     WITH oldsnap AS ({latest_captures_oracle_sql(
         _CAPTURE_CTE.format(where=" WHERE event_id % 2 = 0"))}),

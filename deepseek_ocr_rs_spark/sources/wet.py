@@ -1,0 +1,79 @@
+"""WET-style conversion-record writer (the extraction tier's sink format).
+
+Common Crawl publishes extracted text as WET files: WARC/1.0
+``conversion`` records whose payload is the plain text of one page.
+This is the natural interchange format for this repo's extraction
+output — and because the repo also has a byte-exact WARC *reader*
+(sources/warc.py), the writer is round-trippable: ``parse_warc``
+over ``wet_files`` output must recover every (uri, text) pair exactly,
+which is the pytest and gate contract.
+
+* :func:`wet_record_col` — pure Column (whole-stage codegen): one
+  spec-shaped record string per row.  Content-Length is the OCTET
+  length of the UTF-8 text (F.octet_length), so payloads containing
+  ``\\r\\n\\r\\n`` or any markup-looking bytes are framed safely —
+  length-delimited, never sentinel-delimited.
+* :func:`wet_files` — groups records into one binary blob per file id
+  in explicit (ord) order.  The per-file collect_list is bounded by
+  the WET convention (~150 MB / file, caller picks the grouping), and
+  the concat+encode stays JVM-side.
+
+Scale shape: record assembly is codegen string concat on the
+extraction output (no Python, no extra shuffle beyond the one file-id
+aggregation, which is the write's natural partitioning anyway).
+
+Reference analog: the reference's fixture emitter writes one
+deterministic markdown artifact per page keyed by content digest
+(benchsuite fixture matrix); WET is the same page->artifact discipline
+in the web-archive interchange format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["wet_record_col", "wet_files"]
+
+
+def wet_record_col(uri: Column, text: Column, record_id: Column) -> Column:
+    """(uri, text, record_id) -> one WARC/1.0 conversion record (string).
+
+    NULL text is treated as the empty page (Content-Length 0); the
+    record terminator is the spec CRLF CRLF.
+    """
+    body = F.coalesce(text, F.lit(""))
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: "),
+        record_id,
+        F.lit("\r\nWARC-Target-URI: "),
+        uri,
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(body).cast("string"),
+        F.lit("\r\n\r\n"),
+        body,
+        F.lit("\r\n\r\n"),
+    )
+
+
+def wet_files(
+    df: DataFrame,
+    file_col: str = "file_id",
+    ord_col: str = "ord",
+    record_col: str = "record",
+) -> DataFrame:
+    """Records -> one ``(file_id, content binary)`` row per file id.
+
+    Records are concatenated in ascending ``ord_col`` order (the
+    deterministic in-file layout).  One hash aggregate on the file id;
+    per-file size is the caller's grouping contract (WET convention
+    ~150 MB), so the collect_list buffer is bounded.
+    """
+    packed = df.groupBy(F.col(file_col).alias("file_id")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ord_col).alias("o"),
+                                    F.col(record_col).alias("r")))
+        ).alias("_recs")
+    )
+    blob = F.array_join(F.transform("_recs", lambda x: x["r"]), "")
+    return packed.select("file_id", F.encode(blob, "UTF-8").alias("content"))

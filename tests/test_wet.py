@@ -1,0 +1,74 @@
+"""WET conversion-record writer (sources/wet.py): round-trip contract.
+
+Everything the writer emits must come back byte-exact through the
+repo's own WARC reader — including payloads containing CRLF CRLF
+(length-framed, never sentinel-framed), multi-byte UTF-8, empty and
+NULL texts, and multi-record files in explicit order.
+"""
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_rs_spark.sources.warc import parse_warc
+from deepseek_ocr_rs_spark.sources.wet import wet_files, wet_record_col
+
+ROWS = [
+    # (doc, uri, text)
+    ("a", "https://e.com/a", "plain text"),
+    ("b", "https://e.com/b", "tricky\r\n\r\nWARC/1.0 inside"),  # framing trap
+    ("c", "https://e.com/c", "café — 多字节"),  # octet length != char length
+    ("d", "https://e.com/d", ""),  # empty page
+    ("e", "https://e.com/e", None),  # NULL -> empty page
+]
+
+
+def _records(spark):
+    df = spark.createDataFrame(ROWS, "doc string, uri string, text string")
+    return df.select(
+        "doc",
+        "uri",
+        F.coalesce("text", F.lit("")).alias("want_text"),
+        wet_record_col(
+            F.col("uri"),
+            F.col("text"),
+            F.concat(F.lit("<urn:uuid:w-"), F.col("doc"), F.lit(">")),
+        ).alias("record"),
+    )
+
+
+def test_roundtrip_single_record_files(spark):
+    recs = _records(spark)
+    files = wet_files(
+        recs.select(F.col("doc").alias("file_id"), F.lit(0).alias("ord"),
+                    "record")
+    )
+    back = parse_warc(files)
+    got = {
+        r["file_id"]: (r["warc_type"], r["target_uri"],
+                       bytes(r["payload"]).decode("utf-8"),
+                       r["content_length"])
+        for r in back.collect()
+    }
+    want = {
+        doc: ("conversion", uri, text or "",
+              len((text or "").encode("utf-8")))
+        for doc, uri, text in ROWS
+    }
+    assert got == want
+
+
+def test_multi_record_file_order(spark):
+    recs = _records(spark)
+    files = wet_files(
+        recs.select(
+            F.lit("all").alias("file_id"),
+            # reverse alphabetical ord to prove explicit ordering wins
+            (-F.ascii(F.col("doc"))).alias("ord"),
+            "record",
+        )
+    )
+    back = parse_warc(files).orderBy("rec_idx").collect()
+    assert [r["target_uri"] for r in back] == [
+        f"https://e.com/{d}" for d in "edcba"
+    ]
+    # every record recovered despite the framing-trap payload mid-file
+    assert len(back) == 5
