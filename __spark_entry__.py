@@ -2755,6 +2755,34 @@ def web_crawl_diff(spark, sf_dir):
     return crawl_diff(old, new)
 
 
+def web_recrawl_policy(spark, sf_dir):
+    """Adaptive revisit policy (operators/cdx.py recrawl_intervals):
+    the parity-split crawl diff rolls up per SURT host — added/gone/
+    changed/unchanged counts — and each host gets an exact-integer
+    revisit interval base*(n_unchanged+1) div (n_changed+1) clamped to
+    [min,max]; churn-heavy hosts recrawl sooner, static ones later.
+    Clamps sized so min-clamped, max-clamped, AND unclamped hosts all
+    appear at sf0.01 (checked in verify).  The
+    oracle extends the crawl-diff CTE with the same grouping and
+    GREATEST/LEAST arithmetic.  Scale shape: one hash aggregate over
+    the already-aggregated diff — a control-plane table the frontier
+    joins against."""
+    from deepseek_ocr_rs_spark.operators.cdx import (
+        crawl_diff,
+        latest_captures,
+        recrawl_intervals,
+    )
+
+    old = latest_captures(_capture_log(spark, sf_dir, parity=0))
+    new = latest_captures(_capture_log(spark, sf_dir, parity=1))
+    return recrawl_intervals(
+        crawl_diff(old, new),
+        base_interval_s=86400,
+        min_interval_s=50000,
+        max_interval_s=100000,
+    )
+
+
 def web_redirect_resolve(spark, sf_dir):
     """Redirect-chain resolution (operators/redirects.py): events
     synthesize a functional redirect graph — group g = event_id div 6
@@ -3582,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_http_responses": warc_http_responses,
         "web_surt_latest": web_surt_latest,
         "web_crawl_diff": web_crawl_diff,
+        "web_recrawl_policy": web_recrawl_policy,
         "web_redirect_resolve": web_redirect_resolve,
         "web_redirect_from_warc": web_redirect_from_warc,
         "pipeline_incremental_extract": pipeline_incremental_extract,
@@ -4818,6 +4847,36 @@ def oracle_sql() -> dict[str, str]:
         "web_surt_latest": latest_captures_oracle_sql(
             _CAPTURE_CTE.format(where="")
         ),
+        "web_recrawl_policy": f"""
+    WITH oldsnap AS ({latest_captures_oracle_sql(
+        _CAPTURE_CTE.format(where=" WHERE event_id % 2 = 0"))}),
+    newsnap AS ({latest_captures_oracle_sql(
+        _CAPTURE_CTE.format(where=" WHERE event_id % 2 = 1"))}),
+    diff AS (
+      SELECT COALESCE(o.surt, n.surt) AS surt,
+        CASE WHEN o.surt IS NULL THEN 'added'
+             WHEN n.surt IS NULL THEN 'gone'
+             WHEN o.last_digest = n.last_digest THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM oldsnap o FULL OUTER JOIN newsnap n ON o.surt = n.surt
+    ),
+    agg AS (
+      SELECT regexp_extract(surt, '^([^)]*)\\)', 1) AS host,
+        CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_added,
+        CAST(sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_gone,
+        CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_changed,
+        CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_unchanged
+      FROM diff GROUP BY 1
+    )
+    SELECT host, n_added, n_gone, n_changed, n_unchanged,
+           GREATEST(CAST(50000 AS BIGINT), LEAST(CAST(100000 AS BIGINT),
+             86400 * (n_unchanged + 1) // (n_changed + 1))) AS interval_s
+    FROM agg
+    """,
         "web_redirect_resolve": resolve_redirects_oracle_sql(
             _REDIRECT_EDGES_CTE, max_hops=4
         ),

@@ -209,3 +209,51 @@ def latest_captures_oracle_sql(captures_cte: str) -> str:
            r.ts AS last_ts, r.digest AS last_digest, r.url AS last_url
     FROM agg JOIN ranked r ON agg.surt = r.surt AND r.rn = 1
     """
+
+
+def recrawl_intervals(
+    diff: DataFrame,
+    base_interval_s: int = 86400,
+    min_interval_s: int = 3600,
+    max_interval_s: int = 2592000,
+) -> DataFrame:
+    """Crawl diff -> per-host adaptive revisit policy.
+
+    A recurring crawl should not revisit every host at the same cadence:
+    hosts whose pages change between snapshots deserve short intervals,
+    static archives long ones.  Per host (the SURT key's pre-``)``
+    prefix, so one registrable domain rolls up together):
+
+    ``interval_s = clamp(base * (n_unchanged + 1) div (n_changed + 1),
+    min, max)`` — exact integer division (cross-engine discipline), so
+    a host with 9 unchanged / 0 changed pages waits 10x base and a host
+    with 0 unchanged / 9 changed pages waits base/10, clamped.  Added/
+    gone pages are reported but do not steer the ratio (they say the
+    *frontier* moved, not that content churns).
+
+    Output: ``(host, n_added, n_gone, n_changed, n_unchanged,
+    interval_s)`` — one map-side-combinable hash aggregate over the
+    already-aggregated diff; at 100 TB this is the tiny control-plane
+    table the frontier scheduler joins against.
+    """
+    host = F.regexp_extract(F.col("surt"), r"^([^)]*)\)", 1).alias("host")
+    cnt = lambda s: F.sum(
+        F.when(F.col("status") == s, 1).otherwise(0)
+    ).cast("long")
+    agg = diff.groupBy(host).agg(
+        cnt("added").alias("n_added"),
+        cnt("gone").alias("n_gone"),
+        cnt("changed").alias("n_changed"),
+        cnt("unchanged").alias("n_unchanged"),
+    )
+    raw = F.expr(
+        f"{int(base_interval_s)}L * (n_unchanged + 1L) div (n_changed + 1L)"
+    )
+    interval = F.greatest(
+        F.lit(int(min_interval_s)).cast("long"),
+        F.least(F.lit(int(max_interval_s)).cast("long"), raw),
+    )
+    return agg.select(
+        "host", "n_added", "n_gone", "n_changed", "n_unchanged",
+        interval.alias("interval_s"),
+    )

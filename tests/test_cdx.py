@@ -170,3 +170,32 @@ def test_latest_captures_plan_is_one_aggregate(spark):
     # Zipfian recrawl head collapses per task); max(struct) forces
     # SortAggregate (var-length buffer), accepted per the docstring
     assert "partial_count" in plan
+
+
+def test_recrawl_intervals(spark):
+    from deepseek_ocr_rs_spark.operators.cdx import recrawl_intervals
+
+    diff = spark.createDataFrame(
+        # host A: churny (3 changed, 0 unchanged); host B: static
+        # (0 changed, 9 unchanged); host C: balanced; added/gone noise
+        [("com,a)/%d" % i, "changed") for i in range(3)]
+        + [("com,a)/x", "added")]
+        + [("com,b)/%d" % i, "unchanged") for i in range(9)]
+        + [("com,b)/y", "gone")]
+        + [("com,c)/1", "changed"), ("com,c)/2", "unchanged")],
+        "surt string, status string",
+    )
+    out = {
+        r["host"]: r
+        for r in recrawl_intervals(
+            diff, base_interval_s=1000, min_interval_s=300,
+            max_interval_s=5000
+        ).collect()
+    }
+    a, b, c = out["com,a"], out["com,b"], out["com,c"]
+    # churny host: 1000*(0+1) div (3+1) = 250 -> clamped up to 300
+    assert a["interval_s"] == 300 and a["n_changed"] == 3 and a["n_added"] == 1
+    # static host: 1000*10 div 1 = 10000 -> clamped down to 5000
+    assert b["interval_s"] == 5000 and b["n_unchanged"] == 9 and b["n_gone"] == 1
+    # balanced: 1000*2 div 2 = 1000, unclamped
+    assert c["interval_s"] == 1000
