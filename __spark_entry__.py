@@ -2755,6 +2755,115 @@ def web_crawl_diff(spark, sf_dir):
     return crawl_diff(old, new)
 
 
+def web_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt (operators/robots.py
+    sitemap_directives): per doc, one robots body carrying two Sitemap
+    directives — one mid-user-agent-group (host-wide per protocol, so
+    the group must not swallow it), one in mixed case with a trailing
+    comment — plus an empty-value decoy.  Oracle re-derives both rows
+    by construction.  Scale shape: one Arrow pass over tiny bodies, no
+    shuffle; feeds the frontier's sitemap fetch queue."""
+    from deepseek_ocr_rs_spark.operators.robots import sitemap_directives
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("r"), i, F.lit(".com"))
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /d/\nSitemap: https://r"), i,
+        F.lit(".com/sitemap-"), i, F.lit(".xml\n# comment line\n"),
+        F.lit("SITEMAP: https://r"), i,
+        F.lit(".com/news.xml # trailing comment\nSitemap:\n"),
+    )
+    out = sitemap_directives(
+        docs.select(host.alias("host"), body.alias("robots_txt"))
+    )
+    return out.select("host", "sitemap_url", "ordinal")
+
+
+_ROBOTS_SITEMAPS_ORACLE = """
+    SELECT 'r' || CAST(doc_id AS VARCHAR) || '.com' AS host,
+           'https://r' || CAST(doc_id AS VARCHAR) || '.com/sitemap-'
+             || CAST(doc_id AS VARCHAR) || '.xml' AS sitemap_url,
+           0 AS ordinal
+    FROM documents
+    UNION ALL
+    SELECT 'r' || CAST(doc_id AS VARCHAR) || '.com',
+           'https://r' || CAST(doc_id AS VARCHAR) || '.com/news.xml', 1
+    FROM documents
+"""
+
+
+def web_revalidation_candidates(spark, sf_dir):
+    """Conditional-GET planning (sources/http.py etag/last_modified):
+    per doc one WARC/HTTP response rotating its validators by doc_id%4
+    — ETag only, Last-Modified only, both (ETag preferred), neither —
+    and the recrawl tier classifies each page: etag / last-modified /
+    unconditional.  Oracle re-derives validator and kind by
+    construction; ~3/4 of pages get a cheap revalidation path, which
+    at 100 TB is the difference between re-downloading the web and
+    HEAD-checking it.  Scale shape: same zero-shuffle parse stage as
+    warc_http_responses + a codegen CASE."""
+    from deepseek_ocr_rs_spark.sources.http import parse_http_responses
+    from deepseek_ocr_rs_spark.sources.warc import parse_warc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    m4 = F.pmod(F.col("doc_id"), F.lit(4))
+    etag_hdr = F.when(
+        m4.isin(0, 2), F.concat(F.lit('ETag: "v-'), i, F.lit('"\r\n'))
+    ).otherwise(F.lit(""))
+    lm_hdr = F.when(
+        m4.isin(1, 2),
+        F.concat(F.lit("Last-Modified: Mon, 0"),
+                 (F.pmod(F.col("doc_id"), F.lit(9)) + 1).cast("string"),
+                 F.lit(" Jan 2024 00:00:00 GMT\r\n")),
+    ).otherwise(F.lit(""))
+    http = F.encode(
+        F.concat(F.lit("HTTP/1.1 200 OK\r\n"), etag_hdr, lm_hdr,
+                 F.lit("Content-Type: text/html\r\n\r\nok")),
+        "UTF-8",
+    )
+    uri = F.concat(F.lit("http://v"), F.pmod(F.col("doc_id"), F.lit(7))
+                   .cast("string"), F.lit(".com/p/"), i)
+    head = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:v-"),
+        i, F.lit(">\r\nContent-Type: application/http;msgtype=response"),
+        F.lit("\r\nWARC-Target-URI: "), uri,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(http).cast("string"), F.lit("\r\n\r\n"),
+    )
+    blob = F.concat(F.encode(head, "UTF-8"), http,
+                    F.encode(F.lit("\r\n\r\n"), "UTF-8"))
+    recs = parse_warc(docs.select(i.alias("file_id"), blob.alias("content")))
+    out = parse_http_responses(recs.where(F.col("warc_type") == "response"))
+    kind = (
+        F.when(F.col("http.etag").isNotNull(), F.lit("etag"))
+        .when(F.col("http.last_modified").isNotNull(), F.lit("last-modified"))
+        .otherwise(F.lit("unconditional"))
+    )
+    return out.select(
+        "target_uri",
+        F.col("http.etag").alias("etag"),
+        F.col("http.last_modified").alias("last_modified"),
+        kind.alias("revalidation"),
+    )
+
+
+_REVALIDATION_ORACLE = """
+    SELECT 'http://v' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
+             || CAST(doc_id AS VARCHAR) AS target_uri,
+           CASE WHEN doc_id % 4 IN (0, 2)
+                THEN '"v-' || CAST(doc_id AS VARCHAR) || '"' END AS etag,
+           CASE WHEN doc_id % 4 IN (1, 2)
+                THEN 'Mon, 0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                     || ' Jan 2024 00:00:00 GMT' END AS last_modified,
+           CASE WHEN doc_id % 4 IN (0, 2) THEN 'etag'
+                WHEN doc_id % 4 = 1 THEN 'last-modified'
+                ELSE 'unconditional' END AS revalidation
+    FROM documents
+"""
+
+
 def web_recrawl_policy(spark, sf_dir):
     """Adaptive revisit policy (operators/cdx.py recrawl_intervals):
     the parity-split crawl diff rolls up per SURT host — added/gone/
@@ -3611,6 +3720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_surt_latest": web_surt_latest,
         "web_crawl_diff": web_crawl_diff,
         "web_recrawl_policy": web_recrawl_policy,
+        "web_robots_sitemaps": web_robots_sitemaps,
+        "web_revalidation_candidates": web_revalidation_candidates,
         "web_redirect_resolve": web_redirect_resolve,
         "web_redirect_from_warc": web_redirect_from_warc,
         "pipeline_incremental_extract": pipeline_incremental_extract,
@@ -4847,6 +4958,8 @@ def oracle_sql() -> dict[str, str]:
         "web_surt_latest": latest_captures_oracle_sql(
             _CAPTURE_CTE.format(where="")
         ),
+        "web_robots_sitemaps": _ROBOTS_SITEMAPS_ORACLE,
+        "web_revalidation_candidates": _REVALIDATION_ORACLE,
         "web_recrawl_policy": f"""
     WITH oldsnap AS ({latest_captures_oracle_sql(
         _CAPTURE_CTE.format(where=" WHERE event_id % 2 = 0"))}),

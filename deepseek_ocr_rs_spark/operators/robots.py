@@ -148,3 +148,48 @@ def robots_allowed(
         )
         .drop("__uid", "__win_allow", "__n_rules")
     )
+
+
+def sitemap_directives(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots.txt body) -> one row per ``Sitemap:`` directive.
+
+    robots.txt is the third sitemap-discovery channel (next to the
+    /sitemap.xml convention and HTML links): ``Sitemap:`` lines are
+    host-wide (not part of any user-agent group, per the protocol),
+    case-insensitive in the field name, '#'-comment-stripped, and may
+    appear anywhere in the file.  Empty values drop; ``ordinal`` is the
+    0-based order of kept directives within one body.
+
+    Output: ``(host, sitemap_url string, ordinal int)``.  Scale shape:
+    one Arrow pass per body (robots files are tiny by convention), no
+    shuffle; feeds straight into the frontier's sitemap fetch queue.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"host": [], "sitemap_url": [], "ordinal": []}
+            for host, body in zip(pdf[host_col], pdf[text_col]):
+                if body is None:
+                    continue
+                n = 0
+                for raw in body.splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    if ":" not in line:
+                        continue
+                    field, _, value = line.partition(":")
+                    if field.strip().lower() != "sitemap":
+                        continue
+                    value = value.strip()
+                    if not value:
+                        continue
+                    out["host"].append(host)
+                    out["sitemap_url"].append(value)
+                    out["ordinal"].append(n)
+                    n += 1
+            yield pd.DataFrame(out)
+
+    return df.select(host_col, text_col).mapInPandas(
+        _batches, "host string, sitemap_url string, ordinal int"
+    )

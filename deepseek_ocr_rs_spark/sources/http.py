@@ -48,7 +48,7 @@ __all__ = ["parse_http_responses", "HTTP_STRUCT"]
 HTTP_STRUCT = (
     "struct<status:int,http_version:string,reason:string,"
     "content_type:string,charset:string,n_headers:int,location:string,"
-    "body_text:string>"
+    "body_text:string,etag:string,last_modified:string>"
 )
 
 _CHARSET_PARAM_RE = re.compile(rb"""(?i);\s*charset\s*=\s*"?\s*([a-z0-9_\-]+)""")
@@ -73,7 +73,7 @@ _CHARSETS = {
     "utf-16be": ("utf-16-be", "utf-16be"),
 }
 
-_NULL_ROW = (None, None, None, None, None, None, None, None)
+_NULL_ROW = (None,) * 10
 
 
 def _declared_charset(ct_raw: Optional[bytes], body: bytes):
@@ -90,9 +90,11 @@ def _declared_charset(ct_raw: Optional[bytes], body: bytes):
 
 def _parse_response(payload: bytes):
     """One (status, version, reason, content_type, charset, n_headers,
-    location, body_text) tuple per the module contract; all-NULL on
-    malformed.  ``location`` is the raw first Location header (ascii,
-    stripped) — the redirect-resolution tier's edge target."""
+    location, body_text, etag, last_modified) tuple per the module
+    contract; all-NULL on malformed.  ``location`` is the raw first
+    Location header (ascii, stripped) — the redirect tier's edge
+    target; ``etag`` / ``last_modified`` are the conditional-GET
+    validators the recrawl tier needs."""
     if not payload or not payload.startswith(b"HTTP/"):
         return _NULL_ROW
     split = payload.find(b"\r\n\r\n")
@@ -126,10 +128,16 @@ def _parse_response(payload: bytes):
         if name not in headers:  # first occurrence wins
             headers[name] = ln[sep + 1:].strip()
 
-    loc_raw = headers.get(b"location")
-    location = (
-        loc_raw.decode("ascii", "replace") if loc_raw is not None else None
-    ) or None
+    def _hdr(name: bytes):
+        v = headers.get(name)
+        return (v.decode("ascii", "replace") if v is not None else None) or None
+
+    location = _hdr(b"location")
+    # conditional-GET validators: a recrawl sends If-None-Match /
+    # If-Modified-Since and skips the body on 304 — the cheapest
+    # revalidation a polite crawler has
+    etag = _hdr(b"etag")
+    last_modified = _hdr(b"last-modified")
 
     ct_raw = headers.get(b"content-type")
     content_type = None
@@ -157,6 +165,8 @@ def _parse_response(payload: bytes):
         n_headers,
         location,
         body.decode(codec, "replace"),
+        etag,
+        last_modified,
     )
 
 
@@ -164,6 +174,7 @@ def _response_batches(payloads: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     cols = (
         "status", "http_version", "reason", "content_type",
         "charset", "n_headers", "location", "body_text",
+        "etag", "last_modified",
     )
     for ser in payloads:
         rows = [

@@ -12,7 +12,7 @@ def test_basic_utf8_declared():
         "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8",
         "café".encode("utf-8"),
     ))
-    assert r == (200, "1.1", "OK", "text/html", "utf-8", 1, None, "café")
+    assert r == (200, "1.1", "OK", "text/html", "utf-8", 1, None, "café", None, None)
 
 
 def test_latin1_decode_differs_from_utf8():
@@ -57,7 +57,7 @@ def test_meta_charset_beyond_1024_ignored():
 def test_lf_only_separators():
     payload = b"HTTP/1.1 404 Not Found\nContent-Type: text/plain\n\nbody"
     r = _parse_response(payload)
-    assert r == (404, "1.1", "Not Found", "text/plain", "utf-8", 1, None, "body")
+    assert r == (404, "1.1", "Not Found", "text/plain", "utf-8", 1, None, "body", None, None)
 
 
 def test_no_terminator_is_all_headers_empty_body():
@@ -66,9 +66,9 @@ def test_no_terminator_is_all_headers_empty_body():
 
 
 def test_non_http_and_bad_status_are_null():
-    assert _parse_response(b"GIF89a....") == (None,) * 8
-    assert _parse_response(b"") == (None,) * 8
-    assert _parse_response(b"HTTP/1.1 abc OK\r\n\r\nx") == (None,) * 8
+    assert _parse_response(b"GIF89a....") == (None,) * 10
+    assert _parse_response(b"") == (None,) * 10
+    assert _parse_response(b"HTTP/1.1 abc OK\r\n\r\nx") == (None,) * 10
 
 
 def test_first_content_type_wins_and_malformed_header_skipped():
@@ -142,3 +142,15 @@ def test_spark_operator_and_plan(spark):
     base = sorted(map(tuple, out.collect()))
     rep = parse_http_responses(df.repartition(5)).select("file_id", "http.*")
     assert sorted(map(tuple, rep.collect())) == base
+
+
+def test_conditional_get_validators_extracted():
+    r = _parse_response(
+        b'HTTP/1.1 200 OK\r\nETag: "abc123"\r\n'
+        b"Last-Modified: Mon, 01 Jan 2024 00:00:00 GMT\r\n\r\nx"
+    )
+    assert r[8] == '"abc123"'
+    assert r[9] == "Mon, 01 Jan 2024 00:00:00 GMT"
+    # absent / empty normalize to NULL
+    r2 = _parse_response(b"HTTP/1.1 200 OK\r\nETag:\r\n\r\nx")
+    assert r2[8] is None and r2[9] is None
