@@ -3652,7 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_global_ids": train_global_ids,
         "doc_pii_scrub": doc_pii_scrub,
         "train_shard_assignment": train_shard_assignment,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "warc_http_responses": warc_http_responses,
         "ann_pq_codes": ann_pq_codes,
         "train_dsir_resample": train_dsir_resample,
         "sketch_hist_quantiles": sketch_hist_quantiles,
@@ -3667,9 +3667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_suppliers_only_nations": set_suppliers_only_nations,
         "j_salted_skew_join": j_salted_skew_join,
         "w_repeated_ngrams": w_repeated_ngrams,
-        "conv_render_deepseek": conv_render_deepseek,
+        "web_page_metadata": web_page_metadata,
         "conv_flatten_parts": conv_flatten_parts,
-        "w_rolling_hour_value": w_rolling_hour_value,
+        "web_outlinks": web_outlinks,
         "extract_html_classhints": q_extract_html_classhints,
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "doc_tfidf_topk": doc_tfidf_topk,
@@ -3712,11 +3712,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q20/q21/q22 — unchanged since their r03 green rows — ceded
         #    slots to train_bpe_pairs, the winnowing pair, the bucketized
         #    interval join, and the XY-cut two-column extraction) --------
-        "web_outlinks": web_outlinks,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "w_rolling_hour_value": w_rolling_hour_value,
         "web_host_stats": web_host_stats,
         "web_anchor_texts": web_anchor_texts,
         "web_anchor_stats": web_anchor_stats,
-        "warc_http_responses": warc_http_responses,
+        "conv_render_deepseek": conv_render_deepseek,
         "web_surt_latest": web_surt_latest,
         "web_crawl_diff": web_crawl_diff,
         "web_recrawl_policy": web_recrawl_policy,

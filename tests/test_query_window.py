@@ -38,6 +38,11 @@ MUST_BE_IN_WINDOW = {
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "extract_html_classhints",
+    # round-4 late rotation: the three largest never-driver-checked web
+    # parsers take the slots of thrice-stable relational rows
+    "warc_http_responses",
+    "web_page_metadata",
+    "web_outlinks",
 }
 
 
