@@ -2864,6 +2864,64 @@ _REVALIDATION_ORACLE = """
 """
 
 
+def web_crawl_traps(spark, sf_dir):
+    """Crawl-trap detection (operators/urls.py crawl_trap_templates):
+    each doc contributes one calendar-style URL (digit runs collapse to
+    one template per host — 100 URLs/template at sf0.01, a trap at the
+    50 threshold) and one digit-free article URL (unique template,
+    never a trap); a duplicate capture of each calendar URL checks the
+    distinct count.  Oracle re-derives templates and counts by
+    construction.  Scale shape: codegen template + ONE map-side-
+    combinable distinct aggregate on (host, template) — a million-URL
+    calendar collapses per task."""
+    from deepseek_ocr_rs_spark.operators.urls import crawl_trap_templates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    lid = F.translate(i, "0123456789", "abcdefghij")
+    cal = F.concat(
+        F.lit("http://t"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+        F.lit(".com/cal/20"),
+        F.pmod(F.col("doc_id"), F.lit(24)).cast("string"),
+        F.lit("/p/"), i,
+    )
+    art = F.concat(
+        F.lit("http://t"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+        F.lit(".com/post/"), lid,
+    )
+    urls = (
+        docs.select(cal.alias("url"))
+        .unionAll(docs.select(cal.alias("url")))  # duplicate captures
+        .unionAll(docs.select(art.alias("url")))
+    )
+    return crawl_trap_templates(urls, max_urls_per_template=50)
+
+
+_CRAWL_TRAPS_ORACLE = """
+    WITH cal AS (
+      SELECT 't' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host,
+             '/cal/N/p/N' AS template,
+             'http://t' || CAST(doc_id % 5 AS VARCHAR) || '.com/cal/20'
+               || CAST(doc_id % 24 AS VARCHAR) || '/p/'
+               || CAST(doc_id AS VARCHAR) AS u
+      FROM documents
+    ),
+    art AS (
+      SELECT 't' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host,
+             '/post/' || translate(CAST(doc_id AS VARCHAR),
+                                   '0123456789', 'abcdefghij') AS template,
+             'x-' || CAST(doc_id AS VARCHAR) AS u
+      FROM documents
+    ),
+    allu AS (SELECT * FROM cal UNION ALL SELECT * FROM art),
+    agg AS (
+      SELECT host, template, CAST(count(DISTINCT u) AS BIGINT) AS n_urls
+      FROM allu GROUP BY 1, 2
+    )
+    SELECT host, template, n_urls, n_urls > 50 AS is_trap FROM agg
+"""
+
+
 def web_recrawl_policy(spark, sf_dir):
     """Adaptive revisit policy (operators/cdx.py recrawl_intervals):
     the parity-split crawl diff rolls up per SURT host — added/gone/
@@ -3723,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_recrawl_policy": web_recrawl_policy,
         "web_robots_sitemaps": web_robots_sitemaps,
         "web_revalidation_candidates": web_revalidation_candidates,
+        "web_crawl_traps": web_crawl_traps,
         "web_redirect_resolve": web_redirect_resolve,
         "web_redirect_from_warc": web_redirect_from_warc,
         "pipeline_incremental_extract": pipeline_incremental_extract,
@@ -4961,6 +5020,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "web_robots_sitemaps": _ROBOTS_SITEMAPS_ORACLE,
         "web_revalidation_candidates": _REVALIDATION_ORACLE,
+        "web_crawl_traps": _CRAWL_TRAPS_ORACLE,
         "web_recrawl_policy": f"""
     WITH oldsnap AS ({latest_captures_oracle_sql(
         _CAPTURE_CTE.format(where=" WHERE event_id % 2 = 0"))}),

@@ -339,3 +339,40 @@ def canonical_host_sql(expr: str) -> str:
                  THEN h0 END
      FROM r)
     """
+
+
+def crawl_trap_templates(
+    urls: DataFrame,
+    url_col: str = "url",
+    max_urls_per_template: int = 100,
+) -> DataFrame:
+    """Detect crawl traps: URL templates that explode into huge URL sets.
+
+    Calendars, session ids, faceted search, and pagination generate
+    unbounded URL spaces under one *template*; a frontier that cannot
+    see the pattern crawls forever.  The template is the canonical
+    URL's host + path/query with every digit run collapsed to ``N`` —
+    ``/cal/2024/01/05`` and ``/cal/1999/12/31`` share a template, real
+    article paths mostly do not.
+
+    Output: one row per (host, template) with ``n_urls`` distinct
+    canonical URLs and ``is_trap`` = n_urls > max_urls_per_template —
+    the frontier drops or rate-caps trap templates.  Scale shape: the
+    template is a codegen regexp over the canonical URL; ONE
+    count-distinct aggregate keyed (host, template) — map-side
+    combinable, so a million-URL calendar collapses per task; never a
+    window or self-join over the frontier.
+    """
+    c = canonical_url_col(F.col(url_col))
+    host = canonical_host_col(c)
+    template = F.regexp_replace(
+        F.regexp_replace(c, r"^https?://[^/]*", ""), r"[0-9]+", "N"
+    )
+    keyed = urls.select(
+        host.alias("host"), template.alias("template"), c.alias("_c")
+    ).where(F.col("host").isNotNull())
+    return keyed.groupBy("host", "template").agg(
+        F.countDistinct("_c").cast("long").alias("n_urls"),
+    ).withColumn(
+        "is_trap", F.col("n_urls") > F.lit(int(max_urls_per_template))
+    )

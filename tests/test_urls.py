@@ -146,3 +146,34 @@ def test_outlinks_chunk_invariant_under_repartition(spark):
     one = sorted(tuple(r) for r in outlinks(df.coalesce(1)).collect())
     many = sorted(tuple(r) for r in outlinks(df.repartition(7)).collect())
     assert one == many and len(one) == 16
+
+
+def test_crawl_trap_templates(spark):
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_rs_spark.operators.urls import crawl_trap_templates
+
+    urls = (
+        # calendar trap: 6 distinct dates, one template
+        [f"http://t.com/cal/2024/{m:02d}/{d:02d}" for m, d in
+         [(1, 5), (1, 6), (2, 1), (3, 9), (12, 31), (7, 4)]]
+        # duplicates must not inflate the distinct count
+        + ["http://t.com/cal/2024/01/05"] * 3
+        # session-id trap on another host, query-string shaped
+        + [f"http://s.com/item?sid={i}" for i in range(4)]
+        # digit-free articles: one template each, never traps
+        + ["http://t.com/post/alpha", "http://t.com/post/beta"]
+        # tracking params vanish in canonicalization before templating
+        + ["http://t.com/post/alpha?utm_source=x"]
+        + [None, "not a url"]
+    )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = {
+        (r["host"], r["template"]): (r["n_urls"], r["is_trap"])
+        for r in crawl_trap_templates(df, max_urls_per_template=5).collect()
+    }
+    assert out[("t.com", "/cal/N/N/N")] == (6, True)
+    assert out[("s.com", "/item?sid=N")] == (4, False)  # under threshold
+    assert out[("t.com", "/post/alpha")] == (1, False)
+    assert out[("t.com", "/post/beta")] == (1, False)
+    assert len(out) == 4  # junk rows dropped, no stray templates
