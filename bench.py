@@ -185,6 +185,11 @@ def main() -> None:
         "warc_parse_records",
         "web_blocklist_filter",
         "graph_host_pagerank",
+        "web_surt_latest",
+        "web_redirect_resolve",
+        "pipeline_incremental_extract",
+        "web_feed_entries",
+        "web_crawl_traps",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the
