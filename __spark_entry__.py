@@ -2922,6 +2922,73 @@ _CRAWL_TRAPS_ORACLE = """
 """
 
 
+def web_resolved_outlinks(spark, sf_dir):
+    """Relative-href resolution (operators/urls.py resolve_href_col /
+    resolved_outlinks): each doc's page URL is RAW (case, www., default
+    port, tracking param — the canonicalizer must run before resolution)
+    and its HTML carries one link of every relative form — bare
+    relative, ../ traversal, root-relative with unsorted params,
+    scheme-less //host, query-only — plus an absolute link and three
+    decoys (#fragment, mailto:, javascript:).  Six edges per doc with
+    document-order link_pos; the oracle re-derives every resolved URL
+    by construction.  At 100 TB this is the difference between a link
+    graph over ~half the web's edges (absolute-only) and all of them.
+    Scale shape: ONE ArrowEvalPython, resolution inside the codegen
+    transform, no shuffle."""
+    from deepseek_ocr_rs_spark.operators.urls import resolved_outlinks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    page_url = F.concat(
+        F.lit("HTTP://WWW.Site"), m, F.lit(".COM:80/sec/"), i,
+        F.lit("/page?utm_x=1"),
+    )
+    html = F.concat(
+        F.lit('<p><a href="item'), i, F.lit('">rel</a>'),
+        F.lit('<a href="#top">frag decoy</a>'),
+        F.lit('<a href="../other/'), i, F.lit('">up</a>'),
+        F.lit('<a href="mailto:x@y.z">mail decoy</a>'),
+        F.lit('<a href="/root/'), i, F.lit('?b=2&amp;a=1">abs path</a>'),
+        F.lit('<a href="//cdn'), m, F.lit('.example/x'), i, F.lit('">pr</a>'),
+        F.lit('<a href="javascript:void(0)">js decoy</a>'),
+        F.lit('<a href="?p=2">query</a>'),
+        F.lit('<a href="https://ext.example/e/'), i, F.lit('">abs</a></p>'),
+    )
+    pages = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        page_url.alias("url"),
+        html.alias("text"),
+    )
+    return resolved_outlinks(pages)
+
+
+_RESOLVED_OUTLINKS_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+             CAST(doc_id % 7 AS VARCHAR) AS m
+      FROM documents
+    )
+    SELECT doc_id AS conv_id, 0 AS link_pos,
+           'http://site' || m || '.com/sec/' || i || '/item' || i AS url_canon,
+           'site' || m || '.com' AS host FROM d
+    UNION ALL
+    SELECT doc_id, 1, 'http://site' || m || '.com/sec/other/' || i,
+           'site' || m || '.com' FROM d
+    UNION ALL
+    SELECT doc_id, 2, 'http://site' || m || '.com/root/' || i || '?a=1&b=2',
+           'site' || m || '.com' FROM d
+    UNION ALL
+    SELECT doc_id, 3, 'http://cdn' || m || '.example/x' || i,
+           'cdn' || m || '.example' FROM d
+    UNION ALL
+    SELECT doc_id, 4, 'http://site' || m || '.com/sec/' || i || '/page?p=2',
+           'site' || m || '.com' FROM d
+    UNION ALL
+    SELECT doc_id, 5, 'https://ext.example/e/' || i, 'ext.example' FROM d
+"""
+
+
 def web_recrawl_policy(spark, sf_dir):
     """Adaptive revisit policy (operators/cdx.py recrawl_intervals):
     the parity-split crawl diff rolls up per SURT host — added/gone/
@@ -3782,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_sitemaps": web_robots_sitemaps,
         "web_revalidation_candidates": web_revalidation_candidates,
         "web_crawl_traps": web_crawl_traps,
+        "web_resolved_outlinks": web_resolved_outlinks,
         "web_redirect_resolve": web_redirect_resolve,
         "web_redirect_from_warc": web_redirect_from_warc,
         "pipeline_incremental_extract": pipeline_incremental_extract,
@@ -5021,6 +5089,7 @@ def oracle_sql() -> dict[str, str]:
         "web_robots_sitemaps": _ROBOTS_SITEMAPS_ORACLE,
         "web_revalidation_candidates": _REVALIDATION_ORACLE,
         "web_crawl_traps": _CRAWL_TRAPS_ORACLE,
+        "web_resolved_outlinks": _RESOLVED_OUTLINKS_ORACLE,
         "web_recrawl_policy": f"""
     WITH oldsnap AS ({latest_captures_oracle_sql(
         _CAPTURE_CTE.format(where=" WHERE event_id % 2 = 0"))}),

@@ -376,3 +376,182 @@ def crawl_trap_templates(
     ).withColumn(
         "is_trap", F.col("n_urls") > F.lit(int(max_urls_per_template))
     )
+
+
+# ------------------------------------------------------- relative resolution
+
+_DOTDOT_SEG_RE = (
+    r"/(\.\.[^/]+|\.[^/.][^/]*|[^/.][^/]*)/\.\./"
+)  # a segment that is NOT exactly '.' or '..', followed by '/../'
+_DOT_PASSES = 8  # bounded: deeper ./.. nesting resolves to NULL, never wrong
+
+
+def _remove_dot_segments_col(pq: Column) -> Column:
+    """RFC 3986 dot-segment removal over a '/path[?query]' string.
+
+    Bounded at :data:`_DOT_PASSES` nesting levels — a path still
+    containing '/./' or '/../' after the passes yields NULL
+    (conservative: such URLs are trap-shaped anyway), never a wrong
+    resolution.  Pure Column; byte-identical to
+    :func:`_remove_dot_segments_sql` (RE2-safe regexes, no lookahead).
+    """
+    p = F.regexp_replace(pq, r"\?.*$", "")
+    q = F.regexp_extract(pq, r"(\?.*)$", 1)
+    # RFC: a path ending in '/', '/.' or '/..' resolves WITH the slash
+    had_slash = p.endswith("/") | p.endswith("/.") | p.endswith("/..")
+    # sentinel slash so trailing '/.' and '/..' match the same patterns;
+    # never append onto an existing '/' (that would mint an empty segment)
+    w = F.when(p.endswith("/"), p).otherwise(F.concat(p, F.lit("/")))
+    for _ in range(_DOT_PASSES):
+        w = F.replace(w, F.lit("/./"), F.lit("/"))
+    for _ in range(_DOT_PASSES):
+        w = F.regexp_replace(w, _DOTDOT_SEG_RE, "/")
+    w = F.regexp_replace(w, r"^(/\.\.)+/", "/")
+    clean = ~w.contains("/./") & ~w.contains("/../")
+    w = F.when(had_slash | (w == F.lit("/")), w).otherwise(
+        F.regexp_replace(w, r"/$", "")
+    )
+    return F.when(clean, F.concat(w, q))
+
+
+def resolve_href_col(base: Column, href: Column) -> Column:
+    """Resolve a raw href against an ALREADY-CANONICAL base URL.
+
+    The outlink extractor keeps absolute http(s) links only; real pages
+    are dominated by relative forms.  Supported (then normalized
+    through the shared canonicalizer): absolute http(s), scheme-less
+    ``//host/...``, root-relative ``/...``, query-only ``?...``, and
+    path-relative (incl. ``./`` / ``../`` via bounded dot-segment
+    removal).  NULL for: empty/fragment-only hrefs (self-references),
+    non-http schemes, and dot-nesting beyond :data:`_DOT_PASSES`
+    (conservative, never wrong).  Pure Column — composes inside
+    transform/filter lambdas like the canonicalizer itself.
+    """
+    h = F.regexp_replace(F.trim(href), r"#.*$", "")
+    origin = F.regexp_extract(base, r"^(https?://[^/]*)", 1)
+    scheme = F.regexp_extract(base, r"^(https?)://", 1)
+    bpath = F.regexp_replace(
+        F.regexp_replace(base, r"^https?://[^/]*", ""), r"\?.*$", ""
+    )
+    bdir = F.regexp_replace(bpath, r"[^/]*$", "")
+    resolved = (
+        F.when(h.rlike(r"(?i)^https?://"), h)
+        .when(h.rlike(r"(?i)^[a-z][a-z0-9+.-]*:"), F.lit(None))
+        .when(
+            h.startswith("//"), F.concat(scheme, F.lit(":"), h)
+        )
+        .when(
+            h.startswith("/"),
+            F.concat(origin, _remove_dot_segments_col(h)),
+        )
+        .when(h.startswith("?"), F.concat(origin, bpath, h))
+        .when(
+            h != F.lit(""),
+            F.concat(origin, _remove_dot_segments_col(F.concat(bdir, h))),
+        )
+    )
+    return canonical_url_col(resolved)
+
+
+def _remove_dot_segments_sql(expr: str) -> str:
+    """DuckDB replica of :func:`_remove_dot_segments_col` (note: DuckDB
+    regexp_replace is first-match unless the 'g' flag is passed)."""
+    w = ("(CASE WHEN regexp_replace(pq, '\\?.*$', '') LIKE '%/' "
+         "THEN regexp_replace(pq, '\\?.*$', '') "
+         "ELSE regexp_replace(pq, '\\?.*$', '') || '/' END)")
+    for _ in range(_DOT_PASSES):
+        w = f"replace({w}, '/./', '/')"
+    for _ in range(_DOT_PASSES):
+        w = (
+            f"regexp_replace({w}, "
+            "'/(\\.\\.[^/]+|\\.[^/.][^/]*|[^/.][^/]*)/\\.\\./', '/', 'g')"
+        )
+    w = f"regexp_replace({w}, '^(/\\.\\.)+/', '/')"
+    return f"""
+    (WITH d AS (
+       SELECT {expr} AS pq
+     ), parts AS (
+       SELECT pq,
+              regexp_replace(pq, '\\?.*$', '') AS p,
+              regexp_extract(pq, '(\\?.*)$', 1) AS q,
+              {w} AS w
+       FROM d
+     )
+     SELECT CASE WHEN w NOT LIKE '%/./%' AND w NOT LIKE '%/../%' THEN
+       (CASE WHEN p LIKE '%/' OR p LIKE '%/.' OR p LIKE '%/..' OR w = '/'
+             THEN w
+             ELSE regexp_replace(w, '/$', '') END) || q
+     END FROM parts)
+    """
+
+
+def resolve_href_sql(base_expr: str, href_expr: str) -> str:
+    """DuckDB replica of :func:`resolve_href_col` over SQL expressions
+    (compose with ``canonical_url_sql`` for the final normalization).
+    Internal aliases are underscore-prefixed so caller expressions named
+    b/h do not shadow them."""
+    return f"""
+    (WITH rh0 AS (
+       SELECT {base_expr} AS _rb,
+              regexp_replace(trim({href_expr}), '#.*$', '') AS _rh
+     ), rh1 AS (
+       SELECT _rb, _rh,
+              regexp_extract(_rb, '^(https?://[^/]*)', 1) AS _origin,
+              regexp_extract(_rb, '^(https?)://', 1) AS _scheme,
+              regexp_replace(regexp_replace(_rb, '^https?://[^/]*', ''),
+                             '\\?.*$', '') AS _bpath
+       FROM rh0
+     )
+     SELECT CASE
+       WHEN regexp_matches(_rh, '(?i)^https?://') THEN _rh
+       WHEN regexp_matches(_rh, '(?i)^[a-z][a-z0-9+.-]*:') THEN NULL
+       WHEN _rh LIKE '//%' THEN _scheme || ':' || _rh
+       WHEN _rh LIKE '/%' THEN _origin || {_remove_dot_segments_sql("_rh")}
+       WHEN _rh LIKE '?%' THEN _origin || _bpath || _rh
+       WHEN _rh <> '' THEN _origin ||
+         {_remove_dot_segments_sql(
+             "regexp_replace(_bpath, '[^/]*$', '') || _rh")}
+     END FROM rh1)
+    """
+
+
+def resolved_outlinks(
+    df: DataFrame,
+    id_col: str = "conv_id",
+    base_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, page url, html) -> one row per RESOLVED outlink.
+
+    Like :func:`outlinks`, but relative hrefs — the majority of real
+    pages' links — resolve against the page's canonical URL via
+    :func:`resolve_href_col` before the keep-filter, so ``/abs``,
+    ``../up``, ``?query`` and scheme-less ``//host`` links all become
+    edges instead of dropping.  ``link_pos`` counts KEPT (resolvable)
+    links in document order.  Same single-ArrowEvalPython /
+    explode_outer plan discipline as outlinks.
+    """
+    # canonicalize the base ONCE as a projected column and reference it
+    # from inside the lambda: inlining the full canonicalizer expression
+    # per array element explodes the per-element plan (codegen blew the
+    # default heap in testing); a bound attribute keeps it constant-size
+    withb = extract_hrefs(
+        df.select(id_col, base_col, text_col), text_col=text_col
+    ).withColumn("_base", canonical_url_col(F.col(base_col)))
+    withh = withb.select(
+        id_col,
+        F.filter(
+            F.transform(
+                "hrefs", lambda h: resolve_href_col(F.col("_base"), h)
+            ),
+            lambda c: c.isNotNull(),
+        ).alias("kept"),
+    )
+    return (
+        withh.select(
+            id_col,
+            F.posexplode_outer("kept").alias("link_pos", "url_canon"),
+        )
+        .where(F.col("url_canon").isNotNull())
+        .withColumn("host", canonical_host_col(F.col("url_canon")))
+    )
