@@ -190,6 +190,7 @@ def main() -> None:
         "pipeline_incremental_extract",
         "web_feed_entries",
         "web_crawl_traps",
+        "web_resolved_outlinks",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the
