@@ -199,3 +199,29 @@ def test_recrawl_intervals(spark):
     assert b["interval_s"] == 5000 and b["n_unchanged"] == 9 and b["n_gone"] == 1
     # balanced: 1000*2 div 2 = 1000, unclamped
     assert c["interval_s"] == 1000
+
+
+def test_partitioning_invariance(spark):
+    """Repartitioning must not change any CDX output (determinism at
+    arbitrary parallelism — the 1000-executor contract)."""
+    import datetime as _dt
+
+    from deepseek_ocr_rs_spark.operators.cdx import recrawl_intervals
+
+    caps = spark.createDataFrame(
+        [(f"http://h{i%5}.com/p{i%17}", _dt.datetime(2024, 1, 1, i % 23),
+          f"d{i%3}") for i in range(200)],
+        "url string, ts timestamp, digest string",
+    )
+    base = sorted(map(tuple, latest_captures(caps).collect()))
+    rep = sorted(map(tuple, latest_captures(caps.repartition(7)).collect()))
+    assert base == rep
+
+    diff = crawl_diff(
+        latest_captures(caps), latest_captures(caps.limit(120))
+    )
+    pol = sorted(map(tuple, recrawl_intervals(diff).collect()))
+    pol_rep = sorted(
+        map(tuple, recrawl_intervals(diff.repartition(5)).collect())
+    )
+    assert pol == pol_rep

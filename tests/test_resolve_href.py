@@ -146,3 +146,19 @@ def test_resolved_outlinks_operator(spark):
     assert not [r for r in out if r[0] == 2]
     plan = resolved_outlinks(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_resolved_outlinks_partitioning_invariance(spark):
+    rows = [
+        (i, f"http://h{i%3}.com/a/{i}/p",
+         f'<a href="../x{i}">u</a><a href="/y?b={i}&a=1">r</a>')
+        for i in range(60)
+    ]
+    from deepseek_ocr_rs_spark.operators.urls import resolved_outlinks
+
+    df = spark.createDataFrame(rows, "conv_id int, url string, text string")
+    base = sorted(map(tuple, resolved_outlinks(df).collect()))
+    rep = sorted(
+        map(tuple, resolved_outlinks(df.repartition(11)).collect())
+    )
+    assert base == rep and len(base) == 120
