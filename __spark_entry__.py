@@ -2275,6 +2275,14 @@ def web_wet_roundtrip(spark, sf_dir):
             uri,
             F.expr(_NORM_SQL),
             F.concat(F.lit("<urn:uuid:w-"), i, F.lit(">")),
+            # mandatory WARC-Date (ISO 28500): deterministic per-doc
+            # capture second, UTC — survives the reader untouched (it
+            # frames on Content-Length) and keeps the round-trip exact
+            date=F.concat(
+                F.lit("2024-01-01T00:"),
+                F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+                F.lit(":00Z"),
+            ),
         ).alias("record"),
     )
     back = parse_warc(wet_files(recs))

@@ -39,10 +39,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from deepseek_ocr_rs_spark.operators.urls import canonical_url_col
+from deepseek_ocr_rs_spark.operators.urls import (
+    canonical_ok_col,
+    canonical_url_col,
+)
 
 __all__ = [
     "surt_key_col",
+    "surt_key_from_canonical_col",
     "latest_captures",
     "crawl_diff",
     "surt_key_sql",
@@ -50,10 +54,10 @@ __all__ = [
 ]
 
 
-def surt_key_col(url: Column) -> Column:
-    """Canonical URL (or NULL) -> SURT sort key (or NULL)."""
-    c = canonical_url_col(url)
-    hostport = F.regexp_extract(c, r"^https?://([^/]*)", 1)
+def _surt_from_parts(c: Column, hostport: Column) -> Column:
+    """SURT key from an already-canonical URL + its extracted hostport.
+    Both arguments should be bound attributes when used over real data
+    (each is referenced more than once below)."""
     host = F.split(hostport, ":")[0]
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     rest = F.regexp_replace(c, r"^https?://[^/]*", "")
@@ -68,6 +72,34 @@ def surt_key_col(url: Column) -> Column:
             rest,
         ),
     )
+
+
+def surt_key_from_canonical_col(c: Column) -> Column:
+    """ALREADY-CANONICAL URL (or NULL) -> SURT sort key (or NULL).
+
+    ``c`` should be a bound attribute (a projected column), not a large
+    expression: it is referenced at four sites, and Catalyst
+    substitutes — it does not share — expression trees, so passing the
+    ~15-op canonicalizer here inlines it 4x per row (and codegen CSE
+    does not save a fallback-sized stage).  That exact mistake made
+    web_surt_latest a 26 s/100k-row aggregation in round 4; the plan
+    guard in tests/test_plan_guard.py pins the fixed shape.
+    """
+    return _surt_from_parts(
+        c, F.regexp_extract(c, r"^https?://([^/]*)", 1)
+    )
+
+
+def surt_key_col(url: Column) -> Column:
+    """RAW URL (or NULL) -> SURT sort key (or NULL).
+
+    Convenience composition for one-off scalar use (tests, small dims).
+    Inside an operator over a real capture log, canonicalize into a
+    projected column first and call
+    :func:`surt_key_from_canonical_col` on the attribute — see
+    :func:`latest_captures` for the pattern and the docstring above for
+    why."""
+    return surt_key_from_canonical_col(canonical_url_col(url))
 
 
 def latest_captures(
@@ -92,13 +124,40 @@ def latest_captures(
     shuffle volume.  The alternatives are strictly worse at scale: a
     Window means a row-preserving shuffle of the full log; an argmax
     via max(ts)+self-join means a second scan plus two more exchanges.
+
+    Expression-sharing note (the round-4 pathology): the canonicalizer
+    runs ONCE per row, materialized as ``_url`` in its own projection;
+    the SURT key derives from that bound attribute (and the twice-used
+    hostport is likewise hoisted).  Catalyst keeps the stacked projects
+    because CollapseProject refuses to inline a non-cheap alias that is
+    referenced more than once.  The keep-filter is the cheap
+    ``canonical_ok_col`` predicate on the RAW url — filtering on the
+    computed column instead lets PushDownPredicates' alias substitution
+    clone the whole chain into a pre-projection filter (round 4 paid
+    ~70 input-expression copies for exactly that).  Pinned by
+    tests/test_plan_guard.py.
     """
-    keyed = df.select(
-        surt_key_col(F.col(url_col)).alias("surt"),
-        F.col(ts_col).alias("_ts"),
-        F.col(digest_col).alias("_dg"),
-        canonical_url_col(F.col(url_col)).alias("_url"),
-    ).where(F.col("surt").isNotNull())
+    canon = (
+        df.where(canonical_ok_col(F.col(url_col)))
+        .select(
+            canonical_url_col(F.col(url_col)).alias("_url"),
+            F.col(ts_col).alias("_ts"),
+            F.col(digest_col).alias("_dg"),
+        )
+    )
+    parts = canon.select(
+        "_url",
+        "_ts",
+        "_dg",
+        F.regexp_extract("_url", r"^https?://([^/]*)", 1).alias("_hp"),
+    )
+    # canonical_ok_col == canonical non-NULL, so surt is never NULL here
+    keyed = parts.select(
+        _surt_from_parts(F.col("_url"), F.col("_hp")).alias("surt"),
+        "_ts",
+        "_dg",
+        "_url",
+    )
     latest = F.max(F.struct("_ts", "_dg", "_url")).alias("_last")
     return (
         keyed.groupBy("surt")

@@ -60,6 +60,7 @@ _LINK_RELS_KEPT = frozenset({"", "alternate"})
 def feed_entries(xml: str) -> List[dict]:
     """Pure parse of one feed body -> list of entry dicts (no Spark)."""
     from deepseek_ocr_rs_spark.functions.tokenizer import (
+        decode_entities,
         escape_cdata,
         tokenize_html_fast,
     )
@@ -102,7 +103,13 @@ def feed_entries(xml: str) -> List[dict]:
                 continue
             _finish_link()  # any tag terminates a pending link capture
             if tag == "link":
-                href = (ev[2].get("href") or "").strip()
+                # attribute values come through the tokenizer RAW (text
+                # events are decoded, attributes are not); XML mandates
+                # '&amp;' escaping inside attributes, so a conformant
+                # <link href="...?a=1&amp;b=2"/> needs decoding here —
+                # same discipline as extract_hrefs (urls.py) and
+                # hreflang_edges (hreflang.py)
+                href = decode_entities((ev[2].get("href") or "")).strip()
                 if href:
                     if (
                         ev[2].get("rel", "").strip().lower()

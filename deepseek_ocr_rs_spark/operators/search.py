@@ -13,9 +13,13 @@ Two operators:
 
   posting_lists   the classic inverted index: ``term -> (df, sorted
                   doc_ids)``.  One explode + two map-side-combinable
-                  aggregations; the posting array is built with
+                  aggregations; the posting list is built with
                   ``sort_array(collect_list(...))`` so the layout is a
-                  pure function of the data (partitioning-invariant).
+                  pure function of the data (partitioning-invariant),
+                  then serialized as a ``-``-joined string — the same
+                  type-stable cross-engine hash contract ann_pq_codes
+                  uses (a naked array<long> column is unhashable by the
+                  driver's pandas canonicalizer; see CORRECTNESS_r04).
 
   bm25_topk       top-k documents for a bag of query terms under BM25
                   with the LOG-FREE rational idf
@@ -74,6 +78,11 @@ def posting_lists(
 ) -> DataFrame:
     """Inverted index: (term, df, postings) with postings sorted asc.
 
+    ``postings`` is the sorted doc-id list joined with ``-`` into one
+    string: type-stable under every consumer's canonicalizer (the
+    ann_pq_codes contract) and loss-free — ids are integers, so
+    ``split('-')`` recovers the exact list.
+
     ``min_df`` drops hapax terms (at web scale the df=1 tail dominates
     the vocabulary but serves no retrieval purpose; the cut also bounds
     the index size).  Postings for a pathological stop-word are one
@@ -87,7 +96,13 @@ def posting_lists(
         tf.groupBy("term")
         .agg(
             F.count("*").alias("df"),
-            F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+                "-",
+            ).alias("postings"),
         )
         .where(F.col("df") >= min_df)
     )
@@ -111,7 +126,8 @@ def posting_lists_oracle_sql(
           FROM words WHERE term <> '' GROUP BY 1, 2
         )
         SELECT term, count(*) AS df,
-               list({id_col} ORDER BY {id_col}) AS postings
+               array_to_string(list({id_col} ORDER BY {id_col}), '-')
+                 AS postings
         FROM tf
         GROUP BY term
         HAVING count(*) >= {min_df}

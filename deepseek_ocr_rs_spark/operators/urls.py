@@ -67,8 +67,10 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "TRACKING_PARAM_RE",
+    "canonical_ok_col",
     "canonical_url_col",
     "canonical_host_col",
+    "host_of_canonical_col",
     "extract_hrefs",
     "outlinks",
     "host_stats",
@@ -109,10 +111,38 @@ def _canon_parts(url: Column):
     return u, base, scheme, host, port, ok
 
 
+def canonical_ok_col(url: Column) -> Column:
+    """TRUE iff :func:`canonical_url_col` of ``url`` would be non-NULL.
+
+    The cheap (2-rlike + host-extraction) acceptance predicate on the
+    RAW url.  Use this as the keep-filter *instead of* filtering on the
+    computed canonical column: Spark's PushDownPredicates substitutes —
+    it does not share — alias expressions, so ``where(c.isNotNull())``
+    over ``c = canonical_url_col(...)`` clones the entire canonicalizer
+    (and whatever expression produced the url) into a pre-projection
+    filter.  That cloning made web_surt_latest a 26 s/100k-row query in
+    round 4; tests/test_plan_guard.py pins the fixed shapes.
+    """
+    _, _, _, _, _, ok = _canon_parts(url)
+    return ok
+
+
 def canonical_host_col(url: Column) -> Column:
     """Canonical registrable-ish host of an absolute http(s) URL, else NULL."""
     _, _, _, host, _, ok = _canon_parts(url)
     return F.when(ok, host)
+
+
+def host_of_canonical_col(c: Column) -> Column:
+    """Host of an ALREADY-CANONICAL URL — one regexp, no re-derivation.
+
+    Equivalent to ``canonical_host_col(c)`` when ``c`` came out of
+    :func:`canonical_url_col` (the canonical form is lowercased, has no
+    userinfo, no trailing dot, no ``www.``), but constant-size: passing
+    a canonical-URL *expression* through ``canonical_host_col`` inlines
+    the whole canonicalizer at each of its ~6 argument references.
+    """
+    return F.regexp_extract(c, r"^https?://([^/:?#]*)", 1)
 
 
 def canonical_url_col(url: Column) -> Column:
@@ -210,7 +240,7 @@ def outlinks(
             F.posexplode_outer("kept").alias("link_pos", "url_canon"),
         )
         .where(F.col("url_canon").isNotNull())
-        .withColumn("host", canonical_host_col(F.col("url_canon")))
+        .withColumn("host", host_of_canonical_col(F.col("url_canon")))
     )
 
 
@@ -361,16 +391,23 @@ def crawl_trap_templates(
     template is a codegen regexp over the canonical URL; ONE
     count-distinct aggregate keyed (host, template) — map-side
     combinable, so a million-URL calendar collapses per task; never a
-    window or self-join over the frontier.
+    window or self-join over the frontier.  The canonicalizer runs once
+    per row (materialized ``_c``; cheap raw-url keep-filter) — see
+    :func:`canonical_ok_col` for why filtering on the computed column
+    would clone the chain.
     """
-    c = canonical_url_col(F.col(url_col))
-    host = canonical_host_col(c)
-    template = F.regexp_replace(
-        F.regexp_replace(c, r"^https?://[^/]*", ""), r"[0-9]+", "N"
+    canon = urls.where(canonical_ok_col(F.col(url_col))).select(
+        canonical_url_col(F.col(url_col)).alias("_c")
     )
-    keyed = urls.select(
-        host.alias("host"), template.alias("template"), c.alias("_c")
-    ).where(F.col("host").isNotNull())
+    keyed = canon.select(
+        host_of_canonical_col(F.col("_c")).alias("host"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("_c"), r"^https?://[^/]*", ""),
+            r"[0-9]+",
+            "N",
+        ).alias("template"),
+        "_c",
+    )
     return keyed.groupBy("host", "template").agg(
         F.countDistinct("_c").cast("long").alias("n_urls"),
     ).withColumn(
@@ -414,27 +451,16 @@ def _remove_dot_segments_col(pq: Column) -> Column:
     return F.when(clean, F.concat(w, q))
 
 
-def resolve_href_col(base: Column, href: Column) -> Column:
-    """Resolve a raw href against an ALREADY-CANONICAL base URL.
-
-    The outlink extractor keeps absolute http(s) links only; real pages
-    are dominated by relative forms.  Supported (then normalized
-    through the shared canonicalizer): absolute http(s), scheme-less
-    ``//host/...``, root-relative ``/...``, query-only ``?...``, and
-    path-relative (incl. ``./`` / ``../`` via bounded dot-segment
-    removal).  NULL for: empty/fragment-only hrefs (self-references),
-    non-http schemes, and dot-nesting beyond :data:`_DOT_PASSES`
-    (conservative, never wrong).  Pure Column — composes inside
-    transform/filter lambdas like the canonicalizer itself.
-    """
+def _resolve_raw_from_parts(
+    origin: Column, scheme: Column, bpath: Column, bdir: Column, href: Column
+) -> Column:
+    """Raw (pre-canonicalization) resolution of ``href`` against
+    pre-extracted base parts.  The parts should be bound attributes when
+    this runs inside a ``transform`` lambda over an href array — every
+    reference below is otherwise a fresh copy of whatever expression
+    produced them, per array element."""
     h = F.regexp_replace(F.trim(href), r"#.*$", "")
-    origin = F.regexp_extract(base, r"^(https?://[^/]*)", 1)
-    scheme = F.regexp_extract(base, r"^(https?)://", 1)
-    bpath = F.regexp_replace(
-        F.regexp_replace(base, r"^https?://[^/]*", ""), r"\?.*$", ""
-    )
-    bdir = F.regexp_replace(bpath, r"[^/]*$", "")
-    resolved = (
+    return (
         F.when(h.rlike(r"(?i)^https?://"), h)
         .when(h.rlike(r"(?i)^[a-z][a-z0-9+.-]*:"), F.lit(None))
         .when(
@@ -450,6 +476,43 @@ def resolve_href_col(base: Column, href: Column) -> Column:
             F.concat(origin, _remove_dot_segments_col(F.concat(bdir, h))),
         )
     )
+
+
+def _base_parts(base: Column) -> tuple:
+    """(origin, scheme, bpath, bdir) of an already-canonical base URL."""
+    origin = F.regexp_extract(base, r"^(https?://[^/]*)", 1)
+    scheme = F.regexp_extract(base, r"^(https?)://", 1)
+    bpath = F.regexp_replace(
+        F.regexp_replace(base, r"^https?://[^/]*", ""), r"\?.*$", ""
+    )
+    bdir = F.regexp_replace(bpath, r"[^/]*$", "")
+    return origin, scheme, bpath, bdir
+
+
+def resolve_href_col(base: Column, href: Column) -> Column:
+    """Resolve a raw href against an ALREADY-CANONICAL base URL.
+
+    The outlink extractor keeps absolute http(s) links only; real pages
+    are dominated by relative forms.  Supported (then normalized
+    through the shared canonicalizer): absolute http(s), scheme-less
+    ``//host/...``, root-relative ``/...``, query-only ``?...``, and
+    path-relative (incl. ``./`` / ``../`` via bounded dot-segment
+    removal).  NULL for: empty/fragment-only hrefs (self-references),
+    non-http schemes, and dot-nesting beyond :data:`_DOT_PASSES`
+    (conservative, never wrong).  Pure Column.
+
+    SCALAR use only (tests, one-off columns): the trailing
+    ``canonical_url_col(resolved)`` re-inlines the ``resolved`` subtree
+    at each of the canonicalizer's ~12 argument references, so inside a
+    ``transform`` lambda this costs ~12x per element — round 4's
+    web_resolved_outlinks burned 12.8 s on exactly that.  Operators
+    over href arrays must do what :func:`resolved_outlinks` does:
+    raw-resolve per element (:func:`_resolve_raw_from_parts`), then
+    canonicalize the element ONCE (``canonical_url_col`` over the
+    lambda variable) in a second pass.
+    """
+    origin, scheme, bpath, bdir = _base_parts(base)
+    resolved = _resolve_raw_from_parts(origin, scheme, bpath, bdir, href)
     return canonical_url_col(resolved)
 
 
@@ -525,25 +588,57 @@ def resolved_outlinks(
 
     Like :func:`outlinks`, but relative hrefs — the majority of real
     pages' links — resolve against the page's canonical URL via
-    :func:`resolve_href_col` before the keep-filter, so ``/abs``,
-    ``../up``, ``?query`` and scheme-less ``//host`` links all become
-    edges instead of dropping.  ``link_pos`` counts KEPT (resolvable)
-    links in document order.  Same single-ArrowEvalPython /
-    explode_outer plan discipline as outlinks.
+    the :func:`resolve_href_col` semantics before the keep-filter, so
+    ``/abs``, ``../up``, ``?query`` and scheme-less ``//host`` links
+    all become edges instead of dropping.  ``link_pos`` counts KEPT
+    (resolvable AND canonicalizable) links in document order.  Same
+    single-ArrowEvalPython / explode_outer plan discipline as outlinks.
+
+    Plan discipline (round-4 fix, pinned in tests/test_plan_guard.py):
+    every big expression is materialized exactly once per row —
+    1. ``_base`` (the full canonicalizer) and its four derived parts
+       are projected columns, referenced as attributes from the lambda;
+    2. the per-element work is split into raw resolution (bounded CASE
+       + dot-segment chains) and a SECOND ``transform`` whose
+       canonicalizer sees only the lambda variable — composing them in
+       one lambda (what :func:`resolve_href_col` does) substitutes the
+       whole resolution subtree at each of the canonicalizer's ~12
+       argument references, a 12x per-element blowup (12.8 s at sf0.1
+       in round 4; ~1 s after the split).
+    The NULL-keep filter runs per element inside ``F.filter`` (array
+    lambdas are not subject to PushDownPredicates cloning), and
+    ``host`` derives from the kept canonical scalar with the one-regexp
+    :func:`host_of_canonical_col`.
     """
-    # canonicalize the base ONCE as a projected column and reference it
-    # from inside the lambda: inlining the full canonicalizer expression
-    # per array element explodes the per-element plan (codegen blew the
-    # default heap in testing); a bound attribute keeps it constant-size
     withb = extract_hrefs(
         df.select(id_col, base_col, text_col), text_col=text_col
     ).withColumn("_base", canonical_url_col(F.col(base_col)))
-    withh = withb.select(
+    origin, scheme, bpath, bdir = _base_parts(F.col("_base"))
+    withp = withb.select(
+        id_col,
+        "hrefs",
+        origin.alias("_origin"),
+        scheme.alias("_scheme"),
+        bpath.alias("_bpath"),
+        bdir.alias("_bdir"),
+    )
+    raw = withp.select(
+        id_col,
+        F.transform(
+            "hrefs",
+            lambda h: _resolve_raw_from_parts(
+                F.col("_origin"),
+                F.col("_scheme"),
+                F.col("_bpath"),
+                F.col("_bdir"),
+                h,
+            ),
+        ).alias("_raw"),
+    )
+    withh = raw.select(
         id_col,
         F.filter(
-            F.transform(
-                "hrefs", lambda h: resolve_href_col(F.col("_base"), h)
-            ),
+            F.transform("_raw", lambda r: canonical_url_col(r)),
             lambda c: c.isNotNull(),
         ).alias("kept"),
     )
@@ -553,5 +648,5 @@ def resolved_outlinks(
             F.posexplode_outer("kept").alias("link_pos", "url_canon"),
         )
         .where(F.col("url_canon").isNotNull())
-        .withColumn("host", canonical_host_col(F.col("url_canon")))
+        .withColumn("host", host_of_canonical_col(F.col("url_canon")))
     )

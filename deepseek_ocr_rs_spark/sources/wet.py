@@ -36,16 +36,33 @@ from pyspark.sql import functions as F
 __all__ = ["wet_record_col", "wet_files"]
 
 
-def wet_record_col(uri: Column, text: Column, record_id: Column) -> Column:
-    """(uri, text, record_id) -> one WARC/1.0 conversion record (string).
+def wet_record_col(
+    uri: Column, text: Column, record_id: Column, date: Column | None = None
+) -> Column:
+    """(uri, text, record_id[, date]) -> one WARC/1.0 conversion record.
+
+    ``date`` is an ISO-8601 STRING column (``yyyy-MM-ddTHH:mm:ssZ``,
+    UTC — the repo's F19 timestamp discipline) emitted as the
+    ``WARC-Date`` header, which ISO 28500 makes MANDATORY for every
+    record and Common Crawl WET files always carry; pass the capture /
+    extraction timestamp.  ``date=None`` omits the header — a DOCUMENTED
+    SPEC DEVIATION kept only for callers that archived records before
+    round 5; the in-repo reader tolerates it, external consumers
+    (warcio, CDX indexers) may not.
 
     NULL text is treated as the empty page (Content-Length 0); the
     record terminator is the spec CRLF CRLF.
     """
     body = F.coalesce(text, F.lit(""))
+    date_hdr = (
+        F.concat(F.lit("\r\nWARC-Date: "), date)
+        if date is not None
+        else F.lit("")
+    )
     return F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: "),
         record_id,
+        date_hdr,
         F.lit("\r\nWARC-Target-URI: "),
         uri,
         F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),

@@ -66,7 +66,11 @@ def _capture_update(
             continue  # duplicate / out-of-order replay (X4)
         n_seen += 1
         last_seq = seq
-        if last_digest is None:
+        # first-seen is n_seen == 1, NOT last_digest is None: a key
+        # whose first capture carries a NULL digest must not re-emit
+        # 'added' on every later distinct digest (ADVICE r04) — NULL is
+        # a legal digest value, absence of state is a separate fact
+        if n_seen == 1:
             status = "added"
         elif digest == last_digest:
             last_digest = digest

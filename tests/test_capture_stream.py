@@ -57,6 +57,33 @@ def test_novelty_only_with_replay_guard(spark, tmp_path):
     assert out.select("epoch").distinct().count() >= 2
 
 
+def test_null_first_digest_then_change_emits_changed(spark, tmp_path):
+    """A key whose FIRST capture has a NULL digest must emit 'added'
+    once and 'changed' (not 'added' again) when a real digest arrives —
+    first-seen is tracked by n_seen, not by last_digest is None
+    (ADVICE r04).  NULL->NULL is a revisit and stays silent."""
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [("N", 1, None, "u/n")], "overwrite")
+    _write_batch(spark, src, [("N", 2, None, "u/n")], "append")  # revisit
+    _write_batch(spark, src, [("N", 3, "d1", "u/n")], "append")
+    _write_batch(spark, src, [("N", 4, None, "u/n")], "append")  # flips back
+
+    q = run_capture_stream(
+        spark, src, str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    q.awaitTermination(180)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {r["seq"]: (r["status"], r["digest"], r["n_seen"])
+            for r in out.collect()}
+    assert rows == {
+        1: ("added", None, 1),
+        # seq 2 NULL revisit suppressed, n_seen advanced silently
+        3: ("changed", "d1", 3),
+        4: ("changed", None, 4),
+    }
+
+
 def test_stream_consistent_with_batch_rollup(spark, tmp_path):
     import datetime as dt
 

@@ -93,3 +93,23 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_no_nested_output_columns(spark):
+    """The driver's canonicalizer sorts pandas cell values — a top-level
+    array/map/struct column is unhashable there (TypeError: unhashable
+    type 'list'; bit search_posting_lists in CORRECTNESS_r04 even though
+    the in-repo gate passed it).  Pin the contract: every oracle-gated
+    query output is atomic columns only; serialize lists the way
+    ann_pq_codes / posting_lists do (join to one string)."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name in sorted(ORACLES):
+        sdf = QUERIES[name](spark, SF_DIR)
+        for f in sdf.schema.fields:
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, f"nested output columns: {offenders}"

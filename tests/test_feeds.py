@@ -53,6 +53,16 @@ def test_atom_semantics():
     assert all(r["feed_type"] == "atom" for r in rows)
 
 
+def test_atom_href_entities_decoded():
+    # XML requires '&' inside attribute values to be escaped as '&amp;';
+    # a conformant feed's query separators must decode (ADVICE r04)
+    rows = feed_entries(
+        '<entry><title>t</title>'
+        '<link href="https://x.example/e?a=1&amp;b=2"/></entry>'
+    )
+    assert [r["url"] for r in rows] == ["https://x.example/e?a=1&b=2"]
+
+
 def test_first_occurrence_wins_and_unknown_tags_ignored():
     rows = feed_entries(
         "<item><title>first</title><title>second</title>"

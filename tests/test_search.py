@@ -31,10 +31,15 @@ def docs(spark):
     )
 
 
+def _ids(postings: str) -> list:
+    """Decode the '-'-joined posting string back to the id list."""
+    return [int(x) for x in postings.split("-")] if postings else []
+
+
 class TestPostingLists:
     def test_hand_built_index(self, docs):
         got = {
-            r.term: (r.df, list(r.postings))
+            r.term: (r.df, _ids(r.postings))
             for r in posting_lists(docs, min_df=1).collect()
         }
         assert got == {
@@ -44,34 +49,44 @@ class TestPostingLists:
             "fish": (1, [4]),
         }
 
+    def test_postings_numeric_order(self, spark):
+        # ids 2 and 10 share a term: numeric sort gives 2-10, a
+        # lexicographic (string) sort would give 10-2
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                [(2, "shared"), (10, "shared")], columns=["doc_id", "text"]
+            )
+        )
+        row = posting_lists(docs, min_df=2).collect()[0]
+        assert row.postings == "2-10"
+
     def test_min_df_drops_hapax(self, docs):
         got = {r.term for r in posting_lists(docs, min_df=2).collect()}
         assert got == {"cat", "dog", "bird"}
 
     def test_postings_sorted_and_partition_invariant(self, spark, docs):
         a = sorted(
-            (r.term, r.df, tuple(r.postings))
+            (r.term, r.df, r.postings)
             for r in posting_lists(docs).collect()
         )
         b = sorted(
-            (r.term, r.df, tuple(r.postings))
+            (r.term, r.df, r.postings)
             for r in posting_lists(docs.repartition(7)).collect()
         )
         assert a == b
         for _, _, p in a:
-            assert list(p) == sorted(p)
+            assert _ids(p) == sorted(_ids(p))
 
     def test_oracle_parity(self, spark, docs):
         con = duckdb.connect()
         con.register("documents", pd.DataFrame(CORPUS, columns=["doc_id", "text"]))
         d = sorted(
-            (t, df, tuple(p))
-            for t, df, p in con.sql(
+            con.sql(
                 posting_lists_oracle_sql("documents", min_df=1)
             ).fetchall()
         )
         s = sorted(
-            (r.term, r.df, tuple(r.postings))
+            (r.term, r.df, r.postings)
             for r in posting_lists(docs, min_df=1).collect()
         )
         assert s == d

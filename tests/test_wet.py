@@ -56,6 +56,42 @@ def test_roundtrip_single_record_files(spark):
     assert got == want
 
 
+def test_warc_date_header_emitted_and_roundtrips(spark):
+    """ISO 28500 makes WARC-Date mandatory; the writer emits it when a
+    date column is passed, the reader frames on Content-Length so the
+    payload still round-trips byte-exact (ADVICE r04)."""
+    df = spark.createDataFrame(
+        [("a", "https://e.com/a", "text body")],
+        "doc string, uri string, text string",
+    )
+    recs = df.select(
+        "doc",
+        wet_record_col(
+            F.col("uri"),
+            F.col("text"),
+            F.concat(F.lit("<urn:uuid:w-"), F.col("doc"), F.lit(">")),
+            date=F.lit("2024-01-01T12:34:56Z"),
+        ).alias("record"),
+    )
+    raw = recs.first()["record"]
+    head = raw.split("\r\n\r\n", 1)[0]
+    assert "\r\nWARC-Date: 2024-01-01T12:34:56Z\r\n" in head + "\r\n"
+    files = wet_files(
+        recs.select(F.col("doc").alias("file_id"), F.lit(0).alias("ord"),
+                    "record")
+    )
+    back = parse_warc(files).collect()
+    assert len(back) == 1
+    assert bytes(back[0]["payload"]).decode("utf-8") == "text body"
+    assert back[0]["target_uri"] == "https://e.com/a"
+
+
+def test_no_date_is_documented_deviation(spark):
+    """date=None keeps the pre-round-5 layout (no WARC-Date line)."""
+    raw = _records(spark).first()["record"]
+    assert "WARC-Date" not in raw
+
+
 def test_multi_record_file_order(spark):
     recs = _records(spark)
     files = wet_files(
