@@ -191,6 +191,29 @@ def main() -> None:
         "web_feed_entries",
         "web_crawl_traps",
         "web_resolved_outlinks",
+        # round-5: cover the rest of the driver-checked web tier so the
+        # regression table spans everything CORRECTNESS checks
+        "web_crawl_diff",
+        "web_anchor_texts",
+        "web_anchor_stats",
+        "web_host_stats",
+        "web_page_metadata",
+        "web_robots_filter",
+        "web_robots_sitemaps",
+        "web_sitemap_urls",
+        "web_noindex_filter",
+        "web_registrable_domains",
+        "web_hreflang_clusters",
+        "web_frontier_schedule",
+        "web_recrawl_policy",
+        "web_revalidation_candidates",
+        "web_redirect_from_warc",
+        "web_wet_roundtrip",
+        "warc_http_responses",
+        "pipeline_discovery_schedule",
+        # round-5: real PNG decode -> bicubic, perceptual image dedup
+        "media_decode_resample",
+        "media_image_dedup",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the
