@@ -1453,6 +1453,124 @@ def media_image_dedup(spark, sf_dir):
     return dhash_duplicate_groups(dhash_media(media))
 
 
+_AUDIO_N_SAMPLES = 2000
+_AUDIO_RATE = 16000
+
+
+def _audio_keyed_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wav:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long").alias("k"),
+    )
+
+
+_AUDIO_SAMPLES_CTE = f"""
+        WITH docs AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CAST(('0x' || substr(md5('wav:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS k
+          FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)
+        ), s AS (
+          SELECT d.doc_id, i.i,
+                 ((d.k * 1103515245 + i.i * 40503 + 12345)
+                  % 2147483647) % 65536 - 32768 AS v
+          FROM docs d, range(0, {_AUDIO_N_SAMPLES}) i(i)
+        )
+"""
+
+
+def media_audio_features(spark, sf_dir):
+    """Real audio codec path: deterministic PCM is serialized as actual
+    RIFF/WAVE bytes (functions/wav.py), decoded back, and reduced to
+    integer-exact clip statistics — exact duration (n*1000 div rate),
+    peak |sample|, total energy as BIGINT, strict zero crossings.  The
+    encode->decode round trip is byte-lossless, so the oracle re-derives
+    every value from the synthesis LCG over range(n) — a wrong byte
+    anywhere in the RIFF framing or sample decoding flips sum_sq.
+    Scale shape: synth/encode/decode/reduce are chained mapInPandas map
+    stages, no shuffle (a real pipeline replaces the first two with a
+    parquet media scan)."""
+    from deepseek_ocr_rs_spark.operators.audio import (
+        audio_features,
+        encode_wav_payloads,
+    )
+
+    media = encode_wav_payloads(
+        _audio_keyed_docs(spark, sf_dir), _AUDIO_N_SAMPLES, _AUDIO_RATE
+    )
+    return audio_features(media)
+
+
+def _audio_features_oracle_sql() -> str:
+    n, rate = _AUDIO_N_SAMPLES, _AUDIO_RATE
+    return f"""{_AUDIO_SAMPLES_CTE},
+        zc AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN v * lag_v < 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_zero_cross
+          FROM (
+            SELECT doc_id, v,
+                   lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS lag_v
+            FROM s
+          ) WHERE lag_v IS NOT NULL GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               CAST({n} AS BIGINT) AS n_samples,
+               CAST({rate} AS BIGINT) AS sample_rate,
+               CAST({n * 1000} // {rate} AS BIGINT) AS duration_ms,
+               CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+               CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+               MAX(zc.n_zero_cross) AS n_zero_cross
+        FROM s a JOIN zc USING (doc_id)
+        GROUP BY a.doc_id
+    """
+
+
+_AUDIO_FRAME_LEN = 400
+_AUDIO_HOP = 200
+
+
+def media_audio_frames(spark, sf_dir):
+    """Sliding-window audio framing (the primitive under every spectral
+    feature): decoded clips split into (frame_len=400, hop=200) windows
+    via numpy stride tricks, one integer energy per frame.  The oracle
+    reconstructs each frame as a range-join over the synthesis formula
+    — overlap arithmetic (sample i belongs to multiple frames) is
+    checked exactly.  Scale shape: pure map, frame rows stay partition-
+    aligned with their clips; no shuffle."""
+    from deepseek_ocr_rs_spark.operators.audio import (
+        audio_frame_energy,
+        encode_wav_payloads,
+    )
+
+    media = encode_wav_payloads(
+        _audio_keyed_docs(spark, sf_dir), _AUDIO_N_SAMPLES, _AUDIO_RATE
+    )
+    return audio_frame_energy(
+        media, frame_len=_AUDIO_FRAME_LEN, hop=_AUDIO_HOP
+    )
+
+
+def _audio_frames_oracle_sql() -> str:
+    n, fl, hop = _AUDIO_N_SAMPLES, _AUDIO_FRAME_LEN, _AUDIO_HOP
+    n_frames = 1 + (n - fl) // hop
+    return f"""{_AUDIO_SAMPLES_CTE}
+        SELECT s.doc_id, CAST(f.f AS INTEGER) AS frame_idx,
+               CAST(SUM(s.v * s.v) AS BIGINT) AS frame_sum_sq
+        FROM s, range(0, {n_frames}) f(f)
+        WHERE s.i >= f.f * {hop} AND s.i < f.f * {hop} + {fl}
+        GROUP BY s.doc_id, f.f
+    """
+
+
 def x_sse_frames(spark, sf_dir):
     """X3: SSE completion-event frame sequencing (stream.rs:16-374) —
     events become per-conversation delta rows (user = conversation,
@@ -2395,19 +2513,10 @@ def web_hreflang_clusters(spark, sf_dir):
     return extract_hreflang(docs.select("doc_id", html.alias("text")))
 
 
-def web_wet_roundtrip(spark, sf_dir):
-    """WET writer round-trip (sources/wet.py): every document's
-    normalized text is framed as a WARC/1.0 conversion record (codegen
-    string concat, octet-length framing), packed 10 records per file in
-    doc_id order, then read back through the repo's own byte-exact WARC
-    reader — target URI, type, octet length, and the text itself must
-    all survive.  The oracle re-derives each field by construction, so
-    a single flipped byte anywhere in the writer/reader pair fails the
-    hash.  Scale shape: record assembly is JVM concat on the
-    extraction output; ONE file-id aggregation = the write's natural
-    partitioning."""
-    from deepseek_ocr_rs_spark.sources.warc import parse_warc
-    from deepseek_ocr_rs_spark.sources.wet import wet_files, wet_record_col
+def _wet_records(spark, sf_dir):
+    """Shared WET-record fixture: one conversion record per document,
+    10 records per file id, deterministic mandatory WARC-Date."""
+    from deepseek_ocr_rs_spark.sources.wet import wet_record_col
 
     docs = _t(spark, sf_dir, "documents")
     i = F.col("doc_id").cast("string")
@@ -2415,7 +2524,7 @@ def web_wet_roundtrip(spark, sf_dir):
         F.lit("https://w"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
         F.lit(".com/d/"), i,
     )
-    recs = docs.select(
+    return docs.select(
         F.expr("doc_id div 10").cast("string").alias("file_id"),
         F.col("doc_id").alias("ord"),
         wet_record_col(
@@ -2432,13 +2541,51 @@ def web_wet_roundtrip(spark, sf_dir):
             ),
         ).alias("record"),
     )
-    back = parse_warc(wet_files(recs))
+
+
+def _wet_roundtrip_projection(back):
     return back.select(
         "target_uri",
         "warc_type",
         "content_length",
         F.decode(F.col("payload"), "UTF-8").alias("text_md"),
     )
+
+
+def web_wet_roundtrip(spark, sf_dir):
+    """WET writer round-trip (sources/wet.py): every document's
+    normalized text is framed as a WARC/1.0 conversion record (codegen
+    string concat, octet-length framing), packed 10 records per file in
+    doc_id order, then read back through the repo's own byte-exact WARC
+    reader — target URI, type, octet length, and the text itself must
+    all survive.  The oracle re-derives each field by construction, so
+    a single flipped byte anywhere in the writer/reader pair fails the
+    hash.  Scale shape: record assembly is JVM concat on the
+    extraction output; ONE file-id aggregation = the write's natural
+    partitioning."""
+    from deepseek_ocr_rs_spark.sources.warc import parse_warc
+    from deepseek_ocr_rs_spark.sources.wet import wet_files
+
+    back = parse_warc(wet_files(_wet_records(spark, sf_dir)))
+    return _wet_roundtrip_projection(back)
+
+
+def web_warcgz_roundtrip(spark, sf_dir):
+    """Common Crawl .warc.gz framing round-trip: the same WET records,
+    but each record compressed as its OWN gzip member (mtime=0, members
+    concatenated per file in ord order — the framing that makes a 100 TB
+    crawl archive record-seekable), then read back through
+    parse_warc_gz (sources/warc.py: stdlib-zlib member splitting chained
+    on unused_data, tolerant-tail at both the member and record layer).
+    Same oracle as the uncompressed round trip — a flipped byte in gzip
+    framing, member ordering, or record slicing fails the value hash.
+    Scale shape: grouping stays the one JVM aggregate; gzip runs in an
+    Arrow batch per file row."""
+    from deepseek_ocr_rs_spark.sources.warc import parse_warc_gz
+    from deepseek_ocr_rs_spark.sources.wet import wet_gz_files
+
+    back = parse_warc_gz(wet_gz_files(_wet_records(spark, sf_dir)))
+    return _wet_roundtrip_projection(back)
 
 
 _WET_ORACLE_TMPL = """
@@ -3951,6 +4098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    byte-exact bicubic; more added as the round builds) ---------
         "media_decode_resample": media_decode_resample,
         "media_image_dedup": media_image_dedup,
+        "media_audio_features": media_audio_features,
+        "media_audio_frames": media_audio_frames,
+        "web_warcgz_roundtrip": web_warcgz_roundtrip,
         # -- slots 31-50: green once (r04) — re-confirm; includes the two
         #    whose code changed this round (media_bicubic_resample's
         #    oracle builder was parameterized; warc_http_responses rides
@@ -3975,11 +4125,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_twocol": q_extract_pdf_twocol,
         "moe_topk_dispatch": moe_topk_dispatch,
         "x_sse_frames": x_sse_frames,
+        # -- 51+: green in a prior driver round; covered by the in-repo
+        #    full gate at two scale factors ------------------------------
         "search_bm25_topk": search_bm25_topk,
         "doc_lm_score": doc_lm_score,
         "train_mixture_sample": train_mixture_sample,
-        # -- 51+: green in a prior driver round; covered by the in-repo
-        #    full gate at two scale factors ------------------------------
         "emb_kmeans_assign": emb_kmeans_assign,
         "doc_repetition_signals": doc_repetition_signals,
         "doc_decontaminate": doc_decontaminate,
@@ -5025,6 +5175,9 @@ def oracle_sql() -> dict[str, str]:
             key_expr="'png:' || CAST(doc_id AS VARCHAR)",
         ),
         "media_image_dedup": _dhash_oracle_sql(),
+        "media_audio_features": _audio_features_oracle_sql(),
+        "media_audio_frames": _audio_frames_oracle_sql(),
+        "web_warcgz_roundtrip": _WET_ORACLE_TMPL.format(norm=_NORM_SQL),
         "doc_span_dedup": span_dedup_oracle_sql(
             table="documents", span_words=3, min_docs=4),
         "pack_training_sequences": pack_sequences_oracle_sql(

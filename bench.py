@@ -211,9 +211,14 @@ def main() -> None:
         "web_wet_roundtrip",
         "warc_http_responses",
         "pipeline_discovery_schedule",
-        # round-5: real PNG decode -> bicubic, perceptual image dedup
+        # round-5: real PNG decode -> bicubic, perceptual image dedup,
+        # real WAV decode -> integer clip features + sliding frames
         "media_decode_resample",
         "media_image_dedup",
+        "media_audio_features",
+        "media_audio_frames",
+        # round-5: Common Crawl .warc.gz member framing round trip
+        "web_warcgz_roundtrip",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

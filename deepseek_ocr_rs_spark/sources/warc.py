@@ -33,7 +33,13 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-__all__ = ["make_warc_record", "parse_warc", "WARC_SCHEMA"]
+__all__ = [
+    "make_warc_record",
+    "parse_warc",
+    "parse_warc_gz",
+    "split_gzip_members",
+    "WARC_SCHEMA",
+]
 
 WARC_SCHEMA = (
     "file_id string, rec_idx int, warc_type string, target_uri string,"
@@ -146,6 +152,74 @@ def parse_warc(
                     out["content_type"].append(ct)
                     out["content_length"].append(clen)
                     out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(_batches, WARC_SCHEMA)
+
+
+def split_gzip_members(blob: bytes):
+    """Yield the decompressed bytes of each gzip member in ``blob``.
+
+    Common Crawl stores WARC files as CONCATENATED gzip members — one
+    record per member — so a reader can seek to any record boundary and
+    inflate independently.  stdlib zlib handles this with
+    ``decompressobj(wbits=31)`` per member, chaining on
+    ``unused_data``.  Tolerant-tail contract (same as
+    :func:`_parse_blob`): a torn or corrupt member ends the stream —
+    members before it are returned, nothing after.
+    """
+    import zlib
+
+    pos_data = bytes(blob)
+    while pos_data:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(pos_data)
+            out += d.flush()
+        except zlib.error:
+            return
+        if not d.eof:
+            return  # torn trailing member
+        yield out
+        pos_data = d.unused_data
+
+
+def parse_warc_gz(
+    df: DataFrame, id_col: str = "file_id", bin_col: str = "content"
+) -> DataFrame:
+    """(file_id, .warc.gz content binary) -> one row per WARC record.
+
+    The Common Crawl framing: the binary column holds concatenated gzip
+    members, each member inflating to one or more WARC records;
+    ``rec_idx`` is the 0-based record ordinal within the FILE (member
+    order, then record order within a member), matching what
+    :func:`parse_warc` yields on the uncompressed equivalent — pinned
+    by the round-trip gate.  Same schema, same tolerant-tail rules at
+    both layers (gzip member and record).
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "file_id", "rec_idx", "warc_type", "target_uri",
+                "record_id", "content_type", "content_length", "payload",
+            )}
+            for fid, blob in zip(pdf[id_col], pdf[bin_col]):
+                if blob is None:
+                    continue
+                i = 0
+                for member in split_gzip_members(bytes(blob)):
+                    for rec in _parse_blob(member):
+                        out["file_id"].append(fid)
+                        out["rec_idx"].append(i)
+                        i += 1
+                        wt, uri, rid, ct, clen, payload = rec
+                        out["warc_type"].append(wt)
+                        out["target_uri"].append(uri)
+                        out["record_id"].append(rid)
+                        out["content_type"].append(ct)
+                        out["content_length"].append(clen)
+                        out["payload"].append(payload)
             yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(_batches, WARC_SCHEMA)

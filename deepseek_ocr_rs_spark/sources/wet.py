@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["wet_record_col", "wet_files"]
+__all__ = ["wet_record_col", "wet_files", "wet_gz_files"]
 
 
 def wet_record_col(
@@ -94,3 +94,49 @@ def wet_files(
     )
     blob = F.array_join(F.transform("_recs", lambda x: x["r"]), "")
     return packed.select("file_id", F.encode(blob, "UTF-8").alias("content"))
+
+
+def wet_gz_files(
+    df: DataFrame,
+    file_col: str = "file_id",
+    ord_col: str = "ord",
+    record_col: str = "record",
+) -> DataFrame:
+    """Records -> one ``(file_id, content binary)`` .warc.gz row per file.
+
+    The Common Crawl framing: each record is its OWN gzip member
+    (``mtime=0`` so output bytes are a pure function of the data), the
+    members concatenated in ascending ``ord_col`` order — which is what
+    lets a reader seek to a record boundary and inflate one record
+    without touching the rest of the file.  Grouping/ordering stays
+    JVM-side (same shape as :func:`wet_files`); only the per-record
+    gzip runs in an Arrow batch.
+    """
+    import gzip
+    from typing import Iterator
+
+    import pandas as pd
+
+    packed = df.groupBy(F.col(file_col).alias("file_id")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ord_col).alias("o"),
+                                    F.col(record_col).alias("r")))
+        ).alias("_recs")
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blobs = [
+                b"".join(
+                    gzip.compress(rec["r"].encode("utf-8"), mtime=0)
+                    for rec in recs
+                )
+                for recs in pdf["_recs"]
+            ]
+            yield pd.DataFrame(
+                {"file_id": pdf["file_id"], "content": blobs}
+            )
+
+    return packed.mapInPandas(run, schema="file_id string, content binary")

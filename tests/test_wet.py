@@ -92,6 +92,66 @@ def test_no_date_is_documented_deviation(spark):
     assert "WARC-Date" not in raw
 
 
+def test_gz_member_roundtrip_and_framing(spark):
+    """Common Crawl framing: each record its own gzip member; the gz
+    reader recovers exactly what the plain reader does, and the raw
+    bytes really are N independent members (record-seekability)."""
+    import gzip
+
+    from deepseek_ocr_rs_spark.sources.warc import (
+        parse_warc_gz,
+        split_gzip_members,
+    )
+    from deepseek_ocr_rs_spark.sources.wet import wet_gz_files
+
+    recs = _records(spark)
+    keyed = recs.select(
+        F.lit("all").alias("file_id"),
+        F.ascii(F.col("doc")).alias("ord"),
+        "record",
+    )
+    gz = wet_gz_files(keyed)
+    blob = bytes(gz.first()["content"])
+    members = list(split_gzip_members(blob))
+    assert len(members) == 5  # one member per record
+    # member 0 inflates independently to the first record
+    assert members[0].startswith(b"WARC/1.0")
+    assert gzip.decompress(blob[: _member_len(blob)]) == members[0]
+
+    plain = {
+        (r["target_uri"], bytes(r["payload"]), r["rec_idx"])
+        for r in parse_warc(wet_files(keyed)).collect()
+    }
+    via_gz = {
+        (r["target_uri"], bytes(r["payload"]), r["rec_idx"])
+        for r in parse_warc_gz(gz).collect()
+    }
+    assert via_gz == plain
+
+
+def _member_len(blob: bytes) -> int:
+    """Byte length of the first gzip member (via unused_data)."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    d.decompress(blob)
+    return len(blob) - len(d.unused_data)
+
+
+def test_gz_tolerant_tail(spark):
+    """A torn trailing member yields the intact leading members only."""
+    import gzip
+
+    from deepseek_ocr_rs_spark.sources.warc import split_gzip_members
+
+    a = gzip.compress(b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+    b = gzip.compress(b"second member")
+    assert list(split_gzip_members(a + b[: len(b) - 6])) == [
+        gzip.decompress(a)
+    ]
+    assert list(split_gzip_members(b"\x1f\x8bgarbage")) == []
+
+
 def test_multi_record_file_order(spark):
     recs = _records(spark)
     files = wet_files(
