@@ -1571,6 +1571,72 @@ def _audio_frames_oracle_sql() -> str:
     """
 
 
+# A pinned tokenizer merge table (the application-side contract: the
+# reference LOADS a trained tokenizer from an asset file, app.rs:127 —
+# it never trains one at inference time).  Valid BPE order: every
+# pair's constituents are single characters or earlier merges.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"),
+    ("s", "t"), ("c", "on"),
+]
+
+
+def train_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLICATION (operators/bpe.py bpe_encode): encode
+    the corpus with a pinned 12-merge table — merges fold greedily
+    left-to-right over the DISTINCT-word vocabulary only (JVM aggregate
+    fold, no Python), then one word join + per-doc positional
+    reassembly.  The oracle replays the same segmentation as a chain of
+    delimiter-wrapped string replacements (chr(1)/chr(2) wrap each
+    token, so a replace can never match across token boundaries and
+    non-overlapping left-to-right replace == the greedy fold).  Output
+    serializes tokens space-joined (tokens cannot contain whitespace —
+    words come from a \\s+ split)."""
+    from deepseek_ocr_rs_spark.operators.bpe import bpe_encode
+
+    enc = bpe_encode(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("tokens", " ").alias("tokens_str"),
+    )
+
+
+def _bpe_encode_oracle_sql() -> str:
+    wrapped = (
+        "chr(1) || array_to_string(string_split(word, ''),"
+        " chr(2) || chr(1)) || chr(2)"
+    )
+    e = wrapped
+    for l, r in _BPE_MERGES:
+        pat = f"chr(1) || '{l}' || chr(2) || chr(1) || '{r}' || chr(2)"
+        rep = f"chr(1) || '{l}{r}' || chr(2)"
+        e = f"replace({e}, {pat}, {rep})"
+    return f"""
+        WITH docs AS (
+          SELECT doc_id,
+                 string_split_regex(lower(text), '\\s+') AS ws
+          FROM documents
+        ), w AS (
+          SELECT doc_id, i.i AS pos, ws[i.i] AS word
+          FROM docs, LATERAL unnest(range(1, len(ws) + 1)) AS i(i)
+          WHERE ws[i.i] <> ''
+        ), enc AS (
+          SELECT doc_id, pos, {e} AS e
+          FROM w
+        )
+        SELECT doc_id,
+               CAST(SUM(length(e) - length(replace(e, chr(1), '')))
+                    AS BIGINT) AS n_tokens,
+               array_to_string(
+                 list(trim(replace(e, chr(2) || chr(1), ' '),
+                           chr(1) || chr(2)) ORDER BY pos), ' ')
+                 AS tokens_str
+        FROM enc GROUP BY doc_id
+    """
+
+
 def x_sse_frames(spark, sf_dir):
     """X3: SSE completion-event frame sequencing (stream.rs:16-374) —
     events become per-conversation delta rows (user = conversation,
@@ -4101,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_features": media_audio_features,
         "media_audio_frames": media_audio_frames,
         "web_warcgz_roundtrip": web_warcgz_roundtrip,
+        "train_bpe_encode": train_bpe_encode,
         # -- slots 31-50: green once (r04) — re-confirm; includes the two
         #    whose code changed this round (media_bicubic_resample's
         #    oracle builder was parameterized; warc_http_responses rides
@@ -4124,9 +4191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_interval_join_events": j_interval_join_events,
         "extract_pdf_twocol": q_extract_pdf_twocol,
         "moe_topk_dispatch": moe_topk_dispatch,
-        "x_sse_frames": x_sse_frames,
         # -- 51+: green in a prior driver round; covered by the in-repo
         #    full gate at two scale factors ------------------------------
+        "x_sse_frames": x_sse_frames,
         "search_bm25_topk": search_bm25_topk,
         "doc_lm_score": doc_lm_score,
         "train_mixture_sample": train_mixture_sample,
@@ -5178,6 +5245,7 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_features": _audio_features_oracle_sql(),
         "media_audio_frames": _audio_frames_oracle_sql(),
         "web_warcgz_roundtrip": _WET_ORACLE_TMPL.format(norm=_NORM_SQL),
+        "train_bpe_encode": _bpe_encode_oracle_sql(),
         "doc_span_dedup": span_dedup_oracle_sql(
             table="documents", span_words=3, min_docs=4),
         "pack_training_sequences": pack_sequences_oracle_sql(

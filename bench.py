@@ -217,8 +217,10 @@ def main() -> None:
         "media_image_dedup",
         "media_audio_features",
         "media_audio_frames",
-        # round-5: Common Crawl .warc.gz member framing round trip
+        # round-5: Common Crawl .warc.gz member framing round trip,
+        # BPE tokenizer application with a pinned merge table
         "web_warcgz_roundtrip",
+        "train_bpe_encode",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

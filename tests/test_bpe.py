@@ -134,6 +134,45 @@ def test_encode_matches_reference(spark, texts):
         assert got[i] == (expect, len(expect)), f"doc {i}"
 
 
+def test_encode_rank_order_equals_iterative_apply(spark):
+    """The operator applies merges once each in rank order; the classic
+    apply_bpe loop instead repeatedly merges the lowest-rank pair
+    present.  They are equivalent BECAUSE training only ever creates a
+    pair after its constituents exist (any adjacency a merge creates
+    can only belong to a higher-rank pair) — pin that equivalence on
+    cascading/overlapping words with the gate's pinned merge table."""
+    from __spark_entry__ import _BPE_MERGES
+
+    def iterative_apply(word, merges):
+        ranks = {pair: i for i, pair in enumerate(merges)}
+        syms = list(word)
+        while True:
+            pairs = [(ranks[p], i) for i, p in enumerate(zip(syms, syms[1:]))
+                     if p in ranks]
+            if not pairs:
+                return syms
+            best = min(pairs)[0]
+            l, r = merges[best]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+
+    words = ["the", "thethe", "standing", "conditioner", "ththe",
+             "ingin", "anand", "connnon", "strestre", "ouountt"]
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    got = list(bpe_encode(df, _BPE_MERGES).collect()[0]["tokens"])
+    want = [t for w in words for t in iterative_apply(w, _BPE_MERGES)]
+    assert got == want
+
+
 def test_encode_oov_word_falls_back_to_chars(spark):
     # merges trained elsewhere; 'zq' never merges -> character sequence
     df = spark.createDataFrame([(0, "zq low")], "doc_id long, text string")
