@@ -1571,6 +1571,100 @@ def _audio_frames_oracle_sql() -> str:
     """
 
 
+def _pdf_media(spark, sf_dir):
+    """REAL one-page PDFs (FlateDecode content streams, valid xref): six
+    text blocks per doc laid out as two columns x three rows, written in
+    INTERLEAVED document order so reading order is a real test."""
+    from deepseek_ocr_rs_spark.functions.pdf import build_pdf
+
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
+    keyed = docs.select(F.col("doc_id").cast("string").alias("doc_id"))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                m = int(doc_id) % 97
+                blocks = [
+                    (
+                        72 + 240 * (j % 2),
+                        720 - 40 * (j // 2),
+                        f"blk {j} (doc {m})",
+                    )
+                    for j in range(6)
+                ]
+                payloads.append(build_pdf(blocks, compress=True))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return keyed.mapInPandas(run, schema="doc_id string, payload binary")
+
+
+_PDF_BLOCK_CTE = """
+        WITH docs AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 doc_id % 97 AS m
+          FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)
+        ), blk AS (
+          SELECT doc_id,
+                 CAST(j.j AS INTEGER) AS j,
+                 CAST(72 + 240 * (j.j % 2) AS DOUBLE) AS x,
+                 CAST(720 - 40 * (j.j // 2) AS DOUBLE) AS y,
+                 'blk ' || CAST(j.j AS VARCHAR) || ' (doc '
+                   || CAST(m AS VARCHAR) || ')' AS text
+          FROM docs, range(0, 6) j(j)
+        )
+"""
+
+
+def media_pdf_text(spark, sf_dir):
+    """REAL PDF text-layer extraction (functions/pdf.py +
+    operators/pdftext.py): each doc becomes an actual one-page PDF —
+    FlateDecode content stream, escaped literal strings (the fixture
+    text contains parens), valid xref — and the parser recovers every
+    text-show event with its document-order ordinal and text-line
+    origin.  The oracle re-derives all rows by construction; a wrong
+    byte in inflate, /Length slicing, string unescaping, or Td
+    tracking flips gated values.  Scale shape: build + parse are two
+    chained mapInPandas stages, zero shuffles."""
+    from deepseek_ocr_rs_spark.operators.pdftext import pdf_text_blocks
+
+    return pdf_text_blocks(_pdf_media(spark, sf_dir))
+
+
+def _pdf_text_oracle_sql() -> str:
+    return f"""{_PDF_BLOCK_CTE}
+        SELECT doc_id, j AS ord, x, y, text FROM blk
+    """
+
+
+def media_pdf_reading_order(spark, sf_dir):
+    """PDF text blocks re-ordered by the Nagy-Seth XY-cut (the same
+    kernel extract_pdf_twocol gates on synthetic layouts, now fed by
+    the REAL codec): blocks are written column-interleaved, the 144pt
+    gutter beats the 28pt line gaps, so the page must read column-major
+    — left column top-to-bottom then right.  Oracle re-derives the
+    expected permutation by construction."""
+    from deepseek_ocr_rs_spark.operators.pdftext import pdf_reading_order
+
+    return pdf_reading_order(_pdf_media(spark, sf_dir))
+
+
+def _pdf_reading_order_oracle_sql() -> str:
+    # document order j = row*2 + col; reading order = col*3 + row
+    return f"""{_PDF_BLOCK_CTE}
+        SELECT doc_id,
+               CAST((j % 2) * 3 + (j // 2) AS INTEGER) AS read_pos,
+               text
+        FROM blk
+    """
+
+
 # A pinned tokenizer merge table (the application-side contract: the
 # reference LOADS a trained tokenizer from an asset file, app.rs:127 —
 # it never trains one at inference time).  Valid BPE order: every
@@ -4168,6 +4262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_frames": media_audio_frames,
         "web_warcgz_roundtrip": web_warcgz_roundtrip,
         "train_bpe_encode": train_bpe_encode,
+        "media_pdf_text": media_pdf_text,
+        "media_pdf_reading_order": media_pdf_reading_order,
         # -- slots 31-50: green once (r04) — re-confirm; includes the two
         #    whose code changed this round (media_bicubic_resample's
         #    oracle builder was parameterized; warc_http_responses rides
@@ -4189,10 +4285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_bpe_pairs": train_bpe_pairs,
         "doc_winnow_matches": doc_winnow_matches,
         "j_interval_join_events": j_interval_join_events,
-        "extract_pdf_twocol": q_extract_pdf_twocol,
-        "moe_topk_dispatch": moe_topk_dispatch,
         # -- 51+: green in a prior driver round; covered by the in-repo
         #    full gate at two scale factors ------------------------------
+        "extract_pdf_twocol": q_extract_pdf_twocol,
+        "moe_topk_dispatch": moe_topk_dispatch,
         "x_sse_frames": x_sse_frames,
         "search_bm25_topk": search_bm25_topk,
         "doc_lm_score": doc_lm_score,
@@ -5246,6 +5342,8 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_frames": _audio_frames_oracle_sql(),
         "web_warcgz_roundtrip": _WET_ORACLE_TMPL.format(norm=_NORM_SQL),
         "train_bpe_encode": _bpe_encode_oracle_sql(),
+        "media_pdf_text": _pdf_text_oracle_sql(),
+        "media_pdf_reading_order": _pdf_reading_order_oracle_sql(),
         "doc_span_dedup": span_dedup_oracle_sql(
             table="documents", span_words=3, min_docs=4),
         "pack_training_sequences": pack_sequences_oracle_sql(

@@ -221,6 +221,9 @@ def main() -> None:
         # BPE tokenizer application with a pinned merge table
         "web_warcgz_roundtrip",
         "train_bpe_encode",
+        # round-5: real PDF text-layer codec + XY-cut reading order
+        "media_pdf_text",
+        "media_pdf_reading_order",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -1,48 +1,54 @@
 """Driver-window composition pins (no Spark needed).
 
 The external driver CORRECTNESS-checks the FIRST 50 entries of
-``queries()``.  These tests pin the round-4 rotation contract so a
-refactor cannot silently push a never-driver-checked operator out of the
-hard-signal window or seat an oracle-less query in it."""
+``queries()``.  These tests pin the CURRENT round's rotation contract
+so a refactor cannot silently push a never-driver-checked operator out
+of the hard-signal window or seat an oracle-less query in it.  Update
+the set each round: queries that earn a green driver row may rotate
+below the line; never-checked and new queries must face the driver."""
 
 import __spark_entry__ as entry_mod
 
-# operators that had no driver CORRECTNESS row in rounds 1-3 (round-3
-# verdict item 1) plus the round-4 additions — all must face the driver
+# Round-5 contract (VERDICT r04 item 1): the 26 queries with no driver
+# row in rounds 1-4 (the web tier + the fixed search_posting_lists, the
+# one RED r04 row) plus every round-5 addition.
 MUST_BE_IN_WINDOW = {
-    "ann_batch_lsh",
-    "ann_batch_topk",
-    "dedup_verified_pairs",
-    "dedup_components",
-    "emb_dedup_components",
-    "pipeline_curation",
-    "s_stratified_sample",
-    "conv_flatten_parts",
-    "moe_topk_dispatch",
-    "media_bicubic_resample",
-    "x_sse_frames",
-    "doc_pii_scrub",
-    "train_shard_assignment",
-    "train_global_ids",
-    "train_dsir_resample",
-    "train_bpe_pairs",
-    "doc_winnow_fingerprints",
-    "doc_winnow_matches",
-    "emb_semantic_dedup",
-    "dedup_quality_keep_best",
-    "sketch_hist_quantiles",
-    "doc_hashclf_lang",
-    "j_interval_join_events",
-    "extract_pdf_twocol",
-    "ann_pq_codes",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "extract_html_classhints",
-    # round-4 late rotation: the three largest never-driver-checked web
-    # parsers take the slots of thrice-stable relational rows
-    "warc_http_responses",
-    "web_page_metadata",
-    "web_outlinks",
+    # never driver-checked through r04
+    "search_posting_lists",
+    "web_surt_latest",
+    "web_crawl_diff",
+    "web_resolved_outlinks",
+    "web_crawl_traps",
+    "web_recrawl_policy",
+    "warc_parse_records",
+    "web_redirect_resolve",
+    "web_redirect_from_warc",
+    "web_robots_filter",
+    "web_robots_sitemaps",
+    "web_sitemap_urls",
+    "web_feed_entries",
+    "web_host_stats",
+    "web_anchor_texts",
+    "web_anchor_stats",
+    "web_noindex_filter",
+    "web_hreflang_clusters",
+    "web_registrable_domains",
+    "web_blocklist_filter",
+    "web_frontier_schedule",
+    "web_revalidation_candidates",
+    "web_wet_roundtrip",
+    "graph_host_pagerank",
+    "pipeline_incremental_extract",
+    "pipeline_discovery_schedule",
+    # new in round 5
+    "media_decode_resample",
+    "media_image_dedup",
+    "media_audio_features",
+    "media_audio_frames",
+    "web_warcgz_roundtrip",
+    "train_bpe_encode",
+    "media_pdf_text",
+    "media_pdf_reading_order",
 }
 
 
