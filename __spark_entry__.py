@@ -1665,6 +1665,100 @@ def _pdf_reading_order_oracle_sql() -> str:
     """
 
 
+def media_wds_shards(spark, sf_dir):
+    """WebDataset tar-shard source (sources/webdataset.py): 5 samples
+    per shard, each sample = a REAL PNG (cycling filter types) + a
+    caption member sharing a stem, plus an incomplete decoy member per
+    shard that the reader must skip.  The stats pass parses the tar,
+    groups members into samples, decodes the image with the real codec
+    and reduces it to an integer pixel sum — one Arrow pass, ZERO
+    shuffles after the fixture build (sample locality within the shard
+    is the format's contract, and Spark's map parallelism rides it).
+    The oracle re-derives caption and pixel sum from the synthesis LCG."""
+    import numpy as np
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.functions.png import encode_png
+    from deepseek_ocr_rs_spark.functions.resample import synth_image_batch
+    from deepseek_ocr_rs_spark.sources.webdataset import (
+        build_tar_shard,
+        wds_image_caption_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
+    keyed = docs.select(
+        F.expr("doc_id div 5").cast("string").alias("shard_id"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("stem"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wds:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long").alias("k"),
+        F.concat(
+            F.lit("caption "), F.pmod(F.col("doc_id"), F.lit(89)).cast("string")
+        ).alias("caption"),
+    )
+    packed = keyed.groupBy("shard_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("stem", "k", "caption"))
+        ).alias("samples")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blobs = []
+            for samples in pdf["samples"]:
+                members = [("decoy.json", b"{}")]  # incomplete sample
+                for s in samples:
+                    img = synth_image_batch(
+                        np.array([s["k"]], dtype=np.int64), 6, 8
+                    )[0]
+                    members.append(
+                        (s["stem"] + ".png",
+                         encode_png(img, filter_mode="cycle"))
+                    )
+                    members.append(
+                        (s["stem"] + ".txt", s["caption"].encode("utf-8"))
+                    )
+                blobs.append(build_tar_shard(members))
+            yield pd.DataFrame(
+                {"shard_id": pdf["shard_id"], "content": blobs}
+            )
+
+    shards = packed.mapInPandas(build, "shard_id string, content binary")
+    return wds_image_caption_stats(shards)
+
+
+def _wds_oracle_sql() -> str:
+    return """
+        WITH docs AS (
+          SELECT CAST(doc_id // 5 AS VARCHAR) AS shard_id,
+                 lpad(CAST(doc_id AS VARCHAR), 6, '0') AS stem,
+                 CAST(('0x' || substr(md5('wds:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS k,
+                 'caption ' || CAST(doc_id % 89 AS VARCHAR) AS caption
+          FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)
+        ), px AS (
+          SELECT d.shard_id, d.stem,
+                 CAST(SUM(((d.k * 1103515245 + y.y * 40503 + x.x * 9973
+                            + c.c * 131 + 12345) % 2147483647) % 256)
+                      AS BIGINT) AS pix_sum
+          FROM docs d, range(0, 6) y(y), range(0, 8) x(x),
+               range(0, 3) c(c)
+          GROUP BY d.shard_id, d.stem
+        )
+        SELECT d.shard_id, d.stem, d.caption,
+               CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+               px.pix_sum
+        FROM docs d JOIN px USING (shard_id, stem)
+    """
+
+
 # A pinned tokenizer merge table (the application-side contract: the
 # reference LOADS a trained tokenizer from an asset file, app.rs:127 —
 # it never trains one at inference time).  Valid BPE order: every
@@ -4264,6 +4358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_bpe_encode": train_bpe_encode,
         "media_pdf_text": media_pdf_text,
         "media_pdf_reading_order": media_pdf_reading_order,
+        "media_wds_shards": media_wds_shards,
         # -- slots 31-50: green once (r04) — re-confirm; includes the two
         #    whose code changed this round (media_bicubic_resample's
         #    oracle builder was parameterized; warc_http_responses rides
@@ -4284,9 +4379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fingerprints": doc_winnow_fingerprints,
         "train_bpe_pairs": train_bpe_pairs,
         "doc_winnow_matches": doc_winnow_matches,
-        "j_interval_join_events": j_interval_join_events,
         # -- 51+: green in a prior driver round; covered by the in-repo
         #    full gate at two scale factors ------------------------------
+        "j_interval_join_events": j_interval_join_events,
         "extract_pdf_twocol": q_extract_pdf_twocol,
         "moe_topk_dispatch": moe_topk_dispatch,
         "x_sse_frames": x_sse_frames,
@@ -5344,6 +5439,7 @@ def oracle_sql() -> dict[str, str]:
         "train_bpe_encode": _bpe_encode_oracle_sql(),
         "media_pdf_text": _pdf_text_oracle_sql(),
         "media_pdf_reading_order": _pdf_reading_order_oracle_sql(),
+        "media_wds_shards": _wds_oracle_sql(),
         "doc_span_dedup": span_dedup_oracle_sql(
             table="documents", span_words=3, min_docs=4),
         "pack_training_sequences": pack_sequences_oracle_sql(

@@ -221,9 +221,11 @@ def main() -> None:
         # BPE tokenizer application with a pinned merge table
         "web_warcgz_roundtrip",
         "train_bpe_encode",
-        # round-5: real PDF text-layer codec + XY-cut reading order
+        # round-5: real PDF text-layer codec + XY-cut reading order,
+        # WebDataset tar shards end-to-end
         "media_pdf_text",
         "media_pdf_reading_order",
+        "media_wds_shards",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -49,6 +49,7 @@ MUST_BE_IN_WINDOW = {
     "train_bpe_encode",
     "media_pdf_text",
     "media_pdf_reading_order",
+    "media_wds_shards",
 }
 
 
