@@ -272,6 +272,32 @@ AUDITS = {
         ("Arrow map stages", "MapInPandas"),
         ("zero exchanges (pure map)", "!Exchange"),
     ],
+    "media_pdf_text": [
+        # build + parse are chained Arrow maps; extraction rows stay
+        # where their document was scanned
+        ("Arrow map stages", "MapInPandas"),
+        ("zero exchanges (pure map)", "!Exchange"),
+    ],
+    "media_pdf_reading_order": [
+        ("Arrow map stages", "MapInPandas"),
+        ("zero exchanges (pure map)", "!Exchange"),
+    ],
+    "media_wds_shards": [
+        # a real pipeline reads shard FILES directly — the sample pass
+        # is one Arrow map riding shard locality; the gate's 100-row
+        # post-limit fixture is single-partition, so even the fixture's
+        # grouping aggregate needs no exchange
+        ("sample pass as Arrow map", "MapInPandas"),
+        ("ordered member pack", "ObjectHashAggregate"),
+    ],
+    "train_bpe_encode": [
+        # merge folds touch the DISTINCT-word vocab only; the corpus
+        # join is left to AQE — broadcast at gate scale (seen here),
+        # shuffle join when a web-scale vocab outgrows the threshold
+        ("vocab-sized distinct", "HashAggregate"),
+        ("AQE-chosen corpus join", "BroadcastHashJoin"),
+        ("no Python anywhere", "!ArrowEvalPython"),
+    ],
     "web_warcgz_roundtrip": [
         # ONE file-id aggregation (the write's natural partitioning);
         # per-record gzip + member split are Arrow maps around it
