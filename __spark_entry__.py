@@ -1571,6 +1571,95 @@ def _audio_frames_oracle_sql() -> str:
     """
 
 
+_VIDEO_N_FRAMES = 6
+_VIDEO_H = 8
+_VIDEO_W = 10
+_VIDEO_EVERY_MS = 50
+
+
+def media_video_frames(spark, sf_dir):
+    """Timestamp frame-sampling over REAL multi-frame video: deterministic
+    palette frames serialized as actual animated GIF89a streams
+    (functions/gif.py — LZW with width growth, interlace on odd frames,
+    local color tables every third frame, GCE delays 40/70/100 ms
+    cycling), decoded by the in-repo spec codec, then sampled at
+    t = 0, 50, 100, ... ms with the on-screen frame chosen from the
+    DECODED delay intervals.  Encode->decode is byte-exact on the
+    grayscale palette, so the oracle replays synthesis + interval
+    arithmetic in pure-integer SQL — a codec bug anywhere (LZW widths,
+    interlace row order, LCT remapping, delay parsing) flips
+    oracle-checked values.  Reference analog: generation.rs:284-313 ->
+    preprocess.rs:73-137 (media decode feeding view selection);
+    frame_sample_plan's JVM topology stub is hereby superseded by the
+    real codec path.  Scale shape: two chained mapInPandas (encode
+    fixture / decode+sample), no shuffle; a real pipeline replaces the
+    first with a parquet media scan."""
+    from deepseek_ocr_rs_spark.operators.video import (
+        encode_gif_payloads,
+        video_frame_samples,
+    )
+
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
+    keyed = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("gif:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long").alias("k"),
+    )
+    media = encode_gif_payloads(keyed, _VIDEO_N_FRAMES, _VIDEO_H, _VIDEO_W)
+    return video_frame_samples(media, every_ms=_VIDEO_EVERY_MS)
+
+
+def _video_frames_oracle_sql() -> str:
+    """Pure-integer replay of media_video_frames: per-frame pixel sums of
+    the synthesis formula + the 40/70/100 ms delay schedule as interval
+    joins against the sample timestamps."""
+    from deepseek_ocr_rs_spark.operators.video import frame_delays_ms
+
+    nf, h, w = _VIDEO_N_FRAMES, _VIDEO_H, _VIDEO_W
+    total_ms = sum(frame_delays_ms(nf))
+    return f"""
+        WITH docs AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CAST(('0x' || substr(md5('gif:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS k
+          FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)
+        ), frames AS (
+          SELECT d.doc_id, d.k, CAST(f.f AS INTEGER) AS f,
+                 (4 + 3 * (f.f % 3)) * 10 AS delay_ms
+          FROM docs d, range(0, {nf}) f(f)
+        ), timed AS (
+          SELECT doc_id, k, f, delay_ms,
+                 COALESCE(SUM(delay_ms) OVER (PARTITION BY doc_id ORDER BY f
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS start_ms
+          FROM frames
+        ), pix AS (
+          SELECT fr.doc_id, fr.f,
+                 CAST(SUM(((fr.k * 1103515245 + fr.f * 7919 + y.y * 40503
+                            + x.x * 9973 + 12345) % 2147483647) % 256)
+                      AS BIGINT) AS frame_pixel_sum
+          FROM frames fr, range(0, {h}) y(y), range(0, {w}) x(x)
+          GROUP BY fr.doc_id, fr.f
+        )
+        SELECT t.doc_id,
+               CAST(s.ts AS INTEGER) AS sample_ts_ms,
+               t.f AS frame_idx,
+               CAST({nf} AS INTEGER) AS n_frames,
+               CAST({total_ms} AS INTEGER) AS duration_ms,
+               p.frame_pixel_sum
+        FROM timed t
+        JOIN pix p ON p.doc_id = t.doc_id AND p.f = t.f
+        JOIN range(0, {total_ms}, {_VIDEO_EVERY_MS}) s(ts)
+          ON s.ts >= t.start_ms AND s.ts < t.start_ms + t.delay_ms
+    """
+
+
 def _pdf_media(spark, sf_dir):
     """REAL one-page PDFs (FlateDecode content streams, valid xref): six
     text blocks per doc laid out as two columns x three rows, written in
@@ -4359,6 +4448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pdf_text": media_pdf_text,
         "media_pdf_reading_order": media_pdf_reading_order,
         "media_wds_shards": media_wds_shards,
+        "media_video_frames": media_video_frames,
         # -- slots 31-50: green once (r04) — re-confirm; includes the two
         #    whose code changed this round (media_bicubic_resample's
         #    oracle builder was parameterized; warc_http_responses rides
@@ -4378,9 +4468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hashclf_lang": doc_hashclf_lang,
         "doc_winnow_fingerprints": doc_winnow_fingerprints,
         "train_bpe_pairs": train_bpe_pairs,
-        "doc_winnow_matches": doc_winnow_matches,
         # -- 51+: green in a prior driver round; covered by the in-repo
         #    full gate at two scale factors ------------------------------
+        "doc_winnow_matches": doc_winnow_matches,
         "j_interval_join_events": j_interval_join_events,
         "extract_pdf_twocol": q_extract_pdf_twocol,
         "moe_topk_dispatch": moe_topk_dispatch,
@@ -5440,6 +5530,7 @@ def oracle_sql() -> dict[str, str]:
         "media_pdf_text": _pdf_text_oracle_sql(),
         "media_pdf_reading_order": _pdf_reading_order_oracle_sql(),
         "media_wds_shards": _wds_oracle_sql(),
+        "media_video_frames": _video_frames_oracle_sql(),
         "doc_span_dedup": span_dedup_oracle_sql(
             table="documents", span_words=3, min_docs=4),
         "pack_training_sequences": pack_sequences_oracle_sql(

@@ -9,10 +9,13 @@ The codec slot is REAL for PNG as of round 5: ``decode_image`` runs the
 in-repo spec decoder (functions/png.py — stdlib zlib + numpy, CRC-checked,
 all five scanline filters), so PNG payloads flow decode -> PIL-exact
 bicubic (functions/resample.py) end-to-end with every output byte
-oracle-checked (the media_decode_resample gate).  Non-PNG formats (JPEG,
-audio, video) still raise ``DecodeNotAvailable`` — those libraries are not
-in this container — and fall back to the deterministic stand-in features,
-so the Spark-side plumbing stays exercised for every media kind.
+oracle-checked (the media_decode_resample gate).  Audio and video have
+their own real codec slots (operators/audio.py -> functions/wav.py;
+operators/video.py -> functions/gif.py with GCE frame timing).  Remaining
+formats (JPEG, MP4, ...) raise ``DecodeNotAvailable`` — those libraries
+are not in this container — and fall back to the deterministic stand-in
+features, so the Spark-side plumbing stays exercised for every media
+kind.
 """
 
 from __future__ import annotations
