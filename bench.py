@@ -226,6 +226,8 @@ def main() -> None:
         "media_pdf_text",
         "media_pdf_reading_order",
         "media_wds_shards",
+        # round-5: real animated-GIF decode + timestamp frame sampling
+        "media_video_frames",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the
