@@ -1660,6 +1660,110 @@ def _video_frames_oracle_sql() -> str:
     """
 
 
+def media_video_dedup(spark, sf_dir):
+    """Perceptual video dedup: deterministic clips (doc_id % 50 keys ->
+    50 planted duplicate pairs among 100 docs) serialized as REAL
+    animated GIFs, decoded, every frame bicubic-resized to the dHash 9x8
+    grid and difference-hashed, per-frame hashes '-'-joined in frame
+    order into a clip signature, grouped.  Re-encoding survives
+    (perceptual), frame reorder/drop breaks the signature — exactly what
+    video dedup wants.  The whole chain is integer-exact, so the oracle
+    replays synthesis -> resize (embedded coefficient tables) -> luma ->
+    bits -> signature in pure SQL.  Scale shape: decode+hash is a
+    shuffle-free mapInPandas; grouping is ONE map-side-combinable
+    aggregate on the signature string."""
+    from deepseek_ocr_rs_spark.operators.video import (
+        encode_gif_payloads,
+        video_dhash_signatures,
+        video_duplicate_groups,
+    )
+
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
+    keyed = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("vid:"),
+                        F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long").alias("k"),
+    )
+    media = encode_gif_payloads(keyed, _VIDEO_N_FRAMES, _VIDEO_H, _VIDEO_W)
+    return video_duplicate_groups(video_dhash_signatures(media))
+
+
+def _video_dedup_oracle_sql() -> str:
+    """Pure-integer replay of media_video_dedup: gif synth grid ->
+    bicubic 10x8 -> 9x8 (embedded integer coefficient tables) -> luma
+    (R=G=B so (77+151+28)v >> 8 = v) -> right-neighbor bits -> two
+    32-bit BIGINT halves per frame -> frame-ordered signature ->
+    duplicate grouping."""
+    from deepseek_ocr_rs_spark.functions.resample import coeff_values_sql
+    from deepseek_ocr_rs_spark.operators.imagehash import DHASH_H, DHASH_W
+
+    nf, h, w = _VIDEO_N_FRAMES, _VIDEO_H, _VIDEO_W
+    wx = coeff_values_sql(w, DHASH_W, "wx", "dx", "sx")
+    wy = coeff_values_sql(h, DHASH_H, "wy", "dy", "sy")
+    return f"""
+        WITH docs AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CAST(('0x' || substr(md5('vid:' ||
+                        CAST(doc_id % 50 AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS k
+          FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)
+        ), src AS (
+          SELECT d.doc_id, ff.f, yy.y, xx.x,
+                 ((d.k * 1103515245 + ff.f * 7919 + yy.y * 40503
+                   + xx.x * 9973 + 12345) % 2147483647) % 256 AS v
+          FROM docs d, range(0, {nf}) ff(f), range(0, {h}) yy(y),
+               range(0, {w}) xx(x)
+        ), hor AS (
+          SELECT s.doc_id, s.f, s.y, wx.dx AS x,
+                 LEAST(GREATEST((2097152 + SUM(s.v * wx.w)) >> 22, 0), 255)
+                   AS v
+          FROM src s JOIN {wx} ON wx.sx = s.x
+          GROUP BY s.doc_id, s.f, s.y, wx.dx
+        ), ver AS (
+          SELECT h.doc_id, h.f, wy.dy AS y, h.x,
+                 LEAST(GREATEST((2097152 + SUM(h.v * wy.w)) >> 22, 0), 255)
+                   AS v
+          FROM hor h JOIN {wy} ON wy.sy = h.y
+          GROUP BY h.doc_id, h.f, wy.dy, h.x
+        ), bits AS (
+          SELECT a.doc_id, a.f, a.y, a.x,
+                 CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+          FROM ver a
+          JOIN ver b ON b.doc_id = a.doc_id AND b.f = a.f
+                    AND b.y = a.y AND b.x = a.x + 1
+          WHERE a.x < 8
+        ), hashes AS (
+          SELECT doc_id, f,
+                 CAST(SUM(CASE WHEN y < 4
+                      THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
+                      ELSE 0 END) AS BIGINT) AS h1,
+                 CAST(SUM(CASE WHEN y >= 4
+                      THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x))
+                      ELSE 0 END) AS BIGINT) AS h2
+          FROM bits GROUP BY doc_id, f
+        ), sigs AS (
+          SELECT doc_id,
+                 array_to_string(list(CAST(h1 AS VARCHAR) || 'x'
+                     || CAST(h2 AS VARCHAR) ORDER BY f), '-') AS signature
+          FROM hashes GROUP BY doc_id
+        )
+        SELECT signature, CAST(count(*) AS BIGINT) AS n_clips,
+               array_to_string(list(doc_id ORDER BY doc_id), '-')
+                 AS doc_ids
+        FROM sigs GROUP BY signature
+    """
+
+
 def _pdf_media(spark, sf_dir):
     """REAL one-page PDFs (FlateDecode content streams, valid xref): six
     text blocks per doc laid out as two columns x three rows, written in
@@ -4449,6 +4553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pdf_reading_order": media_pdf_reading_order,
         "media_wds_shards": media_wds_shards,
         "media_video_frames": media_video_frames,
+        "media_video_dedup": media_video_dedup,
         # -- slots 31-50: green once (r04) — re-confirm; includes the two
         #    whose code changed this round (media_bicubic_resample's
         #    oracle builder was parameterized; warc_http_responses rides
@@ -4467,9 +4572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": ann_pq_topk,
         "doc_hashclf_lang": doc_hashclf_lang,
         "doc_winnow_fingerprints": doc_winnow_fingerprints,
-        "train_bpe_pairs": train_bpe_pairs,
         # -- 51+: green in a prior driver round; covered by the in-repo
         #    full gate at two scale factors ------------------------------
+        "train_bpe_pairs": train_bpe_pairs,
         "doc_winnow_matches": doc_winnow_matches,
         "j_interval_join_events": j_interval_join_events,
         "extract_pdf_twocol": q_extract_pdf_twocol,
@@ -5531,6 +5636,7 @@ def oracle_sql() -> dict[str, str]:
         "media_pdf_reading_order": _pdf_reading_order_oracle_sql(),
         "media_wds_shards": _wds_oracle_sql(),
         "media_video_frames": _video_frames_oracle_sql(),
+        "media_video_dedup": _video_dedup_oracle_sql(),
         "doc_span_dedup": span_dedup_oracle_sql(
             table="documents", span_words=3, min_docs=4),
         "pack_training_sequences": pack_sequences_oracle_sql(

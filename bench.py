@@ -226,8 +226,10 @@ def main() -> None:
         "media_pdf_text",
         "media_pdf_reading_order",
         "media_wds_shards",
-        # round-5: real animated-GIF decode + timestamp frame sampling
+        # round-5: real animated-GIF decode + timestamp frame sampling,
+        # perceptual video dedup over per-frame dHash signatures
         "media_video_frames",
+        "media_video_dedup",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -55,6 +55,8 @@ __all__ = [
     "decode_video",
     "encode_gif_payloads",
     "video_frame_samples",
+    "video_dhash_signatures",
+    "video_duplicate_groups",
 ]
 
 # the repo's shared LCG constants (functions/resample.py synth grid) plus
@@ -206,4 +208,78 @@ def video_frame_samples(
             "doc_id string, sample_ts_ms int, frame_idx int, n_frames int,"
             " duration_ms int, frame_pixel_sum long"
         ),
+    )
+
+
+def video_dhash_signatures(
+    media: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, GIF payload) -> (id, signature): perceptual video fingerprint.
+
+    Every frame is decoded, bicubic-resized to the dHash 9x8 grid and
+    difference-hashed (operators/imagehash.py — the byte-exact integer
+    chain), then the per-frame ``h1xh2`` halves are '-'-joined in frame
+    order: two clips share a signature iff every frame matches
+    perceptually IN ORDER (re-encoding survives; frame reorder/drop
+    breaks it, as video dedup wants).  String serialization is the
+    repo's type-stable cross-engine hashing contract (ann_pq_codes,
+    search_posting_lists).
+
+    Scale shape: one mapInPandas pass, all frames of a batch resized in
+    ONE einsum pair; no shuffle.  All payloads in one call share a
+    decoded frame size (curated-media contract, same as dhash_media);
+    undecodable payloads raise."""
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.functions.resample import resize_bicubic_batch
+    from deepseek_ocr_rs_spark.operators.imagehash import (
+        DHASH_H,
+        DHASH_W,
+        dhash_pixels,
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            clips = [decode_video(p)[0] for p in pdf["payload"]]
+            counts = [c.shape[0] for c in clips]
+            small = resize_bicubic_batch(
+                np.concatenate(clips), DHASH_W, DHASH_H
+            )
+            hh = dhash_pixels(small)
+            sigs = []
+            off = 0
+            for c in counts:
+                sigs.append(
+                    "-".join(
+                        f"{int(h1)}x{int(h2)}" for h1, h2 in hh[off:off + c]
+                    )
+                )
+                off += c
+            yield pd.DataFrame({"doc_id": pdf[id_col], "signature": sigs})
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, schema="doc_id string, signature string"
+    )
+
+
+def video_duplicate_groups(signatures: DataFrame) -> DataFrame:
+    """(doc_id, signature) -> one row per perceptual-duplicate clip group.
+
+    Output ``(signature, n_clips, doc_ids)``, doc_ids sorted and
+    '-'-joined.  ONE map-side combinable aggregate on the signature
+    string — ids-only shuffle, same scale posture as
+    dhash_duplicate_groups."""
+    from pyspark.sql import functions as F
+
+    return (
+        signatures.groupBy("signature")
+        .agg(
+            F.count("*").cast("long").alias("n_clips"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), "-"
+            ).alias("doc_ids"),
+        )
     )

@@ -254,3 +254,79 @@ class TestVideoOperator:
             "doc_id string, payload binary",
         )
         assert video_frame_samples(df, every_ms=50).count() == 0
+
+
+class TestVideoDedup:
+    def _media(self, spark, keys):
+        from deepseek_ocr_rs_spark.operators.video import (
+            encode_gif_payloads,
+        )
+
+        keyed = spark.createDataFrame(
+            [(str(i), k) for i, k in enumerate(keys)],
+            "doc_id string, k long",
+        )
+        return encode_gif_payloads(keyed, n_frames=4, src_h=8, src_w=10)
+
+    def test_planted_duplicates_group(self, spark):
+        from deepseek_ocr_rs_spark.operators.video import (
+            video_dhash_signatures,
+            video_duplicate_groups,
+        )
+
+        # docs 0/2 and 1/3 share keys -> two groups of 2; doc 4 is alone
+        media = self._media(spark, [111, 222, 111, 222, 333])
+        groups = {
+            r["doc_ids"]: r["n_clips"]
+            for r in video_duplicate_groups(
+                video_dhash_signatures(media)
+            ).collect()
+        }
+        assert groups == {"0-2": 2, "1-3": 2, "4": 1}
+
+    def test_signature_is_frame_ordered(self, spark):
+        """Same frames, different order -> different signatures (the
+        property byte-hash dedup shares but pooled/bag-of-frames
+        hashing would lose)."""
+        import pandas as pd
+
+        from deepseek_ocr_rs_spark.functions.gif import encode_gif
+        from deepseek_ocr_rs_spark.operators.video import (
+            synth_frame_batch,
+            video_dhash_signatures,
+        )
+
+        frames = synth_frame_batch(np.array([999]), 4, 8, 10)[0]
+        fwd = encode_gif(frames, [10, 10, 10, 10])
+        rev = encode_gif(frames[::-1], [10, 10, 10, 10])
+        df = spark.createDataFrame(
+            [("fwd", bytearray(fwd)), ("rev", bytearray(rev))],
+            "doc_id string, payload binary",
+        )
+        sigs = {
+            r["doc_id"]: r["signature"]
+            for r in video_dhash_signatures(df).collect()
+        }
+        assert sigs["fwd"] != sigs["rev"]
+        assert sigs["fwd"] == "-".join(sigs["rev"].split("-")[::-1])
+
+    def test_reencode_invariance(self, spark):
+        """cycle_paths on vs off produces different GIF bytes but the
+        same perceptual signature — the property dedup exists for."""
+        from deepseek_ocr_rs_spark.functions.gif import encode_gif
+        from deepseek_ocr_rs_spark.operators.video import (
+            synth_frame_batch,
+            video_dhash_signatures,
+        )
+
+        frames = synth_frame_batch(np.array([424242]), 4, 8, 10)[0]
+        a = encode_gif(frames, [10] * 4, cycle_paths=True)
+        b = encode_gif(frames, [10] * 4, cycle_paths=False)
+        assert a != b
+        df = spark.createDataFrame(
+            [("a", bytearray(a)), ("b", bytearray(b))],
+            "doc_id string, payload binary",
+        )
+        sigs = {r["doc_id"]: r["signature"]
+                for r in video_dhash_signatures(df).collect()}
+        assert sigs["a"] == sigs["b"]
