@@ -1571,6 +1571,115 @@ def _audio_frames_oracle_sql() -> str:
     """
 
 
+def media_audio_dedup(spark, sf_dir):
+    """Perceptual audio dedup: deterministic clips (doc_id % 50 keys ->
+    50 planted duplicate pairs among 100 docs) serialized as REAL
+    RIFF/WAVE bytes, decoded, framed (400/200) exactly like
+    media_audio_frames, and fingerprinted by the energy ENVELOPE — one
+    bit per consecutive frame pair, 1 iff loudness rises — the time-axis
+    analog of the image tier's dHash right-neighbor bit.  Bits pack
+    little-endian into the type-stable string signature; grouping is ONE
+    map-side-combinable aggregate.  The chain is integer-exact end to
+    end (lossless WAV round trip), so the oracle replays synthesis ->
+    frame energies -> rise bits -> bit pack in pure SQL — a codec or
+    framing bug flips oracle-checked integers.  Completes the media
+    dedup family: image (media_image_dedup), video (media_video_dedup),
+    audio (this).  Fixture PCM uses the gain-staircase synth
+    (synth_gained_pcm_batch) — the flat LCG noise of the feature
+    queries is the SAME loudness contour under every key, so a
+    gain-invariant fingerprint rightly collapses it (measured: 50 keys
+    -> 14 groups); the staircase plants a key-distinct envelope, and
+    the finer 200/100 framing (18 bits vs the analysis tier's 8) reads
+    it (measured: 50 keys -> 48 groups, two honest nibble-coincidence
+    merges).  Scale shape: decode+hash is a shuffle-free mapInPandas;
+    the signature group is an ids-only shuffle."""
+    from deepseek_ocr_rs_spark.operators.audio import (
+        audio_duplicate_groups,
+        audio_envelope_signatures,
+        encode_wav_payloads,
+        synth_gained_pcm_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
+    keyed = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("auddup:"),
+                        F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long").alias("k"),
+    )
+    media = encode_wav_payloads(
+        keyed, _AUDIO_N_SAMPLES, _AUDIO_RATE, synth=synth_gained_pcm_batch
+    )
+    return audio_duplicate_groups(
+        audio_envelope_signatures(
+            media, frame_len=_AUDIO_DEDUP_FRAME_LEN, hop=_AUDIO_DEDUP_HOP
+        )
+    )
+
+
+_AUDIO_DEDUP_FRAME_LEN = 200
+_AUDIO_DEDUP_HOP = 100
+
+
+def _audio_dedup_oracle_sql() -> str:
+    """Pure-integer replay of media_audio_dedup: gain-staircase synth
+    (base LCG mod 16384 - 8192, times 1 + nibble(k, i*8 div n) % 4) ->
+    (200/100) frame energies -> rise bits -> little-endian pack ->
+    duplicate grouping.  19 frames -> 18 bits -> one 32-bit chunk, so
+    the signature is a single decimal string."""
+    n, fl, hop = _AUDIO_N_SAMPLES, _AUDIO_DEDUP_FRAME_LEN, _AUDIO_DEDUP_HOP
+    n_frames = 1 + (n - fl) // hop
+    return f"""
+        WITH docs AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CAST(('0x' || substr(md5('auddup:' ||
+                        CAST(doc_id % 50 AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS k
+          FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)
+        ), s AS (
+          SELECT d.doc_id, i.i,
+                 (((d.k * 1103515245 + i.i * 40503 + 12345)
+                   % 2147483647) % 16384 - 8192)
+                 * (1 + (d.k >> CAST(4 * (i.i * 8 // {n}) AS INTEGER)) % 4)
+                   AS v
+          FROM docs d, range(0, {n}) i(i)
+        ), e AS (
+          SELECT s.doc_id, CAST(f.f AS INTEGER) AS f,
+                 CAST(SUM(s.v * s.v) AS BIGINT) AS energy
+          FROM s, range(0, {n_frames}) f(f)
+          WHERE s.i >= f.f * {hop} AND s.i < f.f * {hop} + {fl}
+          GROUP BY s.doc_id, f.f
+        ), bits AS (
+          SELECT doc_id, f,
+                 CASE WHEN energy > lag_e THEN 1 ELSE 0 END AS bit
+          FROM (
+            SELECT doc_id, f, energy,
+                   lag(energy) OVER (PARTITION BY doc_id ORDER BY f)
+                     AS lag_e
+            FROM e
+          ) WHERE lag_e IS NOT NULL
+        ), sigs AS (
+          SELECT doc_id,
+                 CAST(CAST(SUM(bit * (CAST(1 AS BIGINT) << (f - 1)))
+                      AS BIGINT) AS VARCHAR) AS signature
+          FROM bits GROUP BY doc_id
+        )
+        SELECT signature, CAST(count(*) AS BIGINT) AS n_clips,
+               array_to_string(list(doc_id ORDER BY doc_id), '-')
+                 AS doc_ids
+        FROM sigs GROUP BY signature
+    """
+
+
 _VIDEO_N_FRAMES = 6
 _VIDEO_H = 8
 _VIDEO_W = 10
@@ -4547,6 +4656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_dedup": media_image_dedup,
         "media_audio_features": media_audio_features,
         "media_audio_frames": media_audio_frames,
+        "media_audio_dedup": media_audio_dedup,
         "web_warcgz_roundtrip": web_warcgz_roundtrip,
         "train_bpe_encode": train_bpe_encode,
         "media_pdf_text": media_pdf_text,
@@ -5630,6 +5740,7 @@ def oracle_sql() -> dict[str, str]:
         "media_image_dedup": _dhash_oracle_sql(),
         "media_audio_features": _audio_features_oracle_sql(),
         "media_audio_frames": _audio_frames_oracle_sql(),
+        "media_audio_dedup": _audio_dedup_oracle_sql(),
         "web_warcgz_roundtrip": _WET_ORACLE_TMPL.format(norm=_NORM_SQL),
         "train_bpe_encode": _bpe_encode_oracle_sql(),
         "media_pdf_text": _pdf_text_oracle_sql(),

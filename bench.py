@@ -230,6 +230,8 @@ def main() -> None:
         # perceptual video dedup over per-frame dHash signatures
         "media_video_frames",
         "media_video_dedup",
+        # perceptual audio dedup over energy-envelope signatures
+        "media_audio_dedup",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -49,10 +49,13 @@ from deepseek_ocr_rs_spark.operators.multimodal import DecodeNotAvailable
 
 __all__ = [
     "synth_pcm_batch",
+    "synth_gained_pcm_batch",
     "decode_audio",
     "encode_wav_payloads",
     "audio_features",
     "audio_frame_energy",
+    "audio_envelope_signatures",
+    "audio_duplicate_groups",
 ]
 
 # the repo's shared LCG constants (functions/resample.py synth grid)
@@ -85,22 +88,62 @@ def decode_audio(payload: bytes):
         raise DecodeNotAvailable(str(exc)) from exc
 
 
+def synth_gained_pcm_batch(
+    keys: np.ndarray,
+    n_samples: int,
+    n_segments: int = 8,
+    gain_mod: int = 4,
+) -> np.ndarray:
+    """Key-distinct LOUDNESS CONTOURS for envelope-fingerprint fixtures.
+
+    :func:`synth_pcm_batch` gives every key the same stationary noise —
+    k only phase-shifts the LCG, so energy envelopes (and any
+    gain-invariant fingerprint) collide across keys (measured: 50 keys
+    -> 14 distinct 8-bit envelopes).  Here the base noise is scaled by
+    a per-key amplitude STAIRCASE — segment s of ``n_segments`` gets
+    gain ``1 + (k >> 4*s) % gain_mod`` (nibble s of the key) — so the
+    envelope carries ~``gain_mod**n_segments`` distinguishable shapes
+    while staying SQL-replicable:
+    ``(((k*MUL + i*STEP + ADD) % MOD) % 16384 - 8192)
+    * (1 + (k >> (4 * (i * n_segments div n))) % gain_mod)``.
+    Base range ±8192 times max gain ``gain_mod`` must stay inside
+    int16 (default 4 * 8192 = 32768 exactly hits the edge: -8192*4 =
+    -32768 ok, 8191*4 = 32764 ok).
+    """
+    keys = np.asarray(keys, dtype=np.int64)
+    if keys.size and (keys.min() < 0 or keys.max() >= (1 << 32)):
+        raise ValueError("keys must fit in [0, 2**32)")
+    if gain_mod * 8192 > 32768:
+        raise ValueError("gain_mod overflows int16")
+    i = np.arange(n_samples, dtype=np.int64)[None, :]
+    base = (keys[:, None] * _MUL + i * _STEP + _ADD) % _MOD % 16384 - 8192
+    seg = i * n_segments // n_samples
+    gain = 1 + (keys[:, None] >> (4 * seg)) % gain_mod
+    return (base * gain).astype(np.int16)
+
+
 def encode_wav_payloads(
     df: DataFrame,
     n_samples: int,
     sample_rate: int,
     id_col: str = "doc_id",
     key_col: str = "k",
+    synth=None,
 ) -> DataFrame:
-    """(id, key) -> (id, payload): deterministic PCM as real WAV bytes."""
+    """(id, key) -> (id, payload): deterministic PCM as real WAV bytes.
+
+    ``synth``: ``(keys, n_samples) -> (N, n_samples) int16``; defaults
+    to :func:`synth_pcm_batch`."""
     import pandas as pd
+
+    synth_fn = synth if synth is not None else synth_pcm_batch
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             if not len(pdf):
                 continue
             keys = pdf[key_col].to_numpy(dtype=np.int64)
-            pcm = synth_pcm_batch(keys, n_samples)
+            pcm = synth_fn(keys, n_samples)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -204,4 +247,84 @@ def audio_frame_energy(
 
     return media.select(id_col, payload_col).mapInPandas(
         run, schema="doc_id string, frame_idx int, frame_sum_sq long"
+    )
+
+
+def audio_envelope_signatures(
+    media: DataFrame,
+    frame_len: int,
+    hop: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, WAV payload) -> (doc_id, signature): perceptual audio
+    fingerprint from the energy envelope.
+
+    The clip is framed exactly as :func:`audio_frame_energy` (so the
+    two operators agree on window arithmetic), then each consecutive
+    frame pair contributes one bit — 1 iff energy RISES
+    (``e[f+1] > e[f]``) — the time-axis analog of the image tier's
+    right-neighbor dHash bit (operators/imagehash.py): the hash tracks
+    the SHAPE of the loudness contour, not its absolute level, which is
+    what survives re-encoding and gain normalization while reorder or
+    content edits flip bits.  Bits are packed little-endian into 32-bit
+    BIGINT chunks joined by 'x' — the repo's type-stable cross-engine
+    string contract (ann_pq_codes, video_dhash_signatures).  Clips
+    shorter than two frames hash to the empty signature.
+
+    Scale shape: one mapInPandas pass (decode + stride-view framing +
+    bit pack, all vectorized); no shuffle.
+    """
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sigs = []
+            for payload in pdf[payload_col]:
+                samples, _rate = decode_audio(payload)
+                v = samples[:, 0].astype(np.int64)
+                if v.size < frame_len:
+                    sigs.append("")
+                    continue
+                windows = sliding_window_view(v, frame_len)[::hop]
+                e = (windows * windows).sum(axis=1)
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                if not bits.size:
+                    sigs.append("")
+                    continue
+                chunks = []
+                for off in range(0, bits.size, 32):
+                    blk = bits[off:off + 32]
+                    chunks.append(
+                        str(int((blk << np.arange(blk.size)).sum()))
+                    )
+                sigs.append("x".join(chunks))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "signature": sigs})
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, schema="doc_id string, signature string"
+    )
+
+
+def audio_duplicate_groups(signatures: DataFrame) -> DataFrame:
+    """(doc_id, signature) -> one row per perceptual-duplicate clip group.
+
+    Output ``(signature, n_clips, doc_ids)``, doc_ids sorted and
+    '-'-joined.  ONE map-side combinable aggregate on the signature
+    string — ids-only shuffle, the same scale posture as
+    dhash_duplicate_groups / video_duplicate_groups.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        signatures.groupBy("signature")
+        .agg(
+            F.count("*").cast("long").alias("n_clips"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), "-"
+            ).alias("doc_ids"),
+        )
     )

@@ -290,6 +290,27 @@ AUDITS = {
         ("sample pass as Arrow map", "MapInPandas"),
         ("ordered member pack", "ObjectHashAggregate"),
     ],
+    "media_video_frames": [
+        # GIF synth/encode/decode/sample: chained Arrow maps riding the
+        # media table's partitioning; sample rows stay with their clip
+        ("Arrow map stages", "MapInPandas"),
+        ("zero exchanges (pure map)", "!Exchange"),
+    ],
+    "media_video_dedup": [
+        # decode+hash is a pure map; the ONLY shuffle at scale is the
+        # signature group (partial+final aggregate, ids-only) — the
+        # gate's 100-row post-limit fixture is single-partition, so even
+        # the grouping needs no exchange here
+        ("Arrow map stages", "MapInPandas"),
+        ("two-phase signature grouping", "ObjectHashAggregate"),
+    ],
+    "media_audio_dedup": [
+        # same posture as media_video_dedup in the time domain:
+        # WAV synth/encode/decode + envelope hash are chained Arrow
+        # maps, the signature group is the only (ids-only) aggregate
+        ("Arrow map stages", "MapInPandas"),
+        ("two-phase signature grouping", "ObjectHashAggregate"),
+    ],
     "train_bpe_encode": [
         # merge folds touch the DISTINCT-word vocab only; the corpus
         # join is left to AQE — broadcast at gate scale (seen here),

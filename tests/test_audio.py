@@ -164,3 +164,84 @@ class TestOperators:
             for r in audio_features(media.repartition(5)).collect()
         )
         assert a == b
+
+
+class TestEnvelopeDedup:
+    def test_gained_synth_bounds_and_formula(self):
+        """int16-safe and SQL-replicable: base mod 16384 - 8192 times
+        1 + nibble(k, seg) % 4, seg = i * 8 div n."""
+        from deepseek_ocr_rs_spark.operators.audio import (
+            synth_gained_pcm_batch,
+        )
+
+        k, n = 0xDEADBEEF, 160
+        v = synth_gained_pcm_batch(np.array([k]), n)[0].astype(np.int64)
+        for i in [0, 1, 19, 20, 80, 159]:
+            base = ((k * 1103515245 + i * 40503 + 12345)
+                    % 2147483647) % 16384 - 8192
+            gain = 1 + (k >> (4 * (i * 8 // n))) % 4
+            assert v[i] == base * gain, i
+        assert v.min() >= -32768 and v.max() <= 32767
+        with pytest.raises(ValueError):
+            synth_gained_pcm_batch(np.array([1]), 8, gain_mod=5)
+
+    def test_signatures_group_duplicates(self, spark):
+        """Same key -> same signature; distinct gain staircases ->
+        distinct signatures; a sub-frame clip hashes to ''."""
+        from deepseek_ocr_rs_spark.operators.audio import (
+            audio_duplicate_groups,
+            audio_envelope_signatures,
+            synth_gained_pcm_batch,
+        )
+
+        # keys chosen with visibly different nibble staircases
+        df = spark.createDataFrame(
+            [("a1", 0x01234567), ("a2", 0x01234567), ("b", 0x76543210)],
+            "doc_id string, k long",
+        )
+        media = encode_wav_payloads(
+            df, n_samples=2000, sample_rate=16000,
+            synth=synth_gained_pcm_batch,
+        )
+        sigs = audio_envelope_signatures(media, frame_len=200, hop=100)
+        groups = {
+            r["doc_ids"]: r["n_clips"]
+            for r in audio_duplicate_groups(sigs).collect()
+        }
+        assert groups == {"a1-a2": 2, "b": 1}
+
+    def test_short_clip_empty_signature(self, spark):
+        from deepseek_ocr_rs_spark.operators.audio import (
+            audio_envelope_signatures,
+        )
+
+        df = spark.createDataFrame([("t", 9)], "doc_id string, k long")
+        media = encode_wav_payloads(df, n_samples=5, sample_rate=100)
+        rows = audio_envelope_signatures(
+            media, frame_len=8, hop=4
+        ).collect()
+        assert rows[0]["signature"] == ""
+
+    def test_bit_pack_chunking(self, spark):
+        """>32 envelope bits split into 'x'-joined 32-bit chunks
+        (little-endian within each chunk)."""
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        from deepseek_ocr_rs_spark.operators.audio import (
+            audio_envelope_signatures,
+        )
+
+        n, fl, hop = 400, 10, 10  # 40 frames -> 39 bits -> 2 chunks
+        df = spark.createDataFrame([("c", 77)], "doc_id string, k long")
+        media = encode_wav_payloads(df, n_samples=n, sample_rate=8000)
+        sig = audio_envelope_signatures(
+            media, frame_len=fl, hop=hop
+        ).collect()[0]["signature"]
+        v = synth_pcm_batch(np.array([77]), n)[0].astype(np.int64)
+        e = (sliding_window_view(v, fl)[::hop] ** 2).sum(axis=1)
+        bits = (e[1:] > e[:-1]).astype(int)
+        want = "x".join(
+            str(sum(int(b) << j for j, b in enumerate(bits[off:off + 32])))
+            for off in range(0, len(bits), 32)
+        )
+        assert sig == want and "x" in sig
