@@ -2588,6 +2588,20 @@ def pipeline_curation(spark, sf_dir):
     )
 
 
+def pipeline_ccnet_buckets(spark, sf_dir):
+    """CCNet-style curation capstone (operators/ccnet.py): corpus-wide
+    keep-first paragraph dedup -> rebuild -> per-language integer-exact
+    bigram LM -> head/middle/tail cut at the 1/3 and 2/3 quantiles of
+    each language's score histogram.  The quantile cut runs over a
+    BOUNDED per-language histogram (<= BINS+1 rows), never a per-doc
+    global sort; the threshold row broadcasts back.  Oracle replicates
+    the whole chain (span chunking, keep-first window, floor-division
+    LM, histogram cut) in one CTE pipeline."""
+    from deepseek_ocr_rs_spark.operators.ccnet import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
 def ann_batch_topk(spark, sf_dir):
     """Batch exact k-NN: top-3 neighbors for EVERY query row (vec_id%50==0)
     in one plan — broadcast the query set, JVM-side cosine, one window.
@@ -4671,6 +4685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    boundary; recount when editing any section ------------------
         "media_bicubic_resample": media_bicubic_resample,
         "warc_http_responses": warc_http_responses,
+        "pipeline_ccnet_buckets": pipeline_ccnet_buckets,
         "emb_semantic_dedup": emb_semantic_dedup,
         "dedup_quality_keep_best": dedup_quality_keep_best,
         "train_global_ids": train_global_ids,
@@ -4813,6 +4828,7 @@ def oracle_sql() -> dict[str, str]:
         quality_prune_oracle_sql,
         semantic_dedup_oracle_sql,
     )
+    from deepseek_ocr_rs_spark.operators.ccnet import ccnet_oracle_sql
     from deepseek_ocr_rs_spark.operators.moe import moe_dispatch_oracle_sql
     from deepseek_ocr_rs_spark.operators.packing import pack_sequences_oracle_sql
     from deepseek_ocr_rs_spark.operators.spandedup import span_dedup_oracle_sql
@@ -5955,6 +5971,7 @@ def oracle_sql() -> dict[str, str]:
         "web_outlinks": outlinks_oracle_sql("documents"),
         "web_host_stats": host_stats_oracle_sql("documents"),
         "warc_http_responses": _WARC_HTTP_ORACLE,
+        "pipeline_ccnet_buckets": ccnet_oracle_sql(),
         "web_surt_latest": latest_captures_oracle_sql(
             _CAPTURE_CTE.format(where="")
         ),

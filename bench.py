@@ -232,6 +232,9 @@ def main() -> None:
         "media_video_dedup",
         # perceptual audio dedup over energy-envelope signatures
         "media_audio_dedup",
+        # round-5: CCNet-style curation capstone (paragraph keep-first
+        # dedup -> per-language bigram LM -> histogram-quantile buckets)
+        "pipeline_ccnet_buckets",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

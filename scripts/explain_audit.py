@@ -311,6 +311,14 @@ AUDITS = {
         ("Arrow map stages", "MapInPandas"),
         ("two-phase signature grouping", "ObjectHashAggregate"),
     ],
+    "pipeline_ccnet_buckets": [
+        # keep-first paragraph dedup shuffles on the md5 digest, never
+        # the paragraph text; the quantile cut's threshold row joins
+        # back as a broadcast — no per-doc global sort anywhere
+        ("dedup window keyed on the span digest", ".span as binary)"),
+        ("broadcast threshold join", "BroadcastHashJoin"),
+        ("partial aggs throughout", "HashAggregate"),
+    ],
     "train_bpe_encode": [
         # merge folds touch the DISTINCT-word vocab only; the corpus
         # join is left to AQE — broadcast at gate scale (seen here),
