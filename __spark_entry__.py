@@ -2602,6 +2602,109 @@ def pipeline_ccnet_buckets(spark, sf_dir):
     return ccnet_buckets(_t(spark, sf_dir, "documents"))
 
 
+def pipeline_web_curation(spark, sf_dir):
+    """Web-to-training-data capstone: the full Common-Crawl-shaped chain
+    in ONE declarative plan — WARC bytes -> HTTP response parse (status /
+    content-type / charset) -> 200-only filter -> REAL main-content
+    extraction (the flagship HTML boilerplate stripper) -> corpus-wide
+    exact dedup (keep min doc_id) -> token-count quality floor.
+
+    Every stage is an already-gated operator (sources/warc.py,
+    sources/http.py, operators/extract.py, the pipeline_curation dedup
+    window, operators/textstats.py) composed end-to-end; duplicates are
+    planted (doc_id%10==7 shares one body) so the dedup stage provably
+    fires THROUGH the byte-level parse and extraction.  Scale shape: the
+    parse+extract stages are chained Arrow maps with zero shuffles; the
+    only exchanges are the dedup window (keyed on the md5 digest of the
+    EXTRACTED text) and nothing else — the quality filter fuses map-side.
+    Oracle re-derives the surviving rows by construction (the
+    extract_html_wrapped invariant: extracted markdown == normalized
+    payload text)."""
+    from deepseek_ocr_rs_spark.operators.extract import extract_turns
+    from deepseek_ocr_rs_spark.operators.textstats import with_token_counts
+    from deepseek_ocr_rs_spark.sources.http import parse_http_responses
+    from deepseek_ocr_rs_spark.sources.warc import parse_warc
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 7, F.lit(("dup " * 40).strip())
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .where(F.col("text").rlike("^[^&<>]*$") & (F.trim("text") != ""))
+    )
+    i = F.col("doc_id").cast("string")
+    s3 = F.pmod(F.col("doc_id"), F.lit(3))
+    status_line = (
+        F.when(s3 == 0, F.lit(" 200 OK"))
+        .when(s3 == 1, F.lit(" 301 Moved Permanently"))
+        .otherwise(F.lit(" 404 Not Found"))
+    )
+    body_bin = F.encode(
+        F.concat(F.lit(_BOILER_PRE), F.col("text"), F.lit(_BOILER_POST)),
+        "UTF-8",
+    )
+    head = F.concat(
+        F.lit("HTTP/1.1"), status_line, F.lit("\r\n"),
+        F.lit("Content-Type: text/html; charset=UTF-8\r\n"),
+        F.lit("Content-Length: "),
+        F.octet_length(body_bin).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    http_payload = F.concat(F.encode(head, "UTF-8"), body_bin)
+    warc_head = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:w-"),
+        i,
+        F.lit(">\r\nContent-Type: application/http;msgtype=response"),
+        F.lit("\r\nWARC-Target-URI: http://example"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".com/d/"), i,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(http_payload).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    blob = F.concat(
+        F.encode(warc_head, "UTF-8"), http_payload,
+        F.encode(F.lit("\r\n\r\n"), "UTF-8"),
+    )
+    files = docs.select(i.alias("file_id"), blob.alias("content"))
+    recs = parse_warc(files).where(F.col("warc_type") == "response")
+    pages = parse_http_responses(recs).where(
+        (F.col("http.status") == 200)
+        & (F.col("http.content_type") == "text/html")
+    )
+    turns = pages.select(
+        F.col("file_id").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("http.body_text").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    ext = extract_turns(turns).select(
+        F.col("conv_id").cast("long").alias("doc_id"), "text_md"
+    )
+    w = Window.partitionBy(F.md5("text_md")).orderBy("doc_id")
+    uniq = (
+        ext.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # rejoin the REAL parsed WARC-Target-URI (narrow id->uri table) so
+    # the output URL proves the byte-level header parse, not arithmetic
+    urls = pages.select(
+        F.col("file_id").cast("long").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+    )
+    return (
+        with_token_counts(uniq.join(urls, "doc_id"), text_col="text_md")
+        .where(F.col("n_ws_tokens") >= 20)
+        .select("doc_id", "url", "n_ws_tokens", "text_md")
+    )
+
+
 def ann_batch_topk(spark, sf_dir):
     """Batch exact k-NN: top-3 neighbors for EVERY query row (vec_id%50==0)
     in one plan — broadcast the query set, JVM-side cosine, one window.
@@ -4686,6 +4789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_bicubic_resample": media_bicubic_resample,
         "warc_http_responses": warc_http_responses,
         "pipeline_ccnet_buckets": pipeline_ccnet_buckets,
+        "pipeline_web_curation": pipeline_web_curation,
         "emb_semantic_dedup": emb_semantic_dedup,
         "dedup_quality_keep_best": dedup_quality_keep_best,
         "train_global_ids": train_global_ids,
@@ -5972,6 +6076,39 @@ def oracle_sql() -> dict[str, str]:
         "web_host_stats": host_stats_oracle_sql("documents"),
         "warc_http_responses": _WARC_HTTP_ORACLE,
         "pipeline_ccnet_buckets": ccnet_oracle_sql(),
+        "pipeline_web_curation": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 7
+                          THEN trim(repeat('dup ', 40))
+                          ELSE text END AS text
+              FROM documents
+            ), eligible AS (
+              SELECT doc_id, {_NORM_SQL} AS text_md
+              FROM planted
+              WHERE regexp_full_match(text, '[^&<>]*')
+                AND trim(text) <> '' AND doc_id % 3 = 0
+            ), uniq AS (
+              SELECT doc_id, text_md FROM (
+                SELECT doc_id, text_md,
+                       row_number() OVER (PARTITION BY md5(text_md)
+                                          ORDER BY doc_id) AS rn
+                FROM eligible
+              ) WHERE rn = 1
+            )
+            SELECT doc_id,
+                   'http://example' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(CASE WHEN trim(text_md) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text_md),
+                                                       '\\s+'))
+                        END AS BIGINT) AS n_ws_tokens,
+                   text_md
+            FROM uniq
+            WHERE CASE WHEN trim(text_md) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text_md), '\\s+'))
+                  END >= 20
+        """,
         "web_surt_latest": latest_captures_oracle_sql(
             _CAPTURE_CTE.format(where="")
         ),

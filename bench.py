@@ -235,6 +235,8 @@ def main() -> None:
         # round-5: CCNet-style curation capstone (paragraph keep-first
         # dedup -> per-language bigram LM -> histogram-quantile buckets)
         "pipeline_ccnet_buckets",
+        # round-5: WARC -> HTTP -> extract -> dedup -> quality capstone
+        "pipeline_web_curation",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

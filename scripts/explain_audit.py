@@ -319,6 +319,15 @@ AUDITS = {
         ("broadcast threshold join", "BroadcastHashJoin"),
         ("partial aggs throughout", "HashAggregate"),
     ],
+    "pipeline_web_curation": [
+        # WARC parse -> HTTP parse -> extraction are chained Arrow maps;
+        # the only exchanges are the extracted-text dedup window and the
+        # narrow id->uri rejoin; the quality floor fuses map-side
+        ("chained Arrow stages", "MapInPandas"),
+        ("extraction kernel stage", "MapInArrow"),
+        ("dedup window on the extracted digest", "md5(cast(text_md"),
+        ("map-side quality filter", "* Filter"),
+    ],
     "train_bpe_encode": [
         # merge folds touch the DISTINCT-word vocab only; the corpus
         # join is left to AQE — broadcast at gate scale (seen here),
