@@ -2705,6 +2705,35 @@ def pipeline_web_curation(spark, sf_dir):
     )
 
 
+_LICENSE_BLURB = (
+    "this work is licensed under the creative commons attribution share"
+    " alike four point zero international license terms"
+)
+
+
+def dedup_substring_spans(spark, sf_dir):
+    """ExactSubstr dedup (operators/substr.py, Lee et al. 2022 re-shaped
+    for Spark): every maximal token span whose 8-gram windows all repeat
+    corpus-wide.  A 16-word license blurb is planted on doc_id%5==0 docs
+    so a known cross-doc verbatim passage exists alongside the corpus's
+    natural n-gram repeats; the operator must find BOTH.  Scale shape:
+    one gram-keyed shuffle (map-side partial count), a gram-keyed join
+    reusing that exchange, one doc-partitioned window — no global sort,
+    no Python."""
+    from deepseek_ocr_rs_spark.operators.substr import (
+        duplicate_substring_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.trim("text"), F.lit(" " + _LICENSE_BLURB)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return duplicate_substring_spans(docs, k=8, min_count=2)
+
+
 def ann_batch_topk(spark, sf_dir):
     """Batch exact k-NN: top-3 neighbors for EVERY query row (vec_id%50==0)
     in one plan — broadcast the query set, JVM-side cosine, one window.
@@ -4790,6 +4819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_http_responses": warc_http_responses,
         "pipeline_ccnet_buckets": pipeline_ccnet_buckets,
         "pipeline_web_curation": pipeline_web_curation,
+        "dedup_substring_spans": dedup_substring_spans,
         "emb_semantic_dedup": emb_semantic_dedup,
         "dedup_quality_keep_best": dedup_quality_keep_best,
         "train_global_ids": train_global_ids,
@@ -4933,6 +4963,9 @@ def oracle_sql() -> dict[str, str]:
         semantic_dedup_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.ccnet import ccnet_oracle_sql
+    from deepseek_ocr_rs_spark.operators.substr import (
+        substring_spans_oracle_sql,
+    )
     from deepseek_ocr_rs_spark.operators.moe import moe_dispatch_oracle_sql
     from deepseek_ocr_rs_spark.operators.packing import pack_sequences_oracle_sql
     from deepseek_ocr_rs_spark.operators.spandedup import span_dedup_oracle_sql
@@ -6076,6 +6109,13 @@ def oracle_sql() -> dict[str, str]:
         "web_host_stats": host_stats_oracle_sql("documents"),
         "warc_http_responses": _WARC_HTTP_ORACLE,
         "pipeline_ccnet_buckets": ccnet_oracle_sql(),
+        "dedup_substring_spans": substring_spans_oracle_sql(
+            table=(
+                "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN trim(text)"
+                f" || ' {_LICENSE_BLURB}' ELSE text END AS text"
+                " FROM documents)"
+            )
+        ),
         "pipeline_web_curation": f"""
             WITH planted AS (
               SELECT doc_id,
