@@ -2734,6 +2734,27 @@ def dedup_substring_spans(spark, sf_dir):
     return duplicate_substring_spans(docs, k=8, min_count=2)
 
 
+def dedup_substring_cut(spark, sf_dir):
+    """ExactSubstr apply step (operators/substr.py): the same planted
+    corpus as dedup_substring_spans, re-emitted with every duplicated
+    span cut at token granularity (Lee et al. 2022 drop-all-copies
+    policy).  One row per input doc; clean docs pass through with zero
+    counters.  Scale shape: the finder's two exchanges + one doc-keyed
+    left join — token surgery is a JVM array lambda."""
+    from deepseek_ocr_rs_spark.operators.substr import (
+        cut_duplicate_substrings,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.trim("text"), F.lit(" " + _LICENSE_BLURB)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return cut_duplicate_substrings(docs, k=8, min_count=2)
+
+
 def ann_batch_topk(spark, sf_dir):
     """Batch exact k-NN: top-3 neighbors for EVERY query row (vec_id%50==0)
     in one plan — broadcast the query set, JVM-side cosine, one window.
@@ -4820,6 +4841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_ccnet_buckets": pipeline_ccnet_buckets,
         "pipeline_web_curation": pipeline_web_curation,
         "dedup_substring_spans": dedup_substring_spans,
+        "dedup_substring_cut": dedup_substring_cut,
         "emb_semantic_dedup": emb_semantic_dedup,
         "dedup_quality_keep_best": dedup_quality_keep_best,
         "train_global_ids": train_global_ids,
@@ -4964,6 +4986,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.ccnet import ccnet_oracle_sql
     from deepseek_ocr_rs_spark.operators.substr import (
+        substring_cut_oracle_sql,
         substring_spans_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.moe import moe_dispatch_oracle_sql
@@ -6110,6 +6133,13 @@ def oracle_sql() -> dict[str, str]:
         "warc_http_responses": _WARC_HTTP_ORACLE,
         "pipeline_ccnet_buckets": ccnet_oracle_sql(),
         "dedup_substring_spans": substring_spans_oracle_sql(
+            table=(
+                "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN trim(text)"
+                f" || ' {_LICENSE_BLURB}' ELSE text END AS text"
+                " FROM documents)"
+            )
+        ),
+        "dedup_substring_cut": substring_cut_oracle_sql(
             table=(
                 "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN trim(text)"
                 f" || ' {_LICENSE_BLURB}' ELSE text END AS text"

@@ -122,6 +122,62 @@ def duplicate_substring_spans(
     )
 
 
+def cut_duplicate_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr APPLY step: re-emit every doc with its duplicated
+    spans (as found by :func:`duplicate_substring_spans`) cut out at
+    token granularity — the Lee et al. 2022 policy of dropping every
+    marked occurrence (their released tool cuts all copies; "keep one"
+    needs a global occurrence order that doesn't distribute).
+
+    Returns ``(id, clean_text, n_tokens int, n_tokens_removed int,
+    n_spans_cut int)`` — one row per INPUT doc (docs with no duplicated
+    span pass through with zero counters, so the output is a drop-in
+    replacement corpus).
+
+    Scale shape: the span finder's two exchanges, plus ONE doc-keyed
+    join of (doc, span-list).  Span lists per doc are tiny (bounded by
+    n_tokens/k islands); token filtering is a JVM lambda over the
+    already-materialized token array — no Python, no extra window.
+    """
+    spans = duplicate_substring_spans(
+        df, id_col=id_col, text_col=text_col, k=k, min_count=min_count
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.count("*").cast("int").alias("n_spans_cut"),
+    )
+    toked = df.select(
+        F.col(id_col),
+        F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("_toks"),
+    )
+    joined = toked.join(per_doc, id_col, "left")
+    kept = F.filter(
+        F.col("_toks"),
+        lambda _tok, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.when(F.col("_spans").isNull(), F.array_join("_toks", " "))
+        .otherwise(F.array_join(kept, " "))
+        .alias("clean_text"),
+        F.size("_toks").alias("n_tokens"),
+        F.when(F.col("_spans").isNull(), F.lit(0))
+        .otherwise(F.size("_toks") - F.size(kept))
+        .cast("int")
+        .alias("n_tokens_removed"),
+        F.coalesce("n_spans_cut", F.lit(0)).alias("n_spans_cut"),
+    )
+
+
 def substring_spans_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",
@@ -176,4 +232,61 @@ def substring_spans_oracle_sql(
                CAST(count(*) AS BIGINT) AS n_windows
         FROM islands
         GROUP BY {id_col}, isl
+    """
+
+
+def substring_cut_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> str:
+    """DuckDB SQL replicating ``cut_duplicate_substrings``: the span
+    CTEs of :func:`substring_spans_oracle_sql`, then a per-token
+    anti-join on position containment and an ordered re-agg."""
+    spans = substring_spans_oracle_sql(
+        table=table, id_col=id_col, text_col=text_col, k=k,
+        min_count=min_count,
+    )
+    return f"""
+        WITH spans AS ({spans}),
+        toks AS (
+          SELECT {id_col},
+                 list_filter(string_split({text_col}, ' '), x -> x <> '')
+                   AS w
+          FROM {table}
+        ),
+        tokens AS (
+          SELECT {id_col}, CAST(i AS INT) AS pos, w[i + 1] AS tok
+          FROM toks, LATERAL unnest(range(0, len(w))) AS t(i)
+        ),
+        kept AS (
+          SELECT t.{id_col}, t.pos, t.tok
+          FROM tokens t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.{id_col} = t.{id_col}
+              AND t.pos >= s.span_start AND t.pos < s.span_end
+          )
+        ),
+        agg AS (
+          SELECT {id_col},
+                 string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY {id_col}
+        ),
+        nsp AS (
+          SELECT {id_col}, CAST(count(*) AS INT) AS n_spans_cut
+          FROM spans GROUP BY {id_col}
+        )
+        SELECT d.{id_col},
+               COALESCE(a.clean_text, '') AS clean_text,
+               CAST(len(d.w) AS INT) AS n_tokens,
+               CAST(len(d.w) - COALESCE(a.n_kept, 0) AS INT)
+                 AS n_tokens_removed,
+               COALESCE(nsp.n_spans_cut, 0) AS n_spans_cut
+        FROM toks d
+        LEFT JOIN agg a USING ({id_col})
+        LEFT JOIN nsp USING ({id_col})
     """

@@ -7,7 +7,10 @@ corpus-wide, with within-doc repeats counted like a suffix array would.
 
 import pytest
 
-from deepseek_ocr_rs_spark.operators.substr import duplicate_substring_spans
+from deepseek_ocr_rs_spark.operators.substr import (
+    cut_duplicate_substrings,
+    duplicate_substring_spans,
+)
 
 
 @pytest.fixture(scope="module")
@@ -74,6 +77,36 @@ def test_abutting_windows_merge_into_one_island(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = _spans(duplicate_substring_spans(df, k=4, min_count=2))
     assert out == {(1, 0): (8, 8, 5), (2, 0): (8, 8, 5)}
+
+
+def test_cut_removes_marked_spans(spark, corpus):
+    out = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_tokens_removed,
+                   r.n_spans_cut)
+        for r in cut_duplicate_substrings(corpus, k=4, min_count=2).collect()
+    }
+    # one row per INPUT doc, even the empty / short / unique ones
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    # docs 1/7: "alpha the quick brown fox jumps" (6 tokens) cut
+    assert out[1] == ("beta gamma", 8, 6, 1)
+    assert out[7] == ("omega", 7, 6, 1)
+    # doc 2: only the 5-token shared suffix cut
+    assert out[2] == ("delta epsilon zeta", 8, 5, 1)
+    # doc 3: both within-doc islands cut, "mid" survives
+    assert out[3] == ("mid", 9, 8, 2)
+    # untouched docs pass through (single-space normalized join)
+    assert out[4] == (
+        "totally unique content with no repeats anywhere at all", 9, 0, 0)
+    assert out[5] == ("too short", 2, 0, 0)
+    assert out[6] == ("", 0, 0, 0)
+
+
+def test_cut_fully_duplicated_doc_empties(spark):
+    rows = [(1, "a b c d e f g h"), (2, "a b c d e f g h")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.clean_text, r.n_tokens_removed)
+           for r in cut_duplicate_substrings(df, k=4).collect()}
+    assert out == {1: ("", 8), 2: ("", 8)}
 
 
 def test_partitioning_invariance(spark, corpus):
