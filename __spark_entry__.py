@@ -2711,6 +2711,26 @@ _LICENSE_BLURB = (
 )
 
 
+def _sft_loss_mask_oracle() -> str:
+    from deepseek_ocr_rs_spark.operators.sft import loss_mask_oracle_sql
+
+    # exactly _events_as_turns + the view->empty mapping of
+    # conv_render_deepseek / sft_loss_mask_spans
+    turns = """
+        SELECT CAST(user_id AS VARCHAR) AS conv_id,
+               CAST(event_id AS INT) AS turn_idx,
+               CASE event_type WHEN 'click' THEN 'user'
+                               WHEN 'view' THEN 'system'
+                               ELSE 'assistant' END AS role,
+               CASE WHEN event_type = 'view' THEN '' ELSE event_type END
+                 AS text
+        FROM events
+    """
+    return loss_mask_oracle_sql(
+        turns, system_message="You are a helpful OCR assistant."
+    )
+
+
 def dedup_substring_spans(spark, sf_dir):
     """ExactSubstr dedup (operators/substr.py, Lee et al. 2022 re-shaped
     for Spark): every maximal token span whose 8-gram windows all repeat
@@ -2753,6 +2773,27 @@ def dedup_substring_cut(spark, sf_dir):
         ).otherwise(F.col("text")).alias("text"),
     )
     return cut_duplicate_substrings(docs, k=8, min_count=2)
+
+
+def sft_loss_mask_spans(spark, sf_dir):
+    """Per-turn char spans + SFT loss mask (operators/sft.py) over the
+    SAME corpus/template conv_render_deepseek renders ('view' events ->
+    empty text, exercising the no-loss bare `Role:` branch): one row per
+    turn with its [piece_start, piece_end) interval in the rendered
+    prompt and, for non-empty assistant turns, the masked
+    [mask_start, mask_end) = content + trailing separator.  One conv_id
+    exchange (the renderer's own); offsets are a window prefix sum."""
+    from deepseek_ocr_rs_spark.operators.sft import loss_mask_spans
+
+    ev = _t(spark, sf_dir, "events")
+    turns = _events_as_turns(ev).withColumn(
+        "text",
+        F.when(F.col("role") == "system", F.lit("")).otherwise(F.col("text")),
+    )
+    return loss_mask_spans(
+        turns, "deepseek",
+        system_message="You are a helpful OCR assistant.",
+    )
 
 
 def ann_batch_topk(spark, sf_dir):
@@ -4842,6 +4883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_web_curation": pipeline_web_curation,
         "dedup_substring_spans": dedup_substring_spans,
         "dedup_substring_cut": dedup_substring_cut,
+        "sft_loss_mask_spans": sft_loss_mask_spans,
         "emb_semantic_dedup": emb_semantic_dedup,
         "dedup_quality_keep_best": dedup_quality_keep_best,
         "train_global_ids": train_global_ids,
@@ -6139,6 +6181,7 @@ def oracle_sql() -> dict[str, str]:
                 " FROM documents)"
             )
         ),
+        "sft_loss_mask_spans": _sft_loss_mask_oracle(),
         "dedup_substring_cut": substring_cut_oracle_sql(
             table=(
                 "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN trim(text)"
