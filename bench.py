@@ -237,6 +237,11 @@ def main() -> None:
         "pipeline_ccnet_buckets",
         # round-5: WARC -> HTTP -> extract -> dedup -> quality capstone
         "pipeline_web_curation",
+        # round-5: ExactSubstr duplicated-span finder + cut apply step,
+        # SFT loss-mask span computation over the deepseek rendering
+        "dedup_substring_spans",
+        "dedup_substring_cut",
+        "sft_loss_mask_spans",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -432,6 +432,35 @@ AUDITS = {
         ("top-k without global sort", "TakeOrderedAndProject"),
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
+    "dedup_substring_spans": [
+        # ExactSubstr finder: the gram frequency agg is the only
+        # corpus-wide shuffle (map-side combined, keyed on the gram);
+        # the mark-back join is gram-keyed (broadcast at gate scale);
+        # island merge is ONE doc-partitioned window; tokenization is
+        # projected once, never re-inlined — all JVM lambdas
+        ("map-side gram frequency", "HashAggregate"),
+        ("doc-partitioned island window", "hashpartitioning(doc_id"),
+        ("no Python in the plan", "!ArrowEvalPython"),
+        ("no row-Python either", "!BatchEvalPython"),
+        ("never corpus-squared", "!CartesianProduct"),
+    ],
+    "dedup_substring_cut": [
+        # apply step: the finder's exchanges + ONE doc-keyed left join
+        # of (doc, span-list); token surgery is a JVM array lambda
+        ("span-list agg", "ObjectHashAggregate"),
+        ("doc-keyed rejoin", "doc_id"),
+        ("no Python in the plan", "!ArrowEvalPython"),
+        ("no row-Python either", "!BatchEvalPython"),
+    ],
+    "sft_loss_mask_spans": [
+        # per-turn offsets are a prefix sum over the SAME conv_id
+        # window partitioning the renderer shuffles on — one exchange,
+        # two stacked Window nodes, zero Python
+        ("single conv exchange", "hashpartitioning(conv_id"),
+        ("prefix-sum window", "Window"),
+        ("no Python in the plan", "!ArrowEvalPython"),
+        ("no row-Python either", "!BatchEvalPython"),
+    ],
 }
 
 
