@@ -2796,6 +2796,133 @@ def sft_loss_mask_spans(spark, sf_dir):
     )
 
 
+def _c4_planted_docs(spark, sf_dir):
+    """documents re-shaped into deterministic multi-line pages so every
+    C4 rule fires: two always-kept sentences, a no-terminal line, a
+    javascript line, a fifth sentence on doc_id%5 (tipping those pages
+    over min_kept_lines), lorem-ipsum on %17, a brace on %13."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    l1 = F.concat(F.lit("Intro sentence about "), w[0], F.lit(" systems."))
+    l2 = F.when(
+        F.col("doc_id") % 17 == 0, F.lit("short lorem ipsum one")
+    ).otherwise(F.lit("short one"))
+    l3 = F.concat(w[1], F.lit(" enables javascript rendering today."))
+    l4 = F.concat(
+        F.lit("We discuss "), w[2], F.lit(" and "), w[3],
+        F.lit(" tradeoffs."),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" {")).otherwise(F.lit("")),
+    )
+    l5 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit("Also see the appendix for details."),
+    ).otherwise(F.lit("no punct line"))
+    return d.select(
+        "doc_id",
+        F.concat_ws("\n", l1, l2, l3, l4, l5).alias("text"),
+    )
+
+
+_C4_PLANT_SQL = """
+    SELECT doc_id,
+           'Intro sentence about ' || w[1] || ' systems.' || chr(10) ||
+           CASE WHEN doc_id % 17 = 0 THEN 'short lorem ipsum one'
+                ELSE 'short one' END || chr(10) ||
+           w[2] || ' enables javascript rendering today.' || chr(10) ||
+           'We discuss ' || w[3] || ' and ' || w[4] || ' tradeoffs.' ||
+           CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END || chr(10) ||
+           CASE WHEN doc_id % 5 = 0
+                THEN 'Also see the appendix for details.'
+                ELSE 'no punct line' END AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+def doc_c4_filters(spark, sf_dir):
+    """C4 line-level cleanup (operators/rulefilters.py, Raffel et al.
+    2020 §2.2) over deterministically line-structured pages: terminal
+    punctuation + min-words + javascript line rules, lorem-ipsum /
+    brace / too-few-lines page rules, every verdict + reason emitted
+    per input doc.  Pure map — fuses into the scan, zero shuffles."""
+    from deepseek_ocr_rs_spark.operators.rulefilters import c4_line_filters
+
+    return c4_line_filters(_c4_planted_docs(spark, sf_dir))
+
+
+def _gopher_planted_docs(spark, sf_dir):
+    """documents with deterministic mutations so every Gopher A1.1 rule
+    fires: stop-word grant on %7 (the keeps), short-word flood on %17
+    (mean length low bound), hash flood on %11, ellipsis flood on %13,
+    bullet prefix on %19; un-planted docs fail word_count (<50 words)
+    or stop_words (corpus vocabulary carries only 'the')."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    text = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(text, F.lit(" "), F.expr("repeat('aa ', 199)"), F.lit("aa")),
+    ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(text, F.lit(" ##########"))
+    ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(text, F.lit(" "), F.expr("repeat('wait... ', 24)"),
+                 F.lit("done...")),
+    ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 19 == 0, F.concat(F.lit("- "), text)
+    ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(text, F.lit(" and that have with")),
+    ).otherwise(text)
+    return d.select("doc_id", text.alias("text"))
+
+
+_GOPHER_PLANT_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN t4 || ' and that have with'
+                ELSE t4 END AS text
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 19 = 0 THEN '- ' || t3 ELSE t3 END AS t4
+      FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0
+                    THEN t2 || ' ' || repeat('wait... ', 24) || 'done...'
+                    ELSE t2 END AS t3
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN t1 || ' ##########'
+                      ELSE t1 END AS t2
+          FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 17 = 0
+                        THEN text || ' ' || repeat('aa ', 199) || 'aa'
+                        ELSE text END AS t1
+            FROM documents
+          )
+        )
+      )
+    )
+"""
+
+
+def doc_gopher_quality(spark, sf_dir):
+    """Gopher A1.1 document-level quality rules (operators/
+    rulefilters.py, Rae et al. 2021): word-count window, mean word
+    length window, hash/ellipsis symbol ratios (integer
+    cross-multiplied), bullet-line cap, stop-word floor — verdict +
+    first-failed-reason per input doc.  Companion of the A1.2
+    repetition signals in operators/repetition.py.  Pure map, zero
+    shuffles."""
+    from deepseek_ocr_rs_spark.operators.rulefilters import (
+        gopher_quality_filters,
+    )
+
+    return gopher_quality_filters(_gopher_planted_docs(spark, sf_dir))
+
+
 def ann_batch_topk(spark, sf_dir):
     """Batch exact k-NN: top-3 neighbors for EVERY query row (vec_id%50==0)
     in one plan — broadcast the query set, JVM-side cosine, one window.
@@ -4884,6 +5011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": dedup_substring_spans,
         "dedup_substring_cut": dedup_substring_cut,
         "sft_loss_mask_spans": sft_loss_mask_spans,
+        "doc_c4_filters": doc_c4_filters,
+        "doc_gopher_quality": doc_gopher_quality,
         "emb_semantic_dedup": emb_semantic_dedup,
         "dedup_quality_keep_best": dedup_quality_keep_best,
         "train_global_ids": train_global_ids,
@@ -5030,6 +5159,10 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.substr import (
         substring_cut_oracle_sql,
         substring_spans_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.rulefilters import (
+        c4_filters_oracle_sql,
+        gopher_filters_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.moe import moe_dispatch_oracle_sql
     from deepseek_ocr_rs_spark.operators.packing import pack_sequences_oracle_sql
@@ -6182,6 +6315,12 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "sft_loss_mask_spans": _sft_loss_mask_oracle(),
+        "doc_c4_filters": c4_filters_oracle_sql(
+            table=f"({_C4_PLANT_SQL})"
+        ),
+        "doc_gopher_quality": gopher_filters_oracle_sql(
+            table=f"({_GOPHER_PLANT_SQL})"
+        ),
         "dedup_substring_cut": substring_cut_oracle_sql(
             table=(
                 "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN trim(text)"
