@@ -242,6 +242,9 @@ def main() -> None:
         "dedup_substring_spans",
         "dedup_substring_cut",
         "sft_loss_mask_spans",
+        # round-5: C4 line filters + Gopher A1.1 quality rules
+        "doc_c4_filters",
+        "doc_gopher_quality",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -452,6 +452,18 @@ AUDITS = {
         ("no Python in the plan", "!ArrowEvalPython"),
         ("no row-Python either", "!BatchEvalPython"),
     ],
+    "doc_c4_filters": [
+        # rule filters are pure per-row expression chains: they fuse
+        # into the scan and never shuffle
+        ("zero exchanges (pure map)", "!Exchange"),
+        ("no Python in the plan", "!ArrowEvalPython"),
+        ("codegen", "codegen id"),
+    ],
+    "doc_gopher_quality": [
+        ("zero exchanges (pure map)", "!Exchange"),
+        ("no Python in the plan", "!ArrowEvalPython"),
+        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
     "sft_loss_mask_spans": [
         # per-turn offsets are a prefix sum over the SAME conv_id
         # window partitioning the renderer shuffles on — one exchange,
