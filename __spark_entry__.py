@@ -2923,6 +2923,17 @@ def doc_gopher_quality(spark, sf_dir):
     return gopher_quality_filters(_gopher_planted_docs(spark, sf_dir))
 
 
+def train_span_corruption(spark, sf_dir):
+    """T5-style span-corruption examples (operators/spancorrupt.py):
+    deterministic seeded-md5 noise spans (3 of every 20 tokens = T5's
+    15%) replaced by <extra_id_B> sentinels; target lists each sentinel
+    + its hidden tokens.  One (input, target) pair per doc; pure map,
+    zero shuffles — the denoising counterpart of sft_loss_mask_spans."""
+    from deepseek_ocr_rs_spark.operators.spancorrupt import corrupt_spans
+
+    return corrupt_spans(_t(spark, sf_dir, "documents"))
+
+
 def ann_batch_topk(spark, sf_dir):
     """Batch exact k-NN: top-3 neighbors for EVERY query row (vec_id%50==0)
     in one plan — broadcast the query set, JVM-side cosine, one window.
@@ -5013,6 +5024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_loss_mask_spans": sft_loss_mask_spans,
         "doc_c4_filters": doc_c4_filters,
         "doc_gopher_quality": doc_gopher_quality,
+        "train_span_corruption": train_span_corruption,
         "emb_semantic_dedup": emb_semantic_dedup,
         "dedup_quality_keep_best": dedup_quality_keep_best,
         "train_global_ids": train_global_ids,
@@ -5163,6 +5175,9 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.rulefilters import (
         c4_filters_oracle_sql,
         gopher_filters_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.spancorrupt import (
+        corrupt_spans_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.moe import moe_dispatch_oracle_sql
     from deepseek_ocr_rs_spark.operators.packing import pack_sequences_oracle_sql
@@ -6321,6 +6336,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher_quality": gopher_filters_oracle_sql(
             table=f"({_GOPHER_PLANT_SQL})"
         ),
+        "train_span_corruption": corrupt_spans_oracle_sql(),
         "dedup_substring_cut": substring_cut_oracle_sql(
             table=(
                 "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN trim(text)"
