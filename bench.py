@@ -245,6 +245,8 @@ def main() -> None:
         # round-5: C4 line filters + Gopher A1.1 quality rules
         "doc_c4_filters",
         "doc_gopher_quality",
+        # round-5: T5 span-corruption example construction
+        "train_span_corruption",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

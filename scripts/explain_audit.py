@@ -452,6 +452,13 @@ AUDITS = {
         ("no Python in the plan", "!ArrowEvalPython"),
         ("no row-Python either", "!BatchEvalPython"),
     ],
+    "train_span_corruption": [
+        # deterministic denoising collation is a pure expression chain
+        # over a once-projected token array
+        ("zero exchanges (pure map)", "!Exchange"),
+        ("no Python in the plan", "!ArrowEvalPython"),
+        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
     "doc_c4_filters": [
         # rule filters are pure per-row expression chains: they fuse
         # into the scan and never shuffle
