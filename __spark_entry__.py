@@ -2934,6 +2934,24 @@ def train_span_corruption(spark, sf_dir):
     return corrupt_spans(_t(spark, sf_dir, "documents"))
 
 
+def train_split_assignment(spark, sf_dir):
+    """Leakage-safe train/val/test splits (operators/splits.py): docs
+    hash-split 98/1/1 by their near-dup COMPONENT representative (the
+    dedup_components clusters; singletons are their own cluster), so
+    near-duplicate copies can never straddle train and eval.  One
+    doc-keyed left join + map-side seeded-md5 — nothing beyond what
+    dedup already paid."""
+    from deepseek_ocr_rs_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from deepseek_ocr_rs_spark.operators.splits import assign_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = connected_components(minhash_lsh_pairs(docs, threshold=0.5))
+    return assign_splits(docs, comp)
+
+
 def ann_batch_topk(spark, sf_dir):
     """Batch exact k-NN: top-3 neighbors for EVERY query row (vec_id%50==0)
     in one plan — broadcast the query set, JVM-side cosine, one window.
@@ -5025,6 +5043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_filters": doc_c4_filters,
         "doc_gopher_quality": doc_gopher_quality,
         "train_span_corruption": train_span_corruption,
+        "train_split_assignment": train_split_assignment,
         "emb_semantic_dedup": emb_semantic_dedup,
         "dedup_quality_keep_best": dedup_quality_keep_best,
         "train_global_ids": train_global_ids,
@@ -5179,6 +5198,7 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.spancorrupt import (
         corrupt_spans_oracle_sql,
     )
+    from deepseek_ocr_rs_spark.operators.splits import splits_oracle_sql
     from deepseek_ocr_rs_spark.operators.moe import moe_dispatch_oracle_sql
     from deepseek_ocr_rs_spark.operators.packing import pack_sequences_oracle_sql
     from deepseek_ocr_rs_spark.operators.spandedup import span_dedup_oracle_sql
@@ -6337,6 +6357,9 @@ def oracle_sql() -> dict[str, str]:
             table=f"({_GOPHER_PLANT_SQL})"
         ),
         "train_span_corruption": corrupt_spans_oracle_sql(),
+        "train_split_assignment": splits_oracle_sql(
+            components_oracle_sql(minhash_oracle_sql(threshold=0.5))
+        ),
         "dedup_substring_cut": substring_cut_oracle_sql(
             table=(
                 "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN trim(text)"

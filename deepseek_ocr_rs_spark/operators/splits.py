@@ -1,0 +1,89 @@
+"""Leakage-safe train/val/test split assignment.
+
+Hash-splitting a corpus doc-by-doc leaks near-duplicates across splits:
+two 0.9-Jaccard copies of a page land in train AND test, and the eval
+score silently measures memorization (the well-documented failure mode
+behind benchmark-contamination audits; same threat model as
+operators/repetition.py's decontamination).  The fix is to split by
+DEDUP CLUSTER, not by doc: every member of a connected near-dup
+component hashes on the component representative, so copies are
+train-or-eval together, never both.
+
+Mechanics: (doc, component_id) from operators/dedup.py
+``connected_components`` (large-star/small-star, O(log^2 n) rounds);
+docs in no pair are their own singleton cluster (left join + coalesce).
+The split decision reuses the repo's seeded md5 discipline
+(operators/sampling.py ``_u_col``): u = md5(rep:seed) mod 100, with
+buckets [0, train_pct) -> train, [train_pct, train_pct+val_pct) -> val,
+rest -> test.  Per-doc cost is one doc-keyed join (clusters are a
+vanishingly small table at real dedup rates) plus a map-side hash —
+nothing beyond what dedup already paid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _u_col
+
+
+def assign_splits(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 98,
+    val_pct: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, rep, split) for every doc in ``docs``: ``rep`` is the
+    near-dup component representative (the doc itself for singletons),
+    ``split`` in {train, val, test} decided by seeded md5 of rep —
+    cluster members ALWAYS share a split."""
+    if not (0 < train_pct and 0 <= val_pct
+            and train_pct + val_pct < 100):
+        raise ValueError("need train_pct + val_pct < 100")
+    rep = F.coalesce("component_id", F.col(id_col)).alias("rep")
+    with_rep = (
+        docs.select(id_col)
+        .join(components, id_col, "left")
+        .select(id_col, rep)
+    )
+    u = _u_col(F.col("rep"), seed) % 100
+    split = (
+        F.when(u < train_pct, "train")
+        .when(u < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return with_rep.select(id_col, "rep", split.alias("split"))
+
+
+def splits_oracle_sql(
+    components_sql: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    train_pct: int = 98,
+    val_pct: int = 1,
+    seed: int = 42,
+) -> str:
+    """DuckDB replica of :func:`assign_splits` over the component SQL
+    (any SELECT yielding (doc_id, component_id))."""
+    return f"""
+        WITH comp AS ({components_sql}),
+        reps AS (
+          SELECT d.{id_col},
+                 COALESCE(c.component_id, d.{id_col}) AS rep
+          FROM {table} d LEFT JOIN comp c
+            ON d.{id_col} = c.{id_col}
+        )
+        SELECT {id_col}, CAST(rep AS BIGINT) AS rep,
+               CASE WHEN u < {train_pct} THEN 'train'
+                    WHEN u < {train_pct} + {val_pct} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT *,
+                 CAST('0x' || substr(md5(CAST(rep AS VARCHAR)
+                      || ':' || {seed}), 1, 15) AS BIGINT) % 100 AS u
+          FROM reps
+        )
+    """
