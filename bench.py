@@ -247,6 +247,8 @@ def main() -> None:
         "doc_gopher_quality",
         # round-5: T5 span-corruption example construction
         "train_span_corruption",
+        # round-5: leakage-safe cluster-coherent splits
+        "train_split_assignment",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -452,6 +452,13 @@ AUDITS = {
         ("no Python in the plan", "!ArrowEvalPython"),
         ("no row-Python either", "!BatchEvalPython"),
     ],
+    "train_split_assignment": [
+        # split hashing adds ONE doc-keyed left join over the component
+        # table dedup already built; the decision itself is map-side
+        ("doc-keyed component join", "doc_id"),
+        ("no row-Python", "!BatchEvalPython"),
+        ("never corpus-squared", "!CartesianProduct"),
+    ],
     "train_span_corruption": [
         # deterministic denoising collation is a pure expression chain
         # over a once-projected token array
