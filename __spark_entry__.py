@@ -4975,6 +4975,94 @@ def search_bm25_topk(spark, sf_dir):
     )
 
 
+# ------------------------------------------- agent-transcript analytics
+# The input_hint table carries (role, tool, ts); these operators compute
+# the tool-usage statistics an agent-transcript corpus needs (reference
+# analog: per-turn tool markers in the chat template,
+# crates/server/src/conversation.rs).  Events are reinterpreted into the
+# transcript shape IDENTICALLY on both engines: purchases are tool turns
+# named tool_{event_id % 5}.
+
+_AGENT_TURNS_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(event_id AS INT) AS turn_idx,
+       CASE event_type WHEN 'click' THEN 'user'
+                       WHEN 'view' THEN 'system'
+                       WHEN 'purchase' THEN 'tool'
+                       ELSE 'assistant' END AS role,
+       event_type AS text,
+       CASE WHEN event_type = 'purchase'
+            THEN 'tool_' || CAST(event_id % 5 AS VARCHAR) END AS tool,
+       ts
+FROM events
+"""
+
+
+def _events_as_agent_turns(ev: DataFrame) -> DataFrame:
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "click", "user")
+        .when(F.col("event_type") == "view", "system")
+        .when(F.col("event_type") == "purchase", "tool")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("event_type").alias("text"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(F.lit("tool_"), (F.col("event_id") % 5).cast("string")),
+        ).alias("tool"),
+        F.col("ts"),
+    )
+
+
+def conv_tool_latency(spark, sf_dir):
+    """Per-tool call counts, conversation reach, and tool-roundtrip
+    latency (gap to the next turn in the conversation) — ONE conv_id
+    window shuffle + a small per-tool aggregate; all latency arithmetic
+    is exact integer milliseconds (operators/agentstats.py)."""
+    from deepseek_ocr_rs_spark.operators.agentstats import tool_usage_stats
+
+    return tool_usage_stats(_events_as_agent_turns(_t(spark, sf_dir, "events")))
+
+
+def conv_tool_runs(spark, sf_dir):
+    """Agent-loop detection: gaps-and-islands over consecutive tool turns
+    (runs >= 2) per conversation — two row_number windows over the SAME
+    (conv_id, turn_idx) ordering, so Catalyst plans one exchange."""
+    from deepseek_ocr_rs_spark.operators.agentstats import tool_call_runs
+
+    return tool_call_runs(
+        _events_as_agent_turns(_t(spark, sf_dir, "events")), min_len=2
+    )
+
+
+def doc_chunk_windows(spark, sf_dir):
+    """Sliding-window chunking (size=120 chars, stride=80) with character
+    offsets — shuffle-free sequence/posexplode/substring, the RAG-prep /
+    pretraining-sequence cut over the extraction output; chunk content
+    surfaced as md5 for fixed-width downstream dedup
+    (operators/chunking.py)."""
+    from deepseek_ocr_rs_spark.operators.chunking import chunk_windows
+
+    return chunk_windows(
+        _t(spark, sf_dir, "documents"), size=120, stride=80
+    )
+
+
+def ann_sq8_topk(spark, sf_dir):
+    """SQ8 scalar-quantization ANN (the FAISS SQ8 tier): per-dim affine
+    uint8 codes trained in ONE min/max aggregate pass, exact int64
+    code-dot-product top-10 vs the vec_id=0 query — every post-training
+    step is integer arithmetic, so the oracle checks scores exactly
+    (operators/sq.py)."""
+    from deepseek_ocr_rs_spark.operators.sq import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sq8_topk(emb, [float(x) for x in q], k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the external driver CORRECTNESS-checks the FIRST 50
     # entries.  Round 5 rotates in the 26 queries that have never received
@@ -5160,6 +5248,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_compaction": conv_compaction,
         "media_features": media_features,
         "media_frame_plan": media_frame_plan,
+        # -- round-5 continuation: agent-transcript tool analytics,
+        #    sliding-window chunking, SQ8 scalar-quantization ANN -------
+        "conv_tool_latency": conv_tool_latency,
+        "conv_tool_runs": conv_tool_runs,
+        "doc_chunk_windows": doc_chunk_windows,
+        "ann_sq8_topk": ann_sq8_topk,
     }
 
 
@@ -5199,6 +5293,14 @@ def oracle_sql() -> dict[str, str]:
         corrupt_spans_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.splits import splits_oracle_sql
+    from deepseek_ocr_rs_spark.operators.agentstats import (
+        tool_runs_oracle_sql,
+        tool_stats_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.chunking import (
+        chunk_windows_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.sq import sq8_topk_oracle_sql
     from deepseek_ocr_rs_spark.operators.moe import moe_dispatch_oracle_sql
     from deepseek_ocr_rs_spark.operators.packing import pack_sequences_oracle_sql
     from deepseek_ocr_rs_spark.operators.spandedup import span_dedup_oracle_sql
@@ -6684,6 +6786,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_textrank_terms": textrank_terms_oracle_sql(
             "documents", k=30, iters=3
         ),
+        "conv_tool_latency": tool_stats_oracle_sql(_AGENT_TURNS_SQL),
+        "conv_tool_runs": tool_runs_oracle_sql(_AGENT_TURNS_SQL, min_len=2),
+        "doc_chunk_windows": chunk_windows_oracle_sql(
+            "SELECT doc_id, text FROM documents", size=120, stride=80
+        ),
+        "ann_sq8_topk": sq8_topk_oracle_sql("embeddings", query_id=0, k=10),
         # rows-only (non-SQL-expressible): doc_fingerprint, doc_lang_id,
         # dedup_minhash_pairs, dedup_simhash_candidates, ann_lsh, ann_ivf
     }

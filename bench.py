@@ -249,6 +249,12 @@ def main() -> None:
         "train_span_corruption",
         # round-5: leakage-safe cluster-coherent splits
         "train_split_assignment",
+        # round-5 continuation: agent-transcript tool analytics,
+        # sliding-window chunking, SQ8 scalar-quantization ANN
+        "conv_tool_latency",
+        "conv_tool_runs",
+        "doc_chunk_windows",
+        "ann_sq8_topk",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -1,0 +1,170 @@
+"""Agent-transcript analytics over the (conv_id, turn_idx, role, text,
+tool, ts) shape — the BASELINE.json input_hint table.
+
+The reference serves multi-turn agent conversations whose tool-call turns
+carry a tool name and a timestamp (chat template tool markers,
+``crates/server/src/conversation.rs``); these operators compute the
+corpus-level statistics an operator of such a service needs:
+
+  tool_usage_stats   per-tool call counts, conversation reach, and the
+                     latency from a tool turn to the NEXT turn in the same
+                     conversation (the tool-roundtrip proxy).  One window
+                     pass partitioned by conv_id (single shuffle), then a
+                     small per-tool hash aggregate.
+
+  tool_call_runs     gaps-and-islands over consecutive tool turns: an
+                     agent that calls tools N times in a row with no
+                     intervening user/assistant turn is in a tool LOOP.
+                     Two row_number windows over the SAME (conv_id,
+                     turn_idx) ordering -> one exchange, two in-partition
+                     sorts, then a hash aggregate on the island key.
+
+Scale posture (100 TB): both operators shuffle exactly once on conv_id —
+the same key the extraction pipeline already ranges on, so under a shared
+partitioning they are exchange-free.  Latency arithmetic is integer
+milliseconds (unix_millis), so aggregates are exact and order-independent;
+the only doubles are final rounded averages of exact integer sums.
+
+Oracle parity: every step (row_number, lead, epoch-ms difference, integer
+sums) is replicated verbatim in DuckDB SQL by the *_oracle_sql builders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tool_usage_stats",
+    "tool_call_runs",
+    "tool_stats_oracle_sql",
+    "tool_runs_oracle_sql",
+]
+
+
+def tool_usage_stats(turns: DataFrame) -> DataFrame:
+    """Per-tool usage + roundtrip-latency stats.
+
+    For every role='tool' turn, the latency is the gap (ms) to the next
+    turn of ANY role in the same conversation — on agent transcripts the
+    turn after a tool call is the model consuming the tool result, so the
+    gap prices the tool roundtrip.  Conversations ending on a tool turn
+    contribute the call but no gap (lead is NULL at the frontier).
+
+    Output: (tool, n_calls, n_convs, total_gap_ms, avg_gap_ms) with
+    total_gap_ms an exact int64 sum and avg_gap_ms = round(total/n, 2) —
+    a double division of exact integers, deterministic cross-engine.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # parquet timestamps arrive as TIMESTAMP_NTZ; under the UTC session
+    # the cast is the identity wall-clock reading DuckDB's epoch_ms uses
+    ts_utc = F.col("ts").cast("timestamp")
+    gap = (
+        F.unix_millis(F.lead(ts_utc).over(w)) - F.unix_millis(ts_utc)
+    ).alias("gap_ms")
+    tool_turns = (
+        turns.select("conv_id", "turn_idx", "role", "tool", "ts")
+        .withColumn("gap_ms", gap)
+        .where(F.col("role") == "tool")
+    )
+    return (
+        tool_turns.groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum("gap_ms").alias("total_gap_ms"),
+            # floor(x*100 + 0.5)/100 SPELLED OUT on both engines: sums of
+            # exact ms divided by power-of-two counts land EXACTLY on the
+            # half-grid, where engine-native round() modes diverge (the q2
+            # money discipline, __spark_entry__.py)
+            (
+                F.floor(F.sum("gap_ms") / F.count("gap_ms") * 100 + 0.5)
+                / 100
+            ).alias("avg_gap_ms"),
+        )
+        .orderBy("tool")
+    )
+
+
+def tool_call_runs(turns: DataFrame, min_len: int = 1) -> DataFrame:
+    """Consecutive tool-turn runs (agent loops) per conversation.
+
+    Island key: seq - row_number-over-tool-turns, where seq is the turn's
+    row_number over ALL turns of the conversation — consecutive tool turns
+    (no intervening non-tool turn) share the key even when turn_idx has
+    numbering gaps.  Both windows order by the same (conv_id, turn_idx),
+    so Catalyst plans ONE exchange.
+
+    Output: (conv_id, first_turn, last_turn, run_len, n_tools), runs of
+    length >= min_len, n_tools = distinct tool names inside the run.
+    """
+    w_all = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = turns.select("conv_id", "turn_idx", "role", "tool").withColumn(
+        "seq", F.row_number().over(w_all)
+    )
+    tool_turns = seq.where(F.col("role") == "tool").withColumn(
+        "isl", F.col("seq") - F.row_number().over(w_all)
+    )
+    return (
+        tool_turns.groupBy("conv_id", "isl")
+        .agg(
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+            F.count(F.lit(1)).alias("run_len"),
+            F.countDistinct("tool").alias("n_tools"),
+        )
+        .where(F.col("run_len") >= min_len)
+        .select("conv_id", "first_turn", "last_turn", "run_len", "n_tools")
+    )
+
+
+# --------------------------------------------------------------- oracles
+#
+# Both oracles take the turns relation as an inline SQL fragment (the
+# caller reinterprets its base table into the transcript shape the same
+# way on both engines).
+
+def tool_stats_oracle_sql(turns_sql: str) -> str:
+    return f"""
+WITH turns AS ({turns_sql}),
+gapped AS (
+  SELECT conv_id, turn_idx, role, tool,
+         epoch_ms(LEAD(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))
+           - epoch_ms(ts) AS gap_ms
+  FROM turns
+)
+SELECT tool,
+       COUNT(*) AS n_calls,
+       COUNT(DISTINCT conv_id) AS n_convs,
+       SUM(gap_ms) AS total_gap_ms,
+       FLOOR(SUM(gap_ms) / COUNT(gap_ms) * 100 + 0.5) / 100 AS avg_gap_ms
+FROM gapped
+WHERE role = 'tool'
+GROUP BY tool
+ORDER BY tool
+"""
+
+
+def tool_runs_oracle_sql(turns_sql: str, min_len: int = 1) -> str:
+    return f"""
+WITH turns AS ({turns_sql}),
+seqd AS (
+  SELECT conv_id, turn_idx, role, tool,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS seq
+  FROM turns
+),
+islands AS (
+  SELECT conv_id, turn_idx, tool,
+         seq - ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS isl
+  FROM seqd WHERE role = 'tool'
+)
+SELECT conv_id,
+       MIN(turn_idx) AS first_turn,
+       MAX(turn_idx) AS last_turn,
+       COUNT(*) AS run_len,
+       COUNT(DISTINCT tool) AS n_tools
+FROM islands
+GROUP BY conv_id, isl
+HAVING COUNT(*) >= {min_len}
+"""

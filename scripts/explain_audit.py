@@ -487,6 +487,34 @@ AUDITS = {
         ("no Python in the plan", "!ArrowEvalPython"),
         ("no row-Python either", "!BatchEvalPython"),
     ],
+    "conv_tool_latency": [
+        # the lead() gap and the per-tool agg: one conv_id window shuffle
+        # then a 5-group hash aggregate; all latency math is exact int ms
+        ("conv_id window shuffle", "hashpartitioning(conv_id"),
+        ("per-tool partial agg", "HashAggregate"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "conv_tool_runs": [
+        # both row_number windows share ONE (conv_id, turn_idx) ordering
+        ("conv_id window shuffle", "hashpartitioning(conv_id"),
+        ("island hash agg", "HashAggregate"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "doc_chunk_windows": [
+        # chunking is embarrassingly row-parallel: sequence/posexplode/
+        # substring pipelines inside the scan stage, zero shuffles
+        ("shuffle-free plan", "!Exchange"),
+        ("pruned scan", "ReadSchema: struct<doc_id"),
+        ("explode stays JVM-side", "Generate"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "ann_sq8_topk": [
+        # codes are a JVM transform over array literals; search is one
+        # integer fold + TakeOrderedAndProject — raw vectors never shuffle
+        ("topk without a global sort", "TakeOrderedAndProject"),
+        ("pruned scan", "ReadSchema: struct<vec_id:bigint,embedding"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
 }
 
 

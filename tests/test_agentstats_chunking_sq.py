@@ -1,0 +1,206 @@
+"""Unit coverage for the round-5 continuation wave: agent-transcript tool
+analytics (operators/agentstats.py), sliding-window chunking
+(operators/chunking.py), SQ8 scalar quantization (operators/sq.py)."""
+
+import datetime as dt
+import hashlib
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_rs_spark.operators.agentstats import (
+    tool_call_runs,
+    tool_usage_stats,
+)
+from deepseek_ocr_rs_spark.operators.chunking import chunk_windows
+from deepseek_ocr_rs_spark.operators.sq import (
+    quantize_query,
+    sq8_encode_col,
+    sq8_topk,
+    sq8_train,
+)
+
+_T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, ts timestamp"
+    )
+
+
+# ------------------------------------------------------------ agentstats
+
+def test_tool_latency_gap_is_to_next_turn_any_role(spark):
+    rows = [
+        ("c1", 0, "user", None, _T0),
+        ("c1", 1, "tool", "search", _T0 + dt.timedelta(seconds=2)),
+        ("c1", 2, "assistant", None, _T0 + dt.timedelta(seconds=5)),
+    ]
+    out = tool_usage_stats(_turns(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.tool == "search" and r.n_calls == 1 and r.n_convs == 1
+    assert r.total_gap_ms == 3000 and r.avg_gap_ms == 3000.0
+
+
+def test_tool_latency_conv_frontier_contributes_call_but_no_gap(spark):
+    rows = [
+        ("c1", 0, "user", None, _T0),
+        ("c1", 1, "tool", "search", _T0 + dt.timedelta(seconds=1)),
+        ("c1", 2, "assistant", None, _T0 + dt.timedelta(seconds=3)),
+        # c2 ENDS on a tool turn: call counted, gap NULL (excluded)
+        ("c2", 0, "tool", "search", _T0),
+    ]
+    r = tool_usage_stats(_turns(spark, rows)).collect()[0]
+    assert r.n_calls == 2 and r.n_convs == 2
+    # only c1's 2000ms gap exists; c2's NULL gap must not poison the
+    # average (count(gap_ms) skips NULLs)
+    assert r.total_gap_ms == 2000
+    assert r.avg_gap_ms == 2000.0
+
+
+def test_tool_runs_islands_split_on_intervening_turns(spark):
+    rows = [
+        ("c1", 0, "tool", "a", _T0),
+        ("c1", 1, "tool", "b", _T0),
+        ("c1", 2, "user", None, _T0),
+        ("c1", 3, "tool", "a", _T0),
+        ("c1", 4, "tool", "a", _T0),
+        ("c1", 5, "tool", "c", _T0),
+        ("c2", 0, "tool", "a", _T0),  # singleton, filtered at min_len=2
+    ]
+    out = {
+        (r.conv_id, r.first_turn): r
+        for r in tool_call_runs(_turns(spark, rows), min_len=2).collect()
+    }
+    assert set(out) == {("c1", 0), ("c1", 3)}
+    assert out[("c1", 0)].run_len == 2 and out[("c1", 0)].n_tools == 2
+    r2 = out[("c1", 3)]
+    assert r2.last_turn == 5 and r2.run_len == 3 and r2.n_tools == 2
+
+
+def test_tool_runs_survive_turn_idx_numbering_gaps(spark):
+    # turn_idx 10 and 20 are ADJACENT turns (nothing between them in the
+    # table) -> one island despite the numbering gap
+    rows = [
+        ("c1", 10, "tool", "a", _T0),
+        ("c1", 20, "tool", "b", _T0),
+    ]
+    out = tool_call_runs(_turns(spark, rows), min_len=2).collect()
+    assert len(out) == 1 and out[0].run_len == 2
+
+
+# -------------------------------------------------------------- chunking
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunks_cover_document_exactly(spark):
+    text = "abcdefghij" * 25  # 250 chars
+    out = (
+        chunk_windows(_docs(spark, [(1, text)]), size=100, stride=60)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    # n = 1 + ceil(150/60) = 4
+    assert [r.start for r in out] == [0, 60, 120, 180]
+    assert [r.chunk_len for r in out] == [100, 100, 100, 70]
+    # md5 parity with python slicing on char offsets
+    for r in out:
+        piece = text[r.start : r.start + 100]
+        assert r.chunk_md5 == hashlib.md5(piece.encode()).hexdigest()
+    # full coverage: last chunk reaches the end
+    assert out[-1].start + out[-1].chunk_len == len(text)
+
+
+def test_short_null_and_empty_docs(spark):
+    out = chunk_windows(
+        _docs(spark, [(1, "tiny"), (2, None), (3, "")]), size=100, stride=60
+    ).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 1 and out[0].chunk_len == 4 and out[0].start == 0
+
+
+def test_exact_multiple_has_no_phantom_chunk(spark):
+    # L == size -> exactly one chunk; L == size + stride -> two
+    out = chunk_windows(
+        _docs(spark, [(1, "x" * 100), (2, "y" * 160)]), size=100, stride=60
+    ).collect()
+    counts = {}
+    for r in out:
+        counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
+    assert counts == {1: 1, 2: 2}
+
+
+def test_chunking_plan_is_shuffle_free(spark):
+    df = chunk_windows(_docs(spark, [(1, "z" * 300)]), size=100, stride=60)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# -------------------------------------------------------------------- sq8
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_sq8_codes_hit_extremes_and_stay_in_range(spark):
+    vecs = [[0.0, -1.0], [1.0, 1.0], [0.5, 0.0]]
+    emb = _emb(spark, vecs)
+    mins, spans = sq8_train(emb)
+    assert mins == [0.0, -1.0] and spans == [1.0, 2.0]
+    codes = emb.select(
+        sq8_encode_col(F.col("embedding"), mins, spans).alias("c"), "vec_id"
+    ).collect()
+    by_id = {r.vec_id: r.c for r in codes}
+    assert by_id[0] == [0, 0]  # the per-dim minima
+    assert by_id[1] == [255, 255]  # the per-dim maxima
+    assert all(0 <= c <= 255 for cs in by_id.values() for c in cs)
+
+
+def test_sq8_constant_dimension_guard(spark):
+    emb = _emb(spark, [[3.0, 1.0], [3.0, 2.0]])
+    mins, spans = sq8_train(emb)
+    assert spans[0] == 0.0
+    codes = emb.select(
+        sq8_encode_col(F.col("embedding"), mins, spans).alias("c")
+    ).collect()
+    assert all(r.c[0] == 0 for r in codes)  # span-0 dim -> code 0, no ANSI div/0
+
+
+def test_sq8_python_and_jvm_quantizers_agree(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32).tolist()
+    emb = _emb(spark, vecs)
+    mins, spans = sq8_train(emb)
+    jvm = {
+        r.vec_id: list(r.c)
+        for r in emb.select(
+            "vec_id", sq8_encode_col(F.col("embedding"), mins, spans).alias("c")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert jvm[i] == quantize_query(v, mins, spans)
+
+
+def test_sq8_topk_matches_exact_numpy_reference(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).astype(np.float32).tolist()
+    emb = _emb(spark, vecs)
+    mins, spans = sq8_train(emb)
+    q = quantize_query(vecs[0], mins, spans)
+    ref = []
+    for i, v in enumerate(vecs):
+        c = quantize_query(v, mins, spans)
+        ref.append((int(np.dot(np.asarray(c, dtype=np.int64), q)), i))
+    expected = sorted(ref, key=lambda t: (-t[0], t[1]))[:5]
+    out = sq8_topk(emb, vecs[0], k=5).collect()
+    assert [(r.qscore, r.vec_id) for r in out] == expected
+    assert all(isinstance(r.qscore, int) for r in out)
