@@ -3007,6 +3007,26 @@ def ann_batch_lsh(spark, sf_dir):
     return batch_lsh_topk(indexed, queries_idx, k=3, bits=8)
 
 
+def emb_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: for every anchor (vec_id%50==0)
+    the top-3 most-cosine-similar vectors with a DIFFERENT label — the
+    negatives a contrastive objective learns most from.  Same audited
+    batch-ANN topology as ann_batch_lsh (one bucket-keyed join, exact
+    rerank within matched buckets) with the label inequality folded into
+    the join condition, so mismatched-label pairs are dropped BEFORE the
+    rerank ever prices them."""
+    from deepseek_ocr_rs_spark.operators.similarity import (
+        _nonzero_norm,
+        batch_lsh_topk,
+        build_lsh_index,
+    )
+
+    emb = _nonzero_norm(_t(spark, sf_dir, "embeddings"), "embedding")
+    indexed = build_lsh_index(emb, dim=64, bits=8).persist()
+    anchors = indexed.where(F.pmod("vec_id", F.lit(50)) == 0)
+    return batch_lsh_topk(indexed, anchors, k=3, bits=8, anti_col="label")
+
+
 def ann_pq_codes(spark, sf_dir):
     """Product-quantization encode: every vector compressed to m=8
     4-bit-ish codes (k=16 centroids/subspace, md5-ordered sample
@@ -5254,6 +5274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_tool_runs": conv_tool_runs,
         "doc_chunk_windows": doc_chunk_windows,
         "ann_sq8_topk": ann_sq8_topk,
+        "emb_hard_negatives": emb_hard_negatives,
     }
 
 
@@ -6792,6 +6813,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text FROM documents", size=120, stride=80
         ),
         "ann_sq8_topk": sq8_topk_oracle_sql("embeddings", query_id=0, k=10),
+        "emb_hard_negatives": batch_lsh_oracle_sql(
+            dim=64, bits=8, k=3, query_pred="vec_id % 50 = 0",
+            anti_col="label"),
         # rows-only (non-SQL-expressible): doc_fingerprint, doc_lang_id,
         # dedup_minhash_pairs, dedup_simhash_candidates, ann_lsh, ann_ivf
     }

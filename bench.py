@@ -255,6 +255,7 @@ def main() -> None:
         "conv_tool_runs",
         "doc_chunk_windows",
         "ann_sq8_topk",
+        "emb_hard_negatives",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

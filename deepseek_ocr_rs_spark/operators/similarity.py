@@ -212,10 +212,18 @@ def batch_lsh_topk(
     vec_col: str = "embedding",
     multiprobe_hamming: int = 1,
     round_to: Optional[int] = 6,
+    anti_col: Optional[str] = None,
 ) -> DataFrame:
     """BATCH ANN: top-k neighbors for EVERY query row at once — the scale
     path for corpus-wide retrieval (dedup mining, hard-negative mining),
     where per-query ``lsh_query`` round-trips would be driver-bound.
+
+    ``anti_col``: contrastive hard-negative mining — candidates must
+    DIFFER from the query on this column (e.g. a class label), so each
+    query's top-k are the most-similar vectors of OTHER classes: exactly
+    the negatives a contrastive objective learns most from.  NULL values
+    never match the inequality and are excluded on both sides (labelless
+    rows can be neither anchors nor negatives).
 
     Topology: each query row explodes into its multiprobe bucket set
     (1 + bits int64 values), then ONE equi-join on ``lsh_bucket`` pairs
@@ -234,24 +242,34 @@ def batch_lsh_topk(
     # top-k.  Mirrors brute_force_topk and batch_lsh_oracle_sql.
     indexed = _nonzero_norm(indexed, vec_col)
     indexed_queries = _nonzero_norm(indexed_queries, vec_col)
-    q = indexed_queries.select(
+    if anti_col is not None:
+        indexed = indexed.where(F.col(anti_col).isNotNull())
+        indexed_queries = indexed_queries.where(F.col(anti_col).isNotNull())
+    q_cols = [
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("lsh_bucket").alias("q_bucket"),
-    )
+    ]
+    if anti_col is not None:
+        q_cols.append(F.col(anti_col).alias("q_anti"))
+    q = indexed_queries.select(*q_cols)
     probe_cols = [F.col("q_bucket")]
     if multiprobe_hamming >= 1:
         probe_cols += [
             F.col("q_bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)
         ]
     qp = q.select(
-        "query_id", "q_vec", F.explode(F.array(*probe_cols)).alias("probe")
+        "query_id",
+        "q_vec",
+        *(["q_anti"] if anti_col is not None else []),
+        F.explode(F.array(*probe_cols)).alias("probe"),
     )
-    cand = indexed.join(
-        qp,
-        (F.col("lsh_bucket") == F.col("probe"))
-        & (F.col(id_col) != F.col("query_id")),
+    join_cond = (F.col("lsh_bucket") == F.col("probe")) & (
+        F.col(id_col) != F.col("query_id")
     )
+    if anti_col is not None:
+        join_cond = join_cond & (F.col(anti_col) != F.col("q_anti"))
+    cand = indexed.join(qp, join_cond)
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), F.col("q_vec"),
                    lambda a, b: a.cast("double") * b.cast("double")),
@@ -535,11 +553,14 @@ def batch_lsh_oracle_sql(table: str = "embeddings", id_col: str = "vec_id",
                          vec_col: str = "embedding", dim: int = 64,
                          bits: int = 8, k: int = 3,
                          query_pred: str = "vec_id % 50 = 0",
-                         multiprobe_hamming: int = 1) -> str:
+                         multiprobe_hamming: int = 1,
+                         anti_col: Optional[str] = None) -> str:
     """DuckDB SQL replicating ``batch_lsh_topk`` EXACTLY for a query set
     selected by ``query_pred``: signatures for both sides from the same
     inlined hyperplanes, per-query multiprobe expansion, bucket equi-join,
-    6dp cosine rerank, per-query row_number top-k."""
+    6dp cosine rerank, per-query row_number top-k.  ``anti_col`` mirrors
+    the hard-negative variant (candidate differs on the column; NULLs
+    excluded on both sides)."""
     planes = _hyperplanes(dim, bits)
     planes_sql = "[" + ", ".join(_sql_double_list(p) for p in planes) + "]"
     sig_expr = (
@@ -554,25 +575,33 @@ def batch_lsh_oracle_sql(table: str = "embeddings", id_col: str = "vec_id",
         f"list_transform(range(-1, {n_flips}), i -> CASE WHEN i = -1 "
         f"THEN qsig ELSE xor(qsig, CAST(1 AS BIGINT) << CAST(i AS INT)) END)"
     )
+    # 'anti' itself is a DuckDB keyword (ANTI JOIN) — alias as neg_key
+    anti_base = f", {anti_col} AS neg_key" if anti_col else ""
+    anti_null = f" AND {anti_col} IS NOT NULL" if anti_col else ""
+    anti_sig = ", neg_key" if anti_col else ""
+    anti_q = ", neg_key AS q_neg_key" if anti_col else ""
+    anti_probe = ", q_neg_key" if anti_col else ""
+    anti_join = " AND s.neg_key <> q.q_neg_key" if anti_col else ""
     return f"""
         WITH planes AS (
           SELECT {planes_sql} AS pl
         ), base AS (
           SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS e
+                 {anti_base}
           FROM {table}
           WHERE list_sum(list_transform(CAST({vec_col} AS DOUBLE[]),
-                                        x -> x * x)) > 0
+                                        x -> x * x)) > 0{anti_null}
         ), sigs AS (
-          SELECT vec_id, e, {sig_expr} AS sig FROM base, planes
+          SELECT vec_id, e{anti_sig}, {sig_expr} AS sig FROM base, planes
         ), qs AS (
-          SELECT vec_id AS query_id, e AS qe, sig AS qsig
+          SELECT vec_id AS query_id, e AS qe, sig AS qsig{anti_q}
           FROM sigs WHERE {query_pred}
         ), probes AS (
-          SELECT query_id, qe, unnest({probe_expr}) AS p FROM qs
+          SELECT query_id, qe{anti_probe}, unnest({probe_expr}) AS p FROM qs
         ), cand AS (
           SELECT q.query_id, q.qe, s.vec_id, s.e
           FROM probes q JOIN sigs s
-            ON s.sig = q.p AND s.vec_id <> q.query_id
+            ON s.sig = q.p AND s.vec_id <> q.query_id{anti_join}
         ), scored AS (
           SELECT query_id, vec_id,
                  round(list_sum(list_transform(range({dim}), j ->

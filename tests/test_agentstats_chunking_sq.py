@@ -204,3 +204,35 @@ def test_sq8_topk_matches_exact_numpy_reference(spark):
     out = sq8_topk(emb, vecs[0], k=5).collect()
     assert [(r.qscore, r.vec_id) for r in out] == expected
     assert all(isinstance(r.qscore, int) for r in out)
+
+
+# --------------------------------------------------- hard-negative mining
+
+def test_hard_negatives_exclude_same_label_and_nulls(spark):
+    from deepseek_ocr_rs_spark.operators.similarity import (
+        batch_lsh_topk,
+        build_lsh_index,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(30, 8)).astype(np.float32)
+    rows = []
+    for i in range(30):
+        label = None if i == 7 else int(i % 3)
+        rows.append((i, [float(x) for x in base[i]], label))
+    # a near-copy of vector 0 with the SAME label: the closest vector,
+    # but it must never appear among 0's hard negatives
+    rows.append((100, [float(x) + 1e-4 for x in base[0]], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    indexed = build_lsh_index(emb, dim=8, bits=4)
+    anchors = indexed.where(F.col("vec_id") == 0)
+    out = batch_lsh_topk(
+        indexed, anchors, k=30, bits=4, anti_col="label"
+    ).collect()
+    got_ids = {r.vec_id for r in out}
+    assert 100 not in got_ids          # same-label near-copy excluded
+    assert 7 not in got_ids            # NULL-label row excluded
+    labels = {r[0]: r[2] for r in rows}
+    assert all(labels[i] != 0 for i in got_ids)
