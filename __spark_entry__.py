@@ -3027,6 +3027,35 @@ def emb_hard_negatives(spark, sf_dir):
     return batch_lsh_topk(indexed, anchors, k=3, bits=8, anti_col="label")
 
 
+def doc_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage scoring: per-doc OOV rate against the corpus's
+    own top-50 term vocabulary (operators/vocab.py) — two partial-agg
+    exchanges, broadcast vocab, exact integer basis points (no float
+    division anywhere)."""
+    from deepseek_ocr_rs_spark.operators.vocab import oov_rates
+
+    return oov_rates(_t(spark, sf_dir, "documents"), vocab_size=50)
+
+
+def ann_mrl_topk(spark, sf_dir):
+    """Matryoshka (MRL) prefix-truncated retrieval: exact cosine top-10
+    over the FIRST 16 dims only — the coarse-ranking tier of MRL serving
+    (Kusupati et al. 2022), where the short prefix prunes and the full
+    vector reranks.  Spark-first: F.slice projects the prefix, then the
+    audited brute_force_topk plan (scan -> project ->
+    TakeOrderedAndProject) runs unchanged on the narrower vectors."""
+    from deepseek_ocr_rs_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    pre = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("emb_mrl")
+    )
+    return brute_force_topk(
+        pre, [float(x) for x in q[:16]], k=10, vec_col="emb_mrl"
+    )
+
+
 def ann_pq_codes(spark, sf_dir):
     """Product-quantization encode: every vector compressed to m=8
     4-bit-ish codes (k=16 centroids/subspace, md5-ordered sample
@@ -5275,6 +5304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_windows": doc_chunk_windows,
         "ann_sq8_topk": ann_sq8_topk,
         "emb_hard_negatives": emb_hard_negatives,
+        "doc_oov_rate": doc_oov_rate,
+        "ann_mrl_topk": ann_mrl_topk,
     }
 
 
@@ -5322,6 +5353,7 @@ def oracle_sql() -> dict[str, str]:
         chunk_windows_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.sq import sq8_topk_oracle_sql
+    from deepseek_ocr_rs_spark.operators.vocab import oov_rates_oracle_sql
     from deepseek_ocr_rs_spark.operators.moe import moe_dispatch_oracle_sql
     from deepseek_ocr_rs_spark.operators.packing import pack_sequences_oracle_sql
     from deepseek_ocr_rs_spark.operators.spandedup import span_dedup_oracle_sql
@@ -6816,6 +6848,22 @@ def oracle_sql() -> dict[str, str]:
         "emb_hard_negatives": batch_lsh_oracle_sql(
             dim=64, bits=8, k=3, query_pred="vec_id % 50 = 0",
             anti_col="label"),
+        "doc_oov_rate": oov_rates_oracle_sql("documents", vocab_size=50),
+        "ann_mrl_topk": """
+            WITH q AS (
+              SELECT CAST(embedding[1:16] AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                         CAST(embedding[1:16] AS DOUBLE[]),
+                         (SELECT qe FROM q)), 6) AS cosine_sim
+            FROM embeddings
+            WHERE list_sum(list_transform(CAST(embedding[1:16] AS DOUBLE[]),
+                                          x -> x * x)) > 0
+            ORDER BY cosine_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
         # rows-only (non-SQL-expressible): doc_fingerprint, doc_lang_id,
         # dedup_minhash_pairs, dedup_simhash_candidates, ann_lsh, ann_ivf
     }

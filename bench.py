@@ -256,6 +256,8 @@ def main() -> None:
         "doc_chunk_windows",
         "ann_sq8_topk",
         "emb_hard_negatives",
+        "doc_oov_rate",
+        "ann_mrl_topk",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

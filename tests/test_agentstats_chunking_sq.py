@@ -236,3 +236,56 @@ def test_hard_negatives_exclude_same_label_and_nulls(spark):
     assert 7 not in got_ids            # NULL-label row excluded
     labels = {r[0]: r[2] for r in rows}
     assert all(labels[i] != 0 for i in got_ids)
+
+
+# ----------------------------------------------- vocabulary coverage / MRL
+
+def test_oov_rates_exact_counts_and_tie_rule(spark):
+    from deepseek_ocr_rs_spark.operators.vocab import oov_rates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa bb cc"),   # aa x2, bb, cc
+            (2, "aa zz"),         # zz is OOV at vocab_size=2
+            (3, "   "),           # whitespace-only: no tokens, excluded
+        ],
+        "doc_id long, text string",
+    )
+    # corpus counts: aa=3, bb=1, cc=1, zz=1 -> vocab_size=2 cuts at the
+    # (count DESC, term ASC) tie: {aa, bb}
+    out = {r.doc_id: r for r in oov_rates(docs, vocab_size=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_tokens == 4 and out[1].n_oov == 1      # cc
+    assert out[1].oov_bp == 2500
+    assert out[2].n_tokens == 2 and out[2].n_oov == 1      # zz
+    assert out[2].oov_bp == 5000
+
+
+def test_oov_rate_is_integer_basis_points(spark):
+    from deepseek_ocr_rs_spark.operators.vocab import oov_rates
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c c")], "doc_id long, text string"
+    )
+    r = oov_rates(docs, vocab_size=1).collect()[0]
+    # 4 OOV of 7 tokens -> floor(40000/7) = 5714
+    assert (r.n_tokens, r.n_oov, r.oov_bp) == (7, 4, 5714)
+
+
+def test_mrl_prefix_ranking_uses_only_the_prefix(spark):
+    from deepseek_ocr_rs_spark.operators.similarity import brute_force_topk
+
+    # v1 matches the query's first 2 dims exactly but diverges later;
+    # v2 is orthogonal in the prefix but identical in the tail.  Prefix
+    # retrieval must rank v1 first.
+    rows = [
+        (0, [1.0, 0.0, 5.0, 5.0]),
+        (1, [2.0, 0.0, -9.0, -9.0]),
+        (2, [0.0, 3.0, 5.0, 5.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pre = emb.select("vec_id", F.slice("embedding", 1, 2).alias("emb_mrl"))
+    out = brute_force_topk(pre, [1.0, 0.0], k=3, vec_col="emb_mrl").collect()
+    assert [r.vec_id for r in out[:2]] == [0, 1]   # cosine 1.0 ties, id asc
+    assert out[0].cosine_sim == 1.0 and out[1].cosine_sim == 1.0
+    assert out[2].cosine_sim == 0.0
