@@ -5086,6 +5086,70 @@ def conv_tool_runs(spark, sf_dir):
     )
 
 
+def conv_agent_summary(spark, sf_dir):
+    """Per-conversation operational rollup — the dashboard query an
+    agent-transcript service runs continuously: turn counts by role,
+    distinct tools used, and wall-clock duration in exact integer ms.
+    ONE map-side-combinable hash aggregate keyed on conv_id (the same
+    key every transcript operator shuffles on — exchange-free under a
+    shared partitioning)."""
+    ts_utc = F.col("ts").cast("timestamp")
+    return (
+        _events_as_agent_turns(_t(spark, sf_dir, "events"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).alias(
+                "n_tool_calls"
+            ),
+            F.countDistinct("tool").alias("n_distinct_tools"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias(
+                "n_user_turns"
+            ),
+            (
+                F.unix_millis(F.max(ts_utc)) - F.unix_millis(F.min(ts_utc))
+            ).alias("wall_ms"),
+        )
+    )
+
+
+def train_curriculum_order(spark, sf_dir):
+    """Curriculum schedule: contiguous 0-based training order, easy
+    (short) documents first — difficulty buckets by exact integer token
+    count, a deterministic md5 shuffle WITHIN each bucket (so batch
+    composition isn't corpus order), positions assigned by the same
+    distributed zipWithIndex as train_global_ids (range partition +
+    local rank + broadcast prefix offsets; no single-reducer
+    row_number)."""
+    from deepseek_ocr_rs_spark.operators.sharding import assign_global_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+        )
+    )
+    staged = docs.select(
+        "doc_id", n_tokens.cast("bigint").alias("n_tok")
+    ).select(
+        "doc_id",
+        F.expr("least(CAST(3 AS BIGINT), n_tok div 50)").alias("difficulty"),
+    )
+    keyed = staged.select(
+        "doc_id",
+        "difficulty",
+        F.format_string(
+            "%d|%s|%020d",
+            F.col("difficulty"),
+            F.md5(F.col("doc_id").cast("string")),
+            F.col("doc_id"),
+        ).alias("key"),
+    )
+    return assign_global_ids(keyed, "key", n_ranges=8).select(
+        "doc_id", "difficulty", F.col("global_id").alias("curriculum_pos")
+    )
+
+
 def doc_chunk_windows(spark, sf_dir):
     """Sliding-window chunking (size=120 chars, stride=80) with character
     offsets — shuffle-free sequence/posexplode/substring, the RAG-prep /
@@ -5306,6 +5370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hard_negatives": emb_hard_negatives,
         "doc_oov_rate": doc_oov_rate,
         "ann_mrl_topk": ann_mrl_topk,
+        "conv_agent_summary": conv_agent_summary,
+        "train_curriculum_order": train_curriculum_order,
     }
 
 
@@ -6849,6 +6915,40 @@ def oracle_sql() -> dict[str, str]:
             dim=64, bits=8, k=3, query_pred="vec_id % 50 = 0",
             anti_col="label"),
         "doc_oov_rate": oov_rates_oracle_sql("documents", vocab_size=50),
+        "conv_agent_summary": f"""
+            WITH turns AS ({_AGENT_TURNS_SQL})
+            SELECT conv_id,
+                   COUNT(*) AS n_turns,
+                   CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tool_calls,
+                   COUNT(DISTINCT tool) AS n_distinct_tools,
+                   CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_user_turns,
+                   epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS wall_ms
+            FROM turns
+            GROUP BY conv_id
+        """,
+        "train_curriculum_order": """
+            WITH d AS (
+              SELECT doc_id,
+                     LEAST(CAST(3 AS BIGINT),
+                           CAST(len(list_filter(
+                                string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) // 50)
+                       AS difficulty
+              FROM documents
+            ),
+            k AS (
+              SELECT doc_id, difficulty,
+                     printf('%d|%s|%020d', difficulty,
+                            md5(CAST(doc_id AS VARCHAR)), doc_id) AS key
+              FROM d
+            )
+            SELECT doc_id, difficulty,
+                   CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT)
+                     AS curriculum_pos
+            FROM k
+        """,
         "ann_mrl_topk": """
             WITH q AS (
               SELECT CAST(embedding[1:16] AS DOUBLE[]) AS qe

@@ -258,6 +258,8 @@ def main() -> None:
         "emb_hard_negatives",
         "doc_oov_rate",
         "ann_mrl_topk",
+        "conv_agent_summary",
+        "train_curriculum_order",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -515,6 +515,41 @@ AUDITS = {
         ("pruned scan", "ReadSchema: struct<vec_id:bigint,embedding"),
         ("no Python stage", "!ArrowEvalPython"),
     ],
+    "emb_hard_negatives": [
+        # the label inequality rides the same bucket-keyed join as
+        # ann_batch_lsh — no extra exchange for the anti constraint
+        ("bucket-keyed candidate join", "lsh_bucket"),
+        ("per-anchor topk window", "hashpartitioning(query_id"),
+    ],
+    "doc_oov_rate": [
+        # vocab cut = per-partition heap, then broadcast back: the
+        # per-doc rollup is the only other exchange
+        ("vocab cut without global sort", "TakeOrderedAndProject"),
+        ("vocab broadcast back", "BroadcastHashJoin"),
+        ("per-doc partial agg", "HashAggregate"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "ann_mrl_topk": [
+        # prefix slice is a projection; the plan is brute_force_topk's
+        ("topk without a global sort", "TakeOrderedAndProject"),
+        ("pruned scan", "ReadSchema: struct<vec_id:bigint,embedding"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "conv_agent_summary": [
+        # ONE conv_id-keyed hash aggregate; latency math is exact int ms
+        ("conv_id rollup shuffle", "hashpartitioning(conv_id"),
+        ("partial agg before it", "HashAggregate"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "train_curriculum_order": [
+        # the distributed zipWithIndex: the range exchange + local rank
+        # are pinned behind localCheckpoint (the plan shows the
+        # checkpointed RDD scan); the only SinglePartition exchanges in
+        # this plan sit on the O(n_ranges)-row offset aggregate — the
+        # DATA path never funnels (sharding.py assign_global_ids)
+        ("ranked data pinned by checkpoint", "Scan ExistingRDD"),
+        ("offsets attach by broadcast", "BroadcastHashJoin"),
+    ],
 }
 
 

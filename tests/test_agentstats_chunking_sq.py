@@ -289,3 +289,76 @@ def test_mrl_prefix_ranking_uses_only_the_prefix(spark):
     assert [r.vec_id for r in out[:2]] == [0, 1]   # cosine 1.0 ties, id asc
     assert out[0].cosine_sim == 1.0 and out[1].cosine_sim == 1.0
     assert out[2].cosine_sim == 0.0
+
+
+# ------------------------------------- agent summary / curriculum order
+
+def test_conv_agent_summary_counts_and_wall(spark):
+    import __spark_entry__ as E
+
+    rows = [
+        (1, _T0, 10, "click", 1.0, "{}"),
+        (2, _T0 + dt.timedelta(seconds=10), 10, "purchase", 1.0, "{}"),
+        (3, _T0 + dt.timedelta(seconds=25), 10, "purchase", 1.0, "{}"),
+        (4, _T0, 11, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    turns = E._events_as_agent_turns(ev)
+    out = {
+        r.conv_id: r
+        for r in turns.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out["10"].n == 3 and out["11"].n == 1
+    # full summary through the query path on a temp view is overkill;
+    # exercise the aggregate shape directly
+    ts_utc = F.col("ts").cast("timestamp")
+    summ = (
+        turns.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).alias(
+                "n_tool_calls"
+            ),
+            F.countDistinct("tool").alias("n_distinct_tools"),
+            (
+                F.unix_millis(F.max(ts_utc)) - F.unix_millis(F.min(ts_utc))
+            ).alias("wall_ms"),
+        )
+        .collect()
+    )
+    s = {r.conv_id: r for r in summ}
+    assert s["10"].n_tool_calls == 2 and s["10"].wall_ms == 25000
+    # both purchases are event_id 2,3 -> tool_2, tool_3: two distinct
+    assert s["10"].n_distinct_tools == 2
+    assert s["11"].n_tool_calls == 0 and s["11"].wall_ms == 0
+
+
+def test_curriculum_order_easy_first_contiguous_deterministic(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        E.train_curriculum_order(spark, sf)
+        .orderBy("curriculum_pos")
+        .collect()
+    )
+    n = len(out)
+    assert [r.curriculum_pos for r in out] == list(range(n))
+    # easy-first: difficulty is non-decreasing along the schedule
+    diffs = [r.difficulty for r in out]
+    assert diffs == sorted(diffs)
+    # deterministic: a second evaluation yields the identical schedule
+    again = (
+        E.train_curriculum_order(spark, sf)
+        .orderBy("curriculum_pos")
+        .collect()
+    )
+    assert [(r.doc_id, r.curriculum_pos) for r in out] == [
+        (r.doc_id, r.curriculum_pos) for r in again
+    ]
