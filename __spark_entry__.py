@@ -736,6 +736,21 @@ def w_sessionize(spark, sf_dir):
     )
 
 
+def w_session_stats(spark, sf_dir):
+    """Engine-native sessionization: ``F.session_window`` grouping over
+    events (30-min inactivity gap) with per-session bounds + rollup —
+    the form that runs unchanged under Structured Streaming, unlike the
+    lag-based w_sessionize above (generation.rs:200-244 turn-grouping
+    analog).  Boundary compare is exact integer micros on both engines;
+    bounds emit as floored epoch seconds; money sum uses the house
+    floor(x*100+0.5)/100.  Plan: ONE hash exchange on user_id + local
+    sort, sessions built by UpdatingSessionsIterator — no self-join, no
+    second shuffle (operators/sessions.py)."""
+    from deepseek_ocr_rs_spark.operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
 def set_customers_without_orders(spark, sf_dir):
     """J7-style anti-join (mismatch set = expected EXCEPT actual):
     customers who never placed a 1-URGENT order.  The r03 form (customers
@@ -5378,6 +5393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_oov_rate": doc_oov_rate,
         "ann_mrl_topk": ann_mrl_topk,
         "conv_agent_summary": conv_agent_summary,
+        "w_session_stats": w_session_stats,
     }
 
 
@@ -5425,6 +5441,9 @@ def oracle_sql() -> dict[str, str]:
         chunk_windows_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.sq import sq8_topk_oracle_sql
+    from deepseek_ocr_rs_spark.operators.sessions import (
+        session_stats_oracle_sql as _sessions_oracle,
+    )
     from deepseek_ocr_rs_spark.operators.vocab import oov_rates_oracle_sql
     from deepseek_ocr_rs_spark.operators.moe import moe_dispatch_oracle_sql
     from deepseek_ocr_rs_spark.operators.packing import pack_sequences_oracle_sql
@@ -6086,6 +6105,7 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY user_id
         """,
+        "w_session_stats": _sessions_oracle(),
         "set_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE NOT EXISTS (

@@ -260,6 +260,8 @@ def main() -> None:
         "ann_mrl_topk",
         "conv_agent_summary",
         "train_curriculum_order",
+        # round-5 continuation: engine-native session windows
+        "w_session_stats",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

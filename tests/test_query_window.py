@@ -50,6 +50,11 @@ MUST_BE_IN_WINDOW = {
     "media_pdf_text",
     "media_pdf_reading_order",
     "media_wds_shards",
+    # promoted late in round 5 (displacing three rows already green in
+    # r04 — with no round 6, first-time rows beat re-confirmations)
+    "ann_sq8_topk",
+    "emb_hard_negatives",
+    "train_curriculum_order",
 }
 
 
