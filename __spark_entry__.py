@@ -4699,6 +4699,32 @@ def graph_host_pagerank(spark, sf_dir):
     return pagerank(e1.unionByName(e2), iters=4)
 
 
+def graph_host_hits(spark, sf_dir):
+    """Integer-exact HITS over the SAME deterministic 23-host graph as
+    graph_host_pagerank — hubs & authorities are the complementary
+    centrality pair (PageRank prices incoming endorsement; HITS
+    separates good POINTERS from good TARGETS, the classic crawl-seed /
+    directory-page split).  Four fixed iterations, max-normalized in
+    pure int64 each round so the DuckDB oracle unrolls the identical
+    fixed point and the value hash is exact.  Plan: src- and dst-keyed
+    edge copies persisted once; per round one equi-join + one hash agg
+    per step, per-round max broadcast back as a 1-row scalar — zero
+    driver actions (operators/linkgraph.py)."""
+    from deepseek_ocr_rs_spark.operators.linkgraph import hits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = lambda e: F.concat(F.lit("h"), F.pmod(e, F.lit(23)).cast("string"))
+    e1 = d.select(
+        h(F.col("doc_id")).alias("src"),
+        h(F.col("doc_id") * 7 + 3).alias("dst"),
+    )
+    e2 = d.select(
+        h(F.col("doc_id") * 3 + 1).alias("src"),
+        h(F.col("doc_id") * 13 + 5).alias("dst"),
+    )
+    return hits(e1.unionByName(e2), iters=4)
+
+
 def web_host_stats(spark, sf_dir):
     """Per-host outlink rollup over web_outlinks: total links + distinct
     linking docs per canonical host — the crawl-frontier / host-prior
@@ -5394,6 +5420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mrl_topk": ann_mrl_topk,
         "conv_agent_summary": conv_agent_summary,
         "w_session_stats": w_session_stats,
+        "graph_host_hits": graph_host_hits,
     }
 
 
@@ -5472,7 +5499,10 @@ def oracle_sql() -> dict[str, str]:
         host_stats_oracle_sql,
         outlinks_oracle_sql,
     )
-    from deepseek_ocr_rs_spark.operators.linkgraph import pagerank_oracle_sql
+    from deepseek_ocr_rs_spark.operators.linkgraph import (
+        hits_oracle_sql,
+        pagerank_oracle_sql,
+    )
     from deepseek_ocr_rs_spark.operators.domains import (
         registrable_domain_sql,
     )
@@ -6861,6 +6891,18 @@ def oracle_sql() -> dict[str, str]:
                  OR l.host LIKE '%.' || bl.domain
             )
         """,
+        "graph_host_hits": hits_oracle_sql(
+            """
+            SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                   'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) AS dst
+            FROM documents
+            UNION ALL
+            SELECT 'h' || CAST((doc_id * 3 + 1) % 23 AS VARCHAR),
+                   'h' || CAST((doc_id * 13 + 5) % 23 AS VARCHAR)
+            FROM documents
+            """,
+            iters=4,
+        ),
         "graph_host_pagerank": pagerank_oracle_sql(
             """
             SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,

@@ -260,8 +260,10 @@ def main() -> None:
         "ann_mrl_topk",
         "conv_agent_summary",
         "train_curriculum_order",
-        # round-5 continuation: engine-native session windows
+        # round-5 continuation: engine-native session windows,
+        # integer-exact HITS hubs/authorities
         "w_session_stats",
+        "graph_host_hits",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -89,3 +89,87 @@ def test_damping_pct_validation(spark):
         pagerank(df, damping_pct=0)
     with pytest.raises(ValueError):
         pagerank(df, damping_pct=100)
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def _hits(spark, edges, **kw):
+    from deepseek_ocr_rs_spark.operators.linkgraph import hits
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r.node: (r.hub_int, r.auth_int) for r in hits(df, **kw).collect()
+    }
+
+
+HSCALE = 10**6
+
+
+def test_hits_star_hand_computed(spark):
+    # hub h points at a, b; one-way edges.  Round 1:
+    #   auth_raw: a=scale, b=scale, h=0 -> max=scale -> a=b=scale, h=0
+    #   hub_raw:  h=a+b=2*scale, a=b=0  -> max norm -> h=scale, a=b=0
+    # Further rounds are fixed: the hub pins at scale, both targets at
+    # scale, and the 23-host gate graph's oracle replays the same rule.
+    r = _hits(spark, [("h", "a"), ("h", "b")], iters=3)
+    assert r == {
+        "h": (HSCALE, 0),
+        "a": (0, HSCALE),
+        "b": (0, HSCALE),
+    }
+
+
+def test_hits_parallel_edges_weight_multiply(spark):
+    # x->a twice, y->a once, y->b once: round 1 auth_raw a=3s, b=s ->
+    # a=scale, b=s*s div 3s = scale div 3.  hub_raw x=2*scale,
+    # y=scale+scale//3 -> x=scale, y=(s+s//3)*s div 2s.
+    r = _hits(
+        spark, [("x", "a"), ("x", "a"), ("y", "a"), ("y", "b")], iters=1
+    )
+    a_b = HSCALE // 3
+    y_hub = (HSCALE + a_b) * HSCALE // (2 * HSCALE)
+    assert r["a"][1] == HSCALE
+    assert r["b"][1] == a_b
+    assert r["x"][0] == HSCALE
+    assert r["y"][0] == y_hub
+
+
+def test_hits_cross_engine_parity_and_invariance(spark):
+    from deepseek_ocr_rs_spark.operators.linkgraph import (
+        hits,
+        hits_oracle_sql,
+    )
+
+    # 24 nodes, parallel edges, a dangling sink (n23 has no out-edges)
+    # and a source (n0 gets no in-edges beyond the arithmetic families)
+    edges = []
+    for i in range(40):
+        edges.append((f"n{i % 24}", f"n{(i * 7 + 3) % 24}"))
+        edges.append((f"n{(i * 5) % 23}", f"n{(i * 11 + 1) % 24}"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(tuple(r) for r in hits(df, iters=4).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges_t (src VARCHAR, dst VARCHAR)")
+    con.executemany("INSERT INTO edges_t VALUES (?, ?)", edges)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            hits_oracle_sql("SELECT src, dst FROM edges_t", iters=4)
+        ).fetchall()
+    )
+    assert got == want
+
+    # partitioning invariance: int64 sums are associative
+    got8 = sorted(
+        tuple(r) for r in hits(df.repartition(8), iters=4).collect()
+    )
+    assert got8 == got
+
+
+def test_hits_dangling_and_empty_sides(spark):
+    # one edge: a is a pure hub, b a pure authority; both pin at scale,
+    # the opposite scores are 0 (dangling normalizes via GREATEST(,1))
+    r = _hits(spark, [("a", "b")], iters=4)
+    assert r == {"a": (HSCALE, 0), "b": (0, HSCALE)}
