@@ -5191,6 +5191,33 @@ def train_curriculum_order(spark, sf_dir):
     )
 
 
+def train_length_batches(spark, sf_dir):
+    """Length-bucketed dynamic batching (the fairseq/T5 max-tokens
+    plan): BPE-ish token counts -> 64-token-wide length buckets ->
+    seeded within-bucket shuffle -> batches of token_budget div
+    pad_target examples, so long sequences travel in small batches and
+    pad waste is bounded by the bucket width.  The within-bucket rank
+    rides the distributed zipWithIndex over ONE zero-padded composite
+    key (bucket|u|id) + an n_buckets-row broadcast min-join — a naive
+    row_number() PARTITION BY bucket would funnel each bucket through
+    one reducer (operators/batching.py)."""
+    from deepseek_ocr_rs_spark.operators.batching import (
+        length_bucket_batches,
+    )
+    from deepseek_ocr_rs_spark.operators.textstats import with_token_counts
+
+    docs = with_token_counts(_t(spark, sf_dir, "documents"))
+    return length_bucket_batches(
+        docs,
+        "doc_id",
+        "n_bpe_tokens",
+        bucket_width=64,
+        n_buckets=8,
+        token_budget=4096,
+        seed=7,
+    )
+
+
 def doc_chunk_windows(spark, sf_dir):
     """Sliding-window chunking (size=120 chars, stride=80) with character
     offsets — shuffle-free sequence/posexplode/substring, the RAG-prep /
@@ -5421,6 +5448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_agent_summary": conv_agent_summary,
         "w_session_stats": w_session_stats,
         "graph_host_hits": graph_host_hits,
+        "train_length_batches": train_length_batches,
     }
 
 
@@ -5470,6 +5498,9 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.sq import sq8_topk_oracle_sql
     from deepseek_ocr_rs_spark.operators.sessions import (
         session_stats_oracle_sql as _sessions_oracle,
+    )
+    from deepseek_ocr_rs_spark.operators.batching import (
+        length_bucket_batches_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.vocab import oov_rates_oracle_sql
     from deepseek_ocr_rs_spark.operators.moe import moe_dispatch_oracle_sql
@@ -6136,6 +6167,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
         """,
         "w_session_stats": _sessions_oracle(),
+        "train_length_batches": length_bucket_batches_oracle_sql(
+            "documents",
+            "doc_id",
+            r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))",
+            bucket_width=64,
+            n_buckets=8,
+            token_budget=4096,
+            seed=7,
+        ),
         "set_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE NOT EXISTS (
