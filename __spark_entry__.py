@@ -5065,6 +5065,20 @@ def search_bm25_topk(spark, sf_dir):
     )
 
 
+def search_phrase_match(spark, sf_dir):
+    """Positional phrase search for the bigram "table hash": anchor-join
+    over the positional token stream (broadcast k-row phrase table, two
+    map-side hash aggs, NO pos+1 self-join chain), docs reduced to
+    (n_matches, first 0-based position).  Non-vacuous at every SF (31 /
+    46 / 288 matching docs, some with 2+ occurrences)
+    (operators/search.py phrase_match)."""
+    from deepseek_ocr_rs_spark.operators.search import phrase_match
+
+    return phrase_match(
+        _t(spark, sf_dir, "documents"), "table hash"
+    )
+
+
 # ------------------------------------------- agent-transcript analytics
 # The input_hint table carries (role, tool, ts); these operators compute
 # the tool-usage statistics an agent-transcript corpus needs (reference
@@ -5449,6 +5463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_session_stats": w_session_stats,
         "graph_host_hits": graph_host_hits,
         "train_length_batches": train_length_batches,
+        "search_phrase_match": search_phrase_match,
     }
 
 
@@ -5573,6 +5588,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.search import (
         bm25_topk_oracle_sql,
+        phrase_match_oracle_sql,
         posting_lists_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.sampling import (
@@ -6983,6 +6999,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_bm25_topk": bm25_topk_oracle_sql(
             "documents", ["hash", "join", "window", "customer"], k=15
+        ),
+        "search_phrase_match": phrase_match_oracle_sql(
+            "documents", "table hash"
         ),
         "doc_lm_score": lm_score_oracle_sql("documents"),
         "train_mixture_sample": temperature_mixture_oracle_sql(

@@ -264,8 +264,10 @@ def main() -> None:
         # integer-exact HITS hubs/authorities
         "w_session_stats",
         "graph_host_hits",
-        # round-5 continuation: length-bucketed dynamic batching
+        # round-5 continuation: length-bucketed dynamic batching,
+        # positional phrase search
         "train_length_batches",
+        "search_phrase_match",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -252,3 +252,104 @@ def bm25_topk_oracle_sql(
         ORDER BY bm25_exact DESC, {id_col}
         LIMIT {k}
     """
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional phrase search: docs containing the words of ``phrase``
+    CONSECUTIVELY, via the anchor-join trick over a positional index.
+    Returns ``(id, n_matches, first_pos)`` (0-based token position).
+
+    The classic positional-index evaluation: explode the cleaned token
+    stream with positions, join against the tiny (idx, term) phrase
+    table (broadcast), and reduce each candidate to an ``anchor =
+    pos - idx``; a full phrase occurrence at position ``a`` is exactly
+    an anchor group where every phrase slot 0..k-1 matched —
+    ``count(DISTINCT idx) = k``.  Repeated phrase words fall out
+    naturally (a token matching two slots contributes two anchors).
+
+    Design for 100 TB:
+    - the phrase table is k rows — always broadcast; the token stream
+      is filtered to phrase words BY the join before any shuffle, so
+      the (id, anchor) aggregation carries only candidate positions
+      (for rare phrases, a vanishing fraction of the corpus);
+    - two map-side-combinable hash aggregations ((id, anchor) then id)
+      are the only exchanges — no self-join of the token stream on
+      pos+1 chains, whose k-1 join rounds would each reshuffle the
+      full stream.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one word")
+    k = len(terms)
+    spark = df.sparkSession
+    ptab = spark.createDataFrame(
+        list(enumerate(terms)), "idx int, pterm string"
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "term"),
+    )
+    cand = toks.join(
+        F.broadcast(ptab), toks.term == ptab.pterm
+    ).select(
+        id_col, (F.col("pos") - F.col("idx")).alias("anchor"), "idx"
+    )
+    anchors = (
+        cand.groupBy(id_col, "anchor")
+        .agg(F.countDistinct("idx").alias("n_idx"))
+        .where(F.col("n_idx") == k)
+    )
+    return anchors.groupBy(id_col).agg(
+        F.count("*").alias("n_matches"),
+        F.min("anchor").cast("long").alias("first_pos"),
+    )
+
+
+def phrase_match_oracle_sql(
+    table: str,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replica of :func:`phrase_match` (same cleaned-stream
+    positions via list_filter + generate_subscripts, same anchor
+    counting)."""
+    terms = [t.replace("'", "''") for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one word")
+    values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
+    return f"""
+WITH pm_tok AS (
+  SELECT {id_col},
+         unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM (
+    SELECT {id_col},
+           list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM {table}
+  )
+), pm_ph (idx, pterm) AS (
+  VALUES {values}
+), pm_anchor AS (
+  SELECT t.{id_col}, t.pos - p.idx AS anchor
+  FROM pm_tok t JOIN pm_ph p ON t.term = p.pterm
+  GROUP BY t.{id_col}, t.pos - p.idx
+  HAVING count(DISTINCT p.idx) = {len(terms)}
+)
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(anchor) AS BIGINT) AS first_pos
+FROM pm_anchor
+GROUP BY {id_col}
+""".strip()

@@ -140,3 +140,76 @@ class TestBm25:
         a = [tuple(r) for r in bm25_topk(docs, ["cat", "bird"], k=10).collect()]
         b = [tuple(r) for r in bm25_topk(docs.repartition(5), ["cat", "bird"], k=10).collect()]
         assert a == b
+
+
+class TestPhraseMatch:
+    def _pm(self, spark, rows, phrase):
+        from deepseek_ocr_rs_spark.operators.search import phrase_match
+
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        return {
+            r.doc_id: (r.n_matches, r.first_pos)
+            for r in phrase_match(df, phrase).collect()
+        }
+
+    def test_hand_checked_matches(self, spark):
+        rows = [
+            (1, "the cat sat on the cat mat"),   # "the cat" at 0 and 4
+            (2, "cat the"),                       # reversed: no match
+            (3, "THE   Cat"),                     # case + multi-space: pos 0
+            (4, "the dog"),                       # partial: no match
+            (5, "the cat the cat the cat"),       # 3 matches
+        ]
+        out = self._pm(spark, rows, "the cat")
+        assert out == {1: (2, 0), 3: (1, 0), 5: (3, 0)}
+
+    def test_repeated_phrase_words(self, spark):
+        # phrase "a a a": doc "a a a a" has two anchors (0 and 1)
+        out = self._pm(spark, [(1, "a a a a"), (2, "a b a a")], "a a a")
+        assert out == {1: (2, 0)}
+
+    def test_single_word_phrase_counts_occurrences(self, spark):
+        out = self._pm(spark, [(1, "x y x"), (2, "y")], "x")
+        assert out == {1: (2, 0)}
+
+    def test_oracle_parity_on_gate_corpus(self, spark):
+        from deepseek_ocr_rs_spark.operators.search import (
+            phrase_match,
+            phrase_match_oracle_sql,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = sorted(
+            tuple(r)
+            for r in phrase_match(
+                spark.read.parquet(f"{sf}/documents.parquet"), "table hash"
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" '{sf}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.sql(
+                phrase_match_oracle_sql("documents", "table hash")
+            ).fetchall()
+        )
+        assert got == want and len(got) > 0
+
+    def test_rejects_empty_phrase(self, spark):
+        from deepseek_ocr_rs_spark.operators.search import (
+            phrase_match,
+            phrase_match_oracle_sql,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame([(1, "x")], columns=["doc_id", "text"])
+        )
+        with pytest.raises(ValueError):
+            phrase_match(df, "   ")
+        with pytest.raises(ValueError):
+            phrase_match_oracle_sql("documents", "")
