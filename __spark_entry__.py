@@ -5079,6 +5079,24 @@ def search_phrase_match(spark, sf_dir):
     )
 
 
+def emb_benchmark_decontam(spark, sf_dir):
+    """Embedding-space decontamination: max cosine of every corpus
+    vector against a planted benchmark set (the vec_id %% 37 == 0 rows
+    — modeling eval items that leaked into the corpus verbatim, so the
+    leaked copies flag at cosine 1.0 and the continuous max-cos column
+    hashes non-vacuously for every row).  Bench side collapses to a
+    one-row sorted array and broadcasts; the corpus streams map-side
+    with a JVM zip_with/aggregate fold — ZERO corpus shuffles
+    (operators/similarity.py benchmark_decontam)."""
+    from deepseek_ocr_rs_spark.operators.similarity import (
+        benchmark_decontam,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 37 == 0)
+    return benchmark_decontam(emb, bench, tau=0.99)
+
+
 # ------------------------------------------- agent-transcript analytics
 # The input_hint table carries (role, tool, ts); these operators compute
 # the tool-usage statistics an agent-transcript corpus needs (reference
@@ -5464,6 +5482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_hits": graph_host_hits,
         "train_length_batches": train_length_batches,
         "search_phrase_match": search_phrase_match,
+        "emb_benchmark_decontam": emb_benchmark_decontam,
     }
 
 
@@ -5482,6 +5501,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.similarity import (
         batch_lsh_oracle_sql,
+        benchmark_decontam_oracle_sql,
         embedding_near_dup_oracle_sql,
         ivf_oracle_sql,
         lsh_oracle_sql,
@@ -7002,6 +7022,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_phrase_match": phrase_match_oracle_sql(
             "documents", "table hash"
+        ),
+        "emb_benchmark_decontam": benchmark_decontam_oracle_sql(
+            "embeddings", "vec_id % 37 = 0", tau=0.99
         ),
         "doc_lm_score": lm_score_oracle_sql("documents"),
         "train_mixture_sample": temperature_mixture_oracle_sql(

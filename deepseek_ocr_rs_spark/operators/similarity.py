@@ -736,3 +736,114 @@ def ivf_oracle_sql(table: str = "embeddings", id_col: str = "vec_id",
         ORDER BY cosine_sim DESC, a.vec_id ASC
         LIMIT {k}
     """
+
+
+# ------------------------------------------- benchmark decontamination
+
+def benchmark_decontam(
+    corpus: DataFrame,
+    bench: DataFrame,
+    tau: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: for every corpus vector, the max
+    cosine against the BENCHMARK set and a ``contaminated`` verdict
+    (``max >= tau``) — the semantic companion of the n-gram
+    decontaminate (operators/repetition.py), catching paraphrased or
+    re-tokenized benchmark leakage that exact n-grams miss (the
+    SemDeDup-style screen applied train-vs-eval instead of train-vs-
+    train).
+
+    Plan (100 TB posture): benchmark sets are SMALL (thousands of eval
+    items), so the right shape is broadcast-everything: the bench
+    vectors collapse to a ONE-row sorted array (a bounded aggregate —
+    never a driver collect), crossJoin-broadcast to the corpus, and the
+    max-cosine fold runs entirely inside JVM higher-order functions
+    (zip_with dot + aggregate max) — ZERO corpus shuffles; the corpus
+    streams map-side once.  max() is commutative so the fold order
+    cannot change the result; each cosine is the same index-order
+    float64 fold brute_force_topk uses, rounded to 6dp at the end.
+
+    Zero-norm vectors are excluded on both sides (cosine undefined).
+    An empty benchmark yields max = -1.0 / contaminated = false for
+    every corpus row.
+    """
+    b_arr = _nonzero_norm(bench, vec_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            )
+        ).alias("_bvecs")
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    mx = F.aggregate(
+        F.col("_bvecs"),
+        F.lit(-1.0),
+        lambda acc, bv: F.greatest(
+            acc,
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), bv, lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / (
+                F.col("_vnorm")
+                * F.sqrt(
+                    F.aggregate(bv, F.lit(0.0), lambda a, y: a + y * y)
+                )
+            ),
+        ),
+    )
+    return (
+        _nonzero_norm(corpus, vec_col)
+        .withColumn("_vnorm", vnorm)
+        .crossJoin(F.broadcast(b_arr))
+        .select(
+            F.col(id_col),
+            F.round(mx, 6).alias("max_benchmark_cos"),
+            (F.round(mx, 6) >= F.lit(tau)).alias("contaminated"),
+        )
+    )
+
+
+def benchmark_decontam_oracle_sql(
+    table: str,
+    bench_where: str,
+    tau: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replica of :func:`benchmark_decontam` with the benchmark
+    side defined as ``SELECT ... FROM table WHERE bench_where``."""
+    # parquet embeddings are FLOAT[]; cosine must run in float64 to
+    # match the Spark double fold (list_cosine_similarity on FLOAT[]
+    # computes in float32 — 9th-decimal drift, caught live by the gate)
+    dvec = f"CAST({vec_col} AS DOUBLE[])"
+    norm = f"sqrt(list_dot_product({dvec}, {dvec}))"
+    return f"""
+WITH bd_bench AS (
+  SELECT {dvec} AS bvec FROM {table}
+  WHERE ({bench_where}) AND {norm} > 0
+), bd_corpus AS (
+  SELECT {id_col}, {dvec} AS cvec FROM {table} WHERE {norm} > 0
+), bd_m AS (
+  SELECT c.{id_col},
+         round(coalesce(
+           max(list_cosine_similarity(c.cvec, b.bvec)), -1.0
+         ), 6) AS max_benchmark_cos
+  FROM bd_corpus c LEFT JOIN bd_bench b ON true
+  GROUP BY c.{id_col}
+)
+SELECT {id_col}, max_benchmark_cos,
+       max_benchmark_cos >= {tau} AS contaminated
+FROM bd_m
+""".strip()

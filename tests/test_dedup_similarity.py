@@ -381,3 +381,46 @@ def test_batch_lsh_topk_recall_and_shape(spark, emb_df):
     single_no_self = [p for p in single if p[0] != 999]
     assert batch_999[:len(single_no_self)] == single_no_self
     assert {p[0] for p in batch_999[:3]} >= {500, 501}
+
+
+class TestBenchmarkDecontam:
+    def _run(self, spark, corpus, bench, tau=0.99):
+        from deepseek_ocr_rs_spark.operators.similarity import (
+            benchmark_decontam,
+        )
+
+        c = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+        b = spark.createDataFrame(bench, "vec_id long, embedding array<float>")
+        return {
+            r.vec_id: (r.max_benchmark_cos, r.contaminated)
+            for r in benchmark_decontam(c, b, tau=tau).collect()
+        }
+
+    def test_exact_leak_flags_scaled_copy_flags_orthogonal_passes(self, spark):
+        bench = [(100, [1.0, 0.0, 0.0])]
+        corpus = [
+            (1, [1.0, 0.0, 0.0]),    # verbatim leak
+            (2, [2.5, 0.0, 0.0]),    # scaled copy: cosine 1.0 too
+            (3, [0.0, 1.0, 0.0]),    # orthogonal
+            (4, [1.0, 1.0, 0.0]),    # 45 degrees: cos ~0.7071
+        ]
+        out = self._run(spark, corpus, bench)
+        assert out[1] == (1.0, True)
+        assert out[2] == (1.0, True)
+        assert out[3] == (0.0, False)
+        assert out[4] == (0.707107, False)
+
+    def test_max_over_multiple_bench_vectors(self, spark):
+        bench = [(100, [1.0, 0.0]), (101, [0.0, 1.0])]
+        out = self._run(spark, [(1, [0.6, 0.8])], bench)
+        assert out[1] == (0.8, False)
+
+    def test_empty_bench_and_zero_norms(self, spark):
+        # zero-norm bench vector is excluded -> effectively empty bench;
+        # zero-norm corpus vector is dropped from the output entirely
+        out = self._run(
+            spark,
+            [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+            [(100, [0.0, 0.0])],
+        )
+        assert out == {1: (-1.0, False)}
