@@ -4725,6 +4725,31 @@ def graph_host_hits(spark, sf_dir):
     return hits(e1.unionByName(e2), iters=4)
 
 
+def graph_host_triangles(spark, sf_dir):
+    """Per-host triangle counts (degree-ordered "compact-forward" join
+    — each triangle closed exactly once from its lowest-(deg,node)
+    corner, so hub fan-outs never square) over a denser deterministic
+    19-host graph (three doc_id edge families mod 19: 49 undirected
+    edges, 18 triangles, every host a member of at least one).  The
+    link-farm / spam-cluster density signal completing the graph tier
+    next to PageRank / HITS / components
+    (operators/linkgraph.py triangle_counts)."""
+    from deepseek_ocr_rs_spark.operators.linkgraph import triangle_counts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = lambda e: F.concat(F.lit("h"), F.pmod(e, F.lit(19)).cast("string"))
+    fams = [
+        d.select(h(F.col("doc_id")).alias("src"),
+                 h(F.col("doc_id") * 7 + 3).alias("dst")),
+        d.select(h(F.col("doc_id") * 3 + 1).alias("src"),
+                 h(F.col("doc_id") * 13 + 5).alias("dst")),
+        d.select(h(F.col("doc_id") * 5 + 2).alias("src"),
+                 h(F.col("doc_id") * 11 + 7).alias("dst")),
+    ]
+    e = fams[0].unionByName(fams[1]).unionByName(fams[2])
+    return triangle_counts(e)
+
+
 def web_host_stats(spark, sf_dir):
     """Per-host outlink rollup over web_outlinks: total links + distinct
     linking docs per canonical host — the crawl-frontier / host-prior
@@ -5483,6 +5508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_length_batches": train_length_batches,
         "search_phrase_match": search_phrase_match,
         "emb_benchmark_decontam": emb_benchmark_decontam,
+        "graph_host_triangles": graph_host_triangles,
     }
 
 
@@ -5568,6 +5594,7 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.linkgraph import (
         hits_oracle_sql,
         pagerank_oracle_sql,
+        triangle_counts_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.domains import (
         registrable_domain_sql,
@@ -7025,6 +7052,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_benchmark_decontam": benchmark_decontam_oracle_sql(
             "embeddings", "vec_id % 37 = 0", tau=0.99
+        ),
+        "graph_host_triangles": triangle_counts_oracle_sql(
+            """
+            SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) AS src,
+                   'h' || CAST((doc_id * 7 + 3) % 19 AS VARCHAR) AS dst
+            FROM documents
+            UNION ALL
+            SELECT 'h' || CAST((doc_id * 3 + 1) % 19 AS VARCHAR),
+                   'h' || CAST((doc_id * 13 + 5) % 19 AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'h' || CAST((doc_id * 5 + 2) % 19 AS VARCHAR),
+                   'h' || CAST((doc_id * 11 + 7) % 19 AS VARCHAR)
+            FROM documents
+            """
         ),
         "doc_lm_score": lm_score_oracle_sql("documents"),
         "train_mixture_sample": temperature_mixture_oracle_sql(

@@ -268,8 +268,10 @@ def main() -> None:
         # positional phrase search
         "train_length_batches",
         "search_phrase_match",
-        # round-5 continuation: embedding-space decontamination
+        # round-5 continuation: embedding-space decontamination,
+        # degree-ordered triangle counting
         "emb_benchmark_decontam",
+        "graph_host_triangles",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

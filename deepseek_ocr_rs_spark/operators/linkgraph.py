@@ -51,7 +51,11 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "pagerank_oracle_sql", "hits", "hits_oracle_sql"]
+__all__ = [
+    "pagerank", "pagerank_oracle_sql",
+    "hits", "hits_oracle_sql",
+    "triangle_counts", "triangle_counts_oracle_sql",
+]
 
 
 def pagerank(
@@ -318,3 +322,137 @@ def hits_oracle_sql(
         + f"\nSELECT h{iters}.node, h{iters}.hub_int, a{iters}.auth_int"
         + f"\nFROM h{iters} JOIN a{iters} USING (node)"
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph induced
+    by ``edges`` (direction, self-loops and multiplicity dropped).
+    Returns ``(node string, n_triangles long)`` — one row per node,
+    zero-count nodes included.  Completes the graph tier next to
+    PageRank / HITS / connected components; triangle density is the
+    classic link-farm / spam-cluster signal on host graphs.
+
+    Algorithm: the degree-ordered join ("compact-forward").  Every
+    undirected edge is oriented from its lower-(degree, node) endpoint
+    to the higher one, turning the graph into a DAG where each triangle
+    {x,y,z} (key-ordered) appears EXACTLY once as the wedge x->y, x->z
+    closed by y->z.  Orienting by DEGREE (id only as tie-break) is the
+    load-bearing choice at 100 TB: wedge counts per node are then
+    bounded by the graph's arboricity (sum of out-deg^2 stays near-linear
+    on power-law web graphs), where an id-ordered orientation would
+    square the hub fan-outs.  Plan: two hash aggregates (dedup +
+    degrees), two broadcast-or-shuffle equi-joins (wedge build + wedge
+    close), one explode(3)+aggregate for the per-node rollup — all
+    map-side combinable, no iteration, no driver actions.
+    """
+    e0 = edges.select(
+        F.col(src).cast("string").alias("s"),
+        F.col(dst).cast("string").alias("d"),
+    ).where(F.col("s") != F.col("d"))
+    und = e0.select(
+        F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+    ).distinct()
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from lower (deg, node) to higher
+    keyed = (
+        und.join(deg.withColumnsRenamed({"node": "a", "deg": "dega"}), "a")
+        .join(deg.withColumnsRenamed({"node": "b", "deg": "degb"}), "b")
+    )
+    lower_first = F.struct(F.col("dega"), F.col("a")) < F.struct(
+        F.col("degb"), F.col("b")
+    )
+    oriented = keyed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(
+            lower_first,
+            F.struct(
+                F.col("degb").alias("kdeg"), F.col("b").alias("knode")
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.col("dega").alias("kdeg"), F.col("a").alias("knode")
+            )
+        )
+        .alias("vkey"),
+    )
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("vkey").alias("k1")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("vkey").alias("k2")
+    )
+    wedges = e1.join(e2, "u").where(F.col("k1") < F.col("k2"))
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tris = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    member = tris.select(
+        F.explode(F.array("u", "v1", "v2")).alias("node")
+    )
+    counts = member.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return nodes.join(counts, "node", "left").select(
+        "node",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+    )
+
+
+def triangle_counts_oracle_sql(edges_sql: str) -> str:
+    """DuckDB replica of :func:`triangle_counts` (same degree-ordered
+    orientation; row-value comparison mirrors the struct compare)."""
+    return f"""
+WITH tc_e0 AS (
+  SELECT CAST(src AS VARCHAR) AS s, CAST(dst AS VARCHAR) AS d
+  FROM ({edges_sql}) WHERE CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+), tc_und AS (
+  SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM tc_e0
+), tc_nodes AS (
+  SELECT a AS node FROM tc_und UNION SELECT b FROM tc_und
+), tc_deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM tc_und UNION ALL SELECT b FROM tc_und
+  ) GROUP BY node
+), tc_or AS (
+  SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS u,
+         CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS v,
+         CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN db.deg ELSE da.deg
+           END AS vdeg
+  FROM tc_und u
+  JOIN tc_deg da ON da.node = u.a
+  JOIN tc_deg db ON db.node = u.b
+), tc_tri AS (
+  SELECT e1.u, e1.v AS v1, e2.v AS v2
+  FROM tc_or e1
+  JOIN tc_or e2 ON e1.u = e2.u
+               AND (e1.vdeg, e1.v) < (e2.vdeg, e2.v)
+  JOIN tc_or e3 ON e3.u = e1.v AND e3.v = e2.v
+), tc_m AS (
+  SELECT u AS node FROM tc_tri
+  UNION ALL SELECT v1 FROM tc_tri
+  UNION ALL SELECT v2 FROM tc_tri
+)
+SELECT n.node,
+       CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM tc_nodes n
+LEFT JOIN (SELECT node, count(*) AS n_triangles FROM tc_m GROUP BY node) c
+  ON n.node = c.node
+""".strip()

@@ -173,3 +173,68 @@ def test_hits_dangling_and_empty_sides(spark):
     # the opposite scores are 0 (dangling normalizes via GREATEST(,1))
     r = _hits(spark, [("a", "b")], iters=4)
     assert r == {"a": (HSCALE, 0), "b": (0, HSCALE)}
+
+
+# ----------------------------------------------------------- triangles
+
+
+def _tri(spark, edges):
+    from deepseek_ocr_rs_spark.operators.linkgraph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+
+
+def test_triangle_k3_k4_and_open_square(spark):
+    # K3: every node in exactly 1 triangle
+    assert _tri(spark, [("a", "b"), ("b", "c"), ("c", "a")]) == {
+        "a": 1, "b": 1, "c": 1,
+    }
+    # K4: 4 triangles, each node in C(3,2)=3 of them
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d")]
+    assert _tri(spark, k4) == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # 4-cycle without diagonals: zero triangles but all nodes reported
+    sq = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    assert _tri(spark, sq) == {"a": 0, "b": 0, "c": 0, "d": 0}
+
+
+def test_triangle_direction_multiplicity_selfloops_ignored(spark):
+    # same K3 with reversed duplicates, a parallel edge and a self-loop:
+    # the induced simple undirected graph is unchanged
+    noisy = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("b", "c"), ("c", "a"),
+        ("a", "a"),
+    ]
+    assert _tri(spark, noisy) == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_cross_engine_parity_and_invariance(spark):
+    from deepseek_ocr_rs_spark.operators.linkgraph import (
+        triangle_counts,
+        triangle_counts_oracle_sql,
+    )
+
+    edges = []
+    for i in range(60):
+        edges.append((f"n{i % 13}", f"n{(i * 5 + 2) % 13}"))
+        edges.append((f"n{(i * 3) % 13}", f"n{(i * 7 + 1) % 13}"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(tuple(r) for r in triangle_counts(df).collect())
+    got8 = sorted(
+        tuple(r) for r in triangle_counts(df.repartition(8)).collect()
+    )
+    assert got8 == got
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges_t3 (src VARCHAR, dst VARCHAR)")
+    con.executemany("INSERT INTO edges_t3 VALUES (?, ?)", edges)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            triangle_counts_oracle_sql("SELECT src, dst FROM edges_t3")
+        ).fetchall()
+    )
+    assert got == want
+    assert sum(n for _, n in got) % 3 == 0  # every triangle counted 3x
+    assert sum(n for _, n in got) > 0
