@@ -5122,6 +5122,52 @@ def emb_benchmark_decontam(spark, sf_dir):
     return benchmark_decontam(emb, bench, tau=0.99)
 
 
+def doc_card_scrub(spark, sf_dir):
+    """Luhn-validated payment-card scrubbing: plants deterministic card
+    numbers into documents (docs %%97: one VALID card twice, %%29: one
+    valid card, %%31: a number whose check digit is off by one — a
+    digit run a bare regex would scrub but Luhn correctly rejects),
+    then detects standalone 13-19 digit runs and scrubs only the
+    Luhn-valid ones.  Both the planted check digits and the validation
+    run the SAME pure-expression Luhn fold in Spark and DuckDB — no
+    UDF, no shuffle, per-row map (operators/redaction.py luhn_scrub)."""
+    from deepseek_ocr_rs_spark.operators.redaction import (
+        luhn_check_digit_col,
+        luhn_scrub,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("4539"), F.lpad(F.col("doc_id").cast("string"), 11, "0")
+    )
+    check = luhn_check_digit_col(base).cast("string")
+    valid_card = F.concat(base, check)
+    invalid_card = F.concat(
+        base, F.pmod(luhn_check_digit_col(base) + 1, F.lit(10)).cast("string")
+    )
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 97 == 0,
+                F.concat(F.lit(" "), valid_card, F.lit(" and "), valid_card),
+            )
+            .when(F.col("doc_id") % 29 == 0, F.concat(F.lit(" "), valid_card))
+            .when(
+                F.col("doc_id") % 31 == 0, F.concat(F.lit(" "), invalid_card)
+            )
+            .otherwise(F.lit("")),
+        ),
+    )
+    return luhn_scrub(planted).select(
+        "doc_id",
+        "n_card_candidates",
+        "n_valid_cards",
+        F.md5("text_cards_scrubbed").alias("scrub_md5"),
+    )
+
+
 # ------------------------------------------- agent-transcript analytics
 # The input_hint table carries (role, tool, ts); these operators compute
 # the tool-usage statistics an agent-transcript corpus needs (reference
@@ -5509,6 +5555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase_match": search_phrase_match,
         "emb_benchmark_decontam": emb_benchmark_decontam,
         "graph_host_triangles": graph_host_triangles,
+        "doc_card_scrub": doc_card_scrub,
     }
 
 
@@ -5596,6 +5643,34 @@ def oracle_sql() -> dict[str, str]:
         pagerank_oracle_sql,
         triangle_counts_oracle_sql,
     )
+    from deepseek_ocr_rs_spark.operators.redaction import (
+        luhn_check_digit_sql,
+        luhn_scrub_oracle_exprs,
+    )
+
+    def _card_scrub_oracle() -> str:
+        base = "('4539' || lpad(CAST(doc_id AS VARCHAR), 11, '0'))"
+        check = luhn_check_digit_sql(base)
+        valid = f"({base} || CAST({check} AS VARCHAR))"
+        invalid = f"({base} || CAST(({check} + 1) % 10 AS VARCHAR))"
+        ex = luhn_scrub_oracle_exprs("text")
+        return f"""
+WITH cs_planted AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 97 = 0 THEN ' ' || {valid} || ' and ' || {valid}
+           WHEN doc_id % 29 = 0 THEN ' ' || {valid}
+           WHEN doc_id % 31 = 0 THEN ' ' || {invalid}
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       {ex['n_card_candidates']} AS n_card_candidates,
+       {ex['n_valid_cards']} AS n_valid_cards,
+       md5({ex['scrubbed']}) AS scrub_md5
+FROM cs_planted
+""".strip()
+
     from deepseek_ocr_rs_spark.operators.domains import (
         registrable_domain_sql,
     )
@@ -7053,6 +7128,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_benchmark_decontam": benchmark_decontam_oracle_sql(
             "embeddings", "vec_id % 37 = 0", tau=0.99
         ),
+        "doc_card_scrub": _card_scrub_oracle(),
         "graph_host_triangles": triangle_counts_oracle_sql(
             """
             SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) AS src,

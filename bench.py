@@ -272,6 +272,8 @@ def main() -> None:
         # degree-ordered triangle counting
         "emb_benchmark_decontam",
         "graph_host_triangles",
+        # round-5 continuation: Luhn-validated card scrubbing
+        "doc_card_scrub",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -81,3 +81,120 @@ def redaction_oracle_exprs(text_expr: str = "text") -> Tuple[str, List[str]]:
         )
         running = f"regexp_replace({running}, '{sql_pat}', '{repl}', 'g')"
     return running, count_exprs
+
+
+# ----------------------------------------------------- Luhn card scrub
+
+CARD_CANDIDATE_RE = r"\b[0-9]{13,19}\b"
+
+
+def luhn_sum_col(c: Column) -> Column:
+    """Luhn checksum of a digit-string Column, as a pure JVM expression:
+    fold right-to-left, doubling every second digit and folding >9 back
+    (2d - 9).  No UDF — transform-with-index over the reversed chars."""
+    return F.aggregate(
+        F.transform(
+            F.split(F.reverse(c), ""),
+            lambda ch, i: F.when(
+                i % 2 == 1,
+                F.when(
+                    (F.ascii(ch) - 48) * 2 > 9, (F.ascii(ch) - 48) * 2 - 9
+                ).otherwise((F.ascii(ch) - 48) * 2),
+            ).otherwise(F.ascii(ch) - 48),
+        ),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+
+
+def luhn_sum_sql(expr: str) -> str:
+    """DuckDB replica of :func:`luhn_sum_col` (range + substr fold)."""
+    # the lambda variable is deliberately obscure: DuckDB lambda vars
+    # SHADOW outer columns, so a plain "i ->" silently corrupts any
+    # caller whose expr references a column named i (caught live by
+    # tests/test_redaction_sharding_tfidf.py cross-engine check)
+    v = "luhn_i_"
+    return (
+        f"list_sum(list_transform(range(0, length({expr})), {v} -> "
+        f"CASE WHEN {v} % 2 = 1 THEN "
+        f"CASE WHEN (ascii(substr(reverse({expr}), ({v} + 1)::INTEGER, 1))"
+        f" - 48) * 2 > 9 "
+        f"THEN (ascii(substr(reverse({expr}), ({v} + 1)::INTEGER, 1))"
+        f" - 48) * 2 - 9 "
+        f"ELSE (ascii(substr(reverse({expr}), ({v} + 1)::INTEGER, 1))"
+        f" - 48) * 2 END "
+        f"ELSE ascii(substr(reverse({expr}), ({v} + 1)::INTEGER, 1)) - 48"
+        f" END))"
+    )
+
+
+def luhn_check_digit_col(base: Column) -> Column:
+    """The digit making ``base || digit`` Luhn-valid (both engines use
+    the append-'0' trick: sum the padded string, take (10 - s) mod 10)."""
+    s = luhn_sum_col(F.concat(base, F.lit("0")))
+    return F.pmod(F.lit(10) - F.pmod(s, F.lit(10)), F.lit(10))
+
+
+def luhn_check_digit_sql(base_expr: str) -> str:
+    s = luhn_sum_sql(f"({base_expr} || '0')")
+    return f"((10 - ({s}) % 10) % 10)"
+
+
+def luhn_scrub(
+    df: DataFrame, text_col: str = "text", token: str = "<CARD>"
+) -> DataFrame:
+    """Detect candidate payment-card numbers (standalone 13-19 digit
+    runs) and scrub the LUHN-VALID ones — the check that separates card
+    numbers from order ids / timestamps, which a bare digit regex (the
+    redact_pii tier) cannot.  Adds ``n_card_candidates``,
+    ``n_valid_cards`` and ``text_cards_scrubbed``.
+
+    All JVM higher-order expressions (split/transform/filter/aggregate)
+    — zero Python, zero shuffle, a pure per-row map at any corpus size.
+    The candidate regex uses RE2-safe ``\\b`` (no lookarounds, which the
+    DuckDB oracle's RE2 lacks): digit runs embedded in longer digit runs
+    or glued to letters are not candidates, matching both engines.
+    Scrubbing folds ``replace`` over the valid candidates, so repeated
+    occurrences of one card all scrub; the token contains no digits, so
+    the scrub is idempotent.
+    """
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(CARD_CANDIDATE_RE), 0
+    )
+    valid = F.filter(cands, lambda c: F.pmod(luhn_sum_col(c), F.lit(10)) == 0)
+    return (
+        df.withColumn("_cands", cands)
+        .withColumn("_valid", valid)
+        .withColumn("n_card_candidates", F.size("_cands").cast("long"))
+        .withColumn("n_valid_cards", F.size("_valid").cast("long"))
+        .withColumn(
+            "text_cards_scrubbed",
+            F.aggregate(
+                F.col("_valid"),
+                F.col(text_col),
+                lambda acc, c: F.replace(acc, c, F.lit(token)),
+            ),
+        )
+        .drop("_cands", "_valid")
+    )
+
+
+def luhn_scrub_oracle_exprs(
+    text_expr: str = "text", token: str = "<CARD>"
+) -> dict:
+    """DuckDB expressions mirroring :func:`luhn_scrub` over
+    ``text_expr``: keys n_card_candidates, n_valid_cards, scrubbed."""
+    cands = f"regexp_extract_all({text_expr}, '{CARD_CANDIDATE_RE}')"
+    valid = (
+        f"list_filter({cands}, luhn_c_ ->"
+        f" ({luhn_sum_sql('luhn_c_')}) % 10 = 0)"
+    )
+    scrubbed = (
+        f"list_reduce(list_prepend({text_expr}, {valid}), "
+        f"(luhn_a_, luhn_b_) -> replace(luhn_a_, luhn_b_, '{token}'))"
+    )
+    return {
+        "n_card_candidates": f"CAST(len({cands}) AS BIGINT)",
+        "n_valid_cards": f"CAST(len({valid}) AS BIGINT)",
+        "scrubbed": scrubbed,
+    }

@@ -228,3 +228,89 @@ def test_global_ids_keep_payload_columns(spark, corpus):
         .where(F.col("global_id") == 0).collect()
     )
     assert len(row) == 1 and row[0]["text"] == "doc 0"
+
+
+class TestLuhnScrub:
+    def _run(self, spark, texts):
+        from deepseek_ocr_rs_spark.operators.redaction import luhn_scrub
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {
+            r.doc_id: (
+                r.n_card_candidates,
+                r.n_valid_cards,
+                r.text_cards_scrubbed,
+            )
+            for r in luhn_scrub(df).collect()
+        }
+
+    def test_valid_scrubs_invalid_stays(self, spark):
+        valid = "4539578763621486"     # classic Luhn-valid test number
+        invalid = "4539578763621487"   # check digit off by one
+        out = self._run(
+            spark,
+            [
+                f"pay {valid} now",
+                f"ref {invalid} thanks",
+                f"{valid} twice {valid}",
+                "no digits here",
+            ],
+        )
+        assert out[0] == (1, 1, "pay <CARD> now")
+        assert out[1] == (1, 0, f"ref {invalid} thanks")
+        assert out[2] == (2, 2, "<CARD> twice <CARD>")
+        assert out[3] == (0, 0, "no digits here")
+
+    def test_boundary_rules_re2_safe(self, spark):
+        valid = "4539578763621486"
+        out = self._run(
+            spark,
+            [
+                f"x{valid}",            # glued to a letter: no \b
+                f"{valid}00000",        # 21-digit run: no internal \b
+                f"({valid})",           # punct-delimited: matches
+            ],
+        )
+        assert out[0][0] == 0 and out[1][0] == 0
+        assert out[2] == (1, 1, "(<CARD>)")
+
+    def test_check_digit_builder_cross_engine(self, spark):
+        import duckdb
+
+        from deepseek_ocr_rs_spark.operators.redaction import (
+            luhn_check_digit_col,
+            luhn_check_digit_sql,
+            luhn_sum_col,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(25)], "doc_id long"
+        )
+        base = F.concat(
+            F.lit("4539"), F.lpad(F.col("doc_id").cast("string"), 11, "0")
+        )
+        built = df.select(
+            "doc_id",
+            luhn_check_digit_col(base).alias("check"),
+            F.pmod(
+                luhn_sum_col(
+                    F.concat(base, luhn_check_digit_col(base).cast("string"))
+                ),
+                F.lit(10),
+            ).alias("residue"),
+        ).collect()
+        # every built card is Luhn-valid by construction
+        assert all(r.residue == 0 for r in built)
+        con = duckdb.connect()
+        sql_check = luhn_check_digit_sql(
+            "('4539' || lpad(CAST(i AS VARCHAR), 11, '0'))"
+        )
+        want = dict(
+            con.sql(
+                f"SELECT i, {sql_check} FROM range(25) t(i)"
+            ).fetchall()
+        )
+        assert {r.doc_id: r.check for r in built} == want
