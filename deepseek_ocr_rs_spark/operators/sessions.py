@@ -57,11 +57,20 @@ def session_stats(
     """
     if gap_seconds <= 0:
         raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
+    from pyspark.sql import types as T
+
+    # parquet timestamps load as TIMESTAMP_NTZ in Spark 4; cast is
+    # identity under the UTC session and lets unix_timestamp apply.
+    # The cast must be CONDITIONAL: casting an already-TimestampType
+    # column builds a new expression without the event-time watermark
+    # tag, which breaks the streaming append-mode path (caught live by
+    # test_streaming_matches_batch_and_drops_late).
+    ts = F.col(ts_col)
+    if not isinstance(events.schema[ts_col].dataType, T.TimestampType):
+        ts = ts.cast("timestamp")
     ev = events.select(
         F.col(key_col).alias("_key"),
-        # parquet timestamps load as TIMESTAMP_NTZ in Spark 4; cast is
-        # identity under the UTC session and lets unix_timestamp apply
-        F.col(ts_col).cast("timestamp").alias("_ts"),
+        ts.alias("_ts"),
         F.col(value_col).alias("_val"),
     )
     return (

@@ -120,3 +120,57 @@ def streaming_windowed_rates(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def streaming_session_stats(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+    query_name: str = "session_stats_stream",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    output_dir: Optional[str] = None,
+):
+    """The batch sessionizer (operators/sessions.py session_stats) run
+    UNCHANGED under Structured Streaming — the point of using the
+    engine-native ``F.session_window`` grouping instead of the
+    lag-based gaps-and-islands form, which is inexpressible on an
+    unbounded stream.
+
+    ``withWatermark`` is the only streaming-specific line: in append
+    mode a session is emitted exactly once, when the watermark (max
+    event time - tolerance, derived from the PREVIOUS batch — eviction
+    lags one micro-batch) passes the session's end.  Late-data
+    semantics probed live and pinned by tests/test_sessions.py: while a
+    session is still in state, a below-watermark row that overlaps it
+    MERGES (session windows do not pre-filter late input); once the
+    session has been emitted, a late row is DROPPED — committed output
+    is never rewritten, the same discipline as streaming_windowed_rates.
+    State per key is the OPEN sessions only, so state size tracks
+    active users, not corpus size; the shuffle key is the session key.
+    """
+    from deepseek_ocr_rs_spark.operators.sessions import session_stats
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    agg = session_stats(
+        stream.withWatermark("ts", watermark), gap_seconds=gap_seconds
+    )
+    writer = agg.writeStream.outputMode("append").option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if output_dir is not None:
+        writer = writer.format("parquet").option("path", output_dir)
+    else:
+        writer = writer.format("memory").queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -116,3 +116,85 @@ def test_plan_single_exchange_no_join(spark):
 def test_rejects_nonpositive_gap(spark):
     with pytest.raises(ValueError):
         session_stats(_ev(spark, [(T0, 1, 1.0)]), gap_seconds=0)
+
+
+def test_streaming_matches_batch_and_drops_late(spark, tmp_path):
+    """The SAME session_stats expression under readStream: append mode
+    emits a session exactly once when the watermark passes its end, the
+    emitted rows equal the batch operator over the same events, and an
+    event arriving AFTER its session was emitted is dropped instead of
+    rewriting the committed row.  (Probed live: while a session is
+    still in state, a below-watermark row MERGES — Spark session
+    windows do not pre-filter late input; eviction lags one batch
+    because the watermark used in batch N derives from batch N-1's max
+    event time.  The committed-output guarantee is post-emission.)"""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_rs_spark.streaming.stream import (
+        streaming_session_stats,
+    )
+
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+
+    def write_file(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_str string, user_id long, value double"
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_str").alias("ts"),
+            "user_id",
+            "value",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mod times -> deterministic file order
+
+    early = [
+        (1, "2024-01-01 10:00:00", 1, 1.0),
+        (2, "2024-01-01 10:10:00", 1, 2.0),
+        (3, "2024-01-01 10:05:00", 2, 5.0),
+    ]
+    write_file(early)
+    # far-future event: advances the watermark past every early session
+    write_file([(4, "2024-01-01 20:00:00", 3, 1.0)])
+    # this batch runs WITH watermark 19:30 and therefore EMITS the two
+    # early sessions (eviction uses the previous batch's max event time)
+    write_file([(5, "2024-01-01 20:30:00", 3, 1.0)])
+    # late event AFTER emission: must be dropped, never rewriting the
+    # committed session; the companion event keeps the watermark moving
+    write_file([
+        (6, "2024-01-01 10:20:00", 1, 99.0),
+        (7, "2024-01-01 21:00:00", 3, 1.0),
+    ])
+
+    q = streaming_session_stats(
+        spark, src, str(tmp_path / "ckpt"), gap_seconds=1800,
+        watermark="30 minutes", query_name="sess_stream_test",
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM sess_stream_test").collect()
+    )
+
+    # batch reference over ONLY the pre-watermark events (the late row 6
+    # is dropped by the stream; user 3's session is still open)
+    from deepseek_ocr_rs_spark.operators.sessions import session_stats
+
+    batch = spark.createDataFrame(
+        [(i, t, u, v) for (i, t, u, v) in early],
+        "event_id long, ts_str string, user_id long, value double",
+    )
+    from pyspark.sql import functions as F
+
+    batch = batch.select(
+        "event_id", F.to_timestamp("ts_str").alias("ts"), "user_id", "value"
+    )
+    want = sorted(
+        tuple(r) for r in session_stats(batch, gap_seconds=1800).collect()
+    )
+    assert got == want
+    assert len(got) == 2  # user 1 (2 events) + user 2; user 3 still open
