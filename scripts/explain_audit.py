@@ -550,6 +550,57 @@ AUDITS = {
         ("ranked data pinned by checkpoint", "Scan ExistingRDD"),
         ("offsets attach by broadcast", "BroadcastHashJoin"),
     ],
+    "w_session_stats": [
+        # native session_window aggregation: ONE hash exchange on the
+        # session key + local sort; sessions built by
+        # UpdatingSessionsIterator — no self-join, no second shuffle
+        ("one key exchange", "hashpartitioning(_key"),
+        ("no join anywhere", "!Join"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "graph_host_hits": [
+        # loop-carried hubs are localCheckpoint-ed each round (the 4x
+        # lineage blowup cure) so the final plan hangs off an RDD scan;
+        # per-round max scalars attach as 1-row broadcasts
+        ("loop-carried hubs pinned by checkpoint", "Scan ExistingRDD"),
+        ("max scalar broadcast back", "BroadcastNestedLoopJoin"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "train_length_batches": [
+        # within-bucket rank rides the checkpointed zipWithIndex; both
+        # the O(n_ranges) offsets and the n_buckets mins broadcast back
+        ("ranked data pinned by checkpoint", "Scan ExistingRDD"),
+        ("tiny tables attach by broadcast", "BroadcastHashJoin"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "search_phrase_match": [
+        # phrase table broadcasts; candidate filtering happens BY the
+        # join, so the only exchanges are the two anchor aggregations
+        ("phrase table broadcast", "BroadcastHashJoin"),
+        ("positions stay JVM-side", "Generate"),
+        ("anchor rollup partial agg", "HashAggregate"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "emb_benchmark_decontam": [
+        # bench side collapses to ONE row and broadcasts; the corpus
+        # streams map-side — its only join is the 1-row crossJoin
+        ("bench broadcast crossJoin", "BroadcastNestedLoopJoin"),
+        ("corpus never hash-exchanges", "!hashpartitioning(vec_id"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "graph_host_triangles": [
+        # degree-ordered wedge build + close: equi-joins and hash aggs
+        # only; the membership rollup is an explode + partial agg
+        ("membership explode stays JVM-side", "Generate"),
+        ("partial agg before rollup", "HashAggregate"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "doc_card_scrub": [
+        # Luhn fold is a pure per-row expression chain: zero shuffles
+        ("shuffle-free plan", "!Exchange"),
+        ("pruned scan", "ReadSchema: struct<doc_id"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
 }
 
 
