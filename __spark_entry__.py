@@ -5168,6 +5168,24 @@ def doc_card_scrub(spark, sf_dir):
     )
 
 
+def doc_readability(spark, sf_dir):
+    """Flesch reading-ease in exact integer milli-units over documents
+    with planted sentence structure (the synthetic corpus has no
+    punctuation, so every ' table ' becomes '. table ' in-query and
+    in-oracle — non-vacuous sentence counts that vary per doc).
+    Sentences/words/vowel-group syllables are pure JVM regexp counts;
+    the score is 206835 - (1015*W) div S - (84600*Y) div W — no floats
+    anywhere (operators/textstats.py with_readability)."""
+    from deepseek_ocr_rs_spark.operators.textstats import with_readability
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table "), F.lit(". table "))
+    )
+    return with_readability(docs).select(
+        "doc_id", "n_sentences", "n_words", "n_syllables", "flesch_milli"
+    )
+
+
 # ------------------------------------------- agent-transcript analytics
 # The input_hint table carries (role, tool, ts); these operators compute
 # the tool-usage statistics an agent-transcript corpus needs (reference
@@ -5556,6 +5574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_benchmark_decontam": emb_benchmark_decontam,
         "graph_host_triangles": graph_host_triangles,
         "doc_card_scrub": doc_card_scrub,
+        "doc_readability": doc_readability,
     }
 
 
@@ -5647,6 +5666,25 @@ def oracle_sql() -> dict[str, str]:
         luhn_check_digit_sql,
         luhn_scrub_oracle_exprs,
     )
+
+    def _readability_oracle() -> str:
+        from deepseek_ocr_rs_spark.operators.textstats import (
+            readability_oracle_exprs,
+        )
+
+        ex = readability_oracle_exprs("text")
+        return f"""
+WITH rd_planted AS (
+  SELECT doc_id, replace(text, ' table ', '. table ') AS text
+  FROM documents
+)
+SELECT doc_id,
+       {ex['n_sentences']} AS n_sentences,
+       {ex['n_words']} AS n_words,
+       {ex['n_syllables']} AS n_syllables,
+       {ex['flesch_milli']} AS flesch_milli
+FROM rd_planted
+""".strip()
 
     def _card_scrub_oracle() -> str:
         base = "('4539' || lpad(CAST(doc_id AS VARCHAR), 11, '0'))"
@@ -7129,6 +7167,7 @@ FROM cs_planted
             "embeddings", "vec_id % 37 = 0", tau=0.99
         ),
         "doc_card_scrub": _card_scrub_oracle(),
+        "doc_readability": _readability_oracle(),
         "graph_host_triangles": triangle_counts_oracle_sql(
             """
             SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) AS src,

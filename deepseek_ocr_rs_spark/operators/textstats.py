@@ -274,3 +274,83 @@ def document_profile(df: DataFrame, id_col: str = "doc_id",
         lang_id_udf()(F.col(text_col)).alias("lang_pred"),
         fingerprint_udf()(F.col(text_col)).alias("fingerprint"),
     )
+
+
+# ------------------------------------------------------- readability
+
+def readability_cols(text: Column):
+    """Flesch reading-ease count signals as exact integers:
+    ``(n_sentences, n_words, n_syllables)``.
+
+    The classic curation heuristic (C4 and friends gate on it) made
+    deterministic: sentences = runs of ``[.!?]`` (floored at 1 so the
+    ratio is total), words = whitespace tokens, syllables = vowel
+    GROUPS ``[aeiouy]+`` over the lowercased text (the standard
+    approximation; vowel-less tokens contribute 0 — documented, and
+    identical in both engines).  Pure JVM regexp/size expressions —
+    per-row map, zero shuffles.
+    """
+    trimmed = F.trim(text)
+    n_words = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("long")
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0)),
+    ).cast("long")
+    n_syl = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"[aeiouy]+"), 0)
+    ).cast("long")
+    return n_sent, n_words, n_syl
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach readability columns + the Flesch score in exact
+    MILLI-units: ``206835 - (1015*W) div S - (84600*Y) div W`` —
+    Flesch's ``206.835 - 1.015 W/S - 84.6 Y/W`` carried in integer
+    division so the oracle hash is exact (NULL for word-less docs).
+    The score expression references the count columns by name (integer
+    div needs SQL ``div``), so counts are materialized first.
+    """
+    n_sent, n_words, n_syl = readability_cols(F.col(text_col))
+    out = df.withColumns(
+        {"_rd_s": n_sent, "_rd_w": n_words, "_rd_y": n_syl}
+    )
+    flesch = F.when(
+        F.col("_rd_w") == 0, F.lit(None).cast("long")
+    ).otherwise(
+        F.lit(206835)
+        - F.expr("(1015 * _rd_w) div _rd_s")
+        - F.expr("(84600 * _rd_y) div _rd_w")
+    )
+    return out.withColumn("flesch_milli", flesch).withColumnsRenamed(
+        {"_rd_s": "n_sentences", "_rd_w": "n_words", "_rd_y": "n_syllables"}
+    )
+
+
+def readability_oracle_exprs(text_expr: str = "text") -> dict:
+    """DuckDB expressions replicating :func:`with_readability`."""
+    trimmed = f"trim({text_expr})"
+    words = (
+        f"CAST(CASE WHEN {trimmed} = '' THEN 0 ELSE"
+        f" len(regexp_split_to_array({trimmed}, '\\s+')) END AS BIGINT)"
+    )
+    sents = (
+        f"CAST(GREATEST(1, len(regexp_extract_all({text_expr},"
+        f" '[.!?]+'))) AS BIGINT)"
+    )
+    syls = (
+        f"CAST(len(regexp_extract_all(lower({text_expr}),"
+        f" '[aeiouy]+')) AS BIGINT)"
+    )
+    flesch = (
+        f"CASE WHEN ({words}) = 0 THEN NULL ELSE"
+        f" 206835 - (1015 * ({words})) // ({sents})"
+        f" - (84600 * ({syls})) // ({words}) END"
+    )
+    return {
+        "n_sentences": sents,
+        "n_words": words,
+        "n_syllables": syls,
+        "flesch_milli": flesch,
+    }

@@ -108,3 +108,83 @@ def test_collisions_shared_deterministically(spark):
         "doc_id", "text", "label", n_buckets=8,
     )).fetchall())
     assert a == duck
+
+
+class TestReadability:
+    def _run(self, spark, texts):
+        from deepseek_ocr_rs_spark.operators.textstats import (
+            with_readability,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {
+            r.doc_id: (
+                r.n_sentences, r.n_words, r.n_syllables, r.flesch_milli
+            )
+            for r in with_readability(df).collect()
+        }
+
+    def test_hand_computed_counts_and_score(self, spark):
+        out = self._run(
+            spark,
+            [
+                # 2 sentences ('.' and '!?' runs), 4 words, syllable
+                # groups: the(1) cat(1) sat(1) down(1) = 4
+                "the cat. sat down!?",
+                "",             # empty: 0 words -> NULL score, 1 sentence
+                "xyz 123",      # no vowels: syllables 0
+            ],
+        )
+        s, w, y = 2, 4, 4
+        want = 206835 - (1015 * w) // s - (84600 * y) // w
+        assert out[0] == (2, 4, 4, want)
+        assert out[1] == (1, 0, 0, None)
+        assert out[2] == (1, 2, 1, 206835 - 1015 * 2 - (84600 * 1) // 2)
+
+    def test_vowel_groups_not_letters(self, spark):
+        # 'queue' = one vowel GROUP (ueue after q... 'ueue') -> 1;
+        # 'aeiou' -> 1; 'rhythm' has y -> 1
+        out = self._run(spark, ["queue aeiou rhythm"])
+        assert out[0][2] == 3
+
+    def test_oracle_parity(self, spark):
+        import duckdb
+
+        from deepseek_ocr_rs_spark.operators.textstats import (
+            readability_oracle_exprs,
+            with_readability,
+        )
+
+        texts = [
+            "the cat. sat down!?",
+            "",
+            "xyz 123",
+            "a. b. c. d. e!!! mixed CASE Words here? yes.",
+            "   leading and trailing   ",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = sorted(
+            tuple(r)
+            for r in with_readability(df).select(
+                "doc_id", "n_sentences", "n_words", "n_syllables",
+                "flesch_milli",
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t_rd (doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO t_rd VALUES (?, ?)", list(enumerate(texts))
+        )
+        ex = readability_oracle_exprs("text")
+        want = sorted(
+            tuple(r)
+            for r in con.sql(
+                f"SELECT doc_id, {ex['n_sentences']}, {ex['n_words']},"
+                f" {ex['n_syllables']}, {ex['flesch_milli']} FROM t_rd"
+            ).fetchall()
+        )
+        assert got == want
