@@ -5168,6 +5168,27 @@ def doc_card_scrub(spark, sf_dir):
     )
 
 
+def conv_context_fit(spark, sf_dir):
+    """Context-window assembly: the longest suffix of each conversation
+    fitting a 30-token budget (operators/agentstats.py
+    context_window_fit).  The synthetic transcript's one-word turns are
+    lengthened in-query AND in-oracle (``repeat(text || ' ',
+    1 + turn_idx % 37)`` — 1..37 tokens per turn, deterministic) so
+    truncation varies per conversation and the n_kept = 0 edge (final
+    turn alone over budget) occurs.  One conv_id window shuffle feeding
+    a same-key aggregate; exact int64 arithmetic throughout."""
+    from deepseek_ocr_rs_spark.operators.agentstats import context_window_fit
+
+    turns = _events_as_agent_turns(_t(spark, sf_dir, "events")).withColumn(
+        "text",
+        F.repeat(
+            F.concat(F.col("text"), F.lit(" ")),
+            (F.lit(1) + F.col("turn_idx") % 37).cast("int"),
+        ),
+    )
+    return context_window_fit(turns, budget=30)
+
+
 def doc_readability(spark, sf_dir):
     """Flesch reading-ease in exact integer milli-units over documents
     with planted sentence structure (the synthetic corpus has no
@@ -5575,6 +5596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_triangles": graph_host_triangles,
         "doc_card_scrub": doc_card_scrub,
         "doc_readability": doc_readability,
+        "conv_context_fit": conv_context_fit,
     }
 
 
@@ -5616,6 +5638,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.splits import splits_oracle_sql
     from deepseek_ocr_rs_spark.operators.agentstats import (
+        context_fit_oracle_sql,
         tool_runs_oracle_sql,
         tool_stats_oracle_sql,
     )
@@ -7214,6 +7237,15 @@ FROM cs_planted
         ),
         "conv_tool_latency": tool_stats_oracle_sql(_AGENT_TURNS_SQL),
         "conv_tool_runs": tool_runs_oracle_sql(_AGENT_TURNS_SQL, min_len=2),
+        "conv_context_fit": context_fit_oracle_sql(
+            f"""
+            SELECT conv_id, turn_idx,
+                   repeat(text || ' ',
+                          CAST(1 + turn_idx % 37 AS INTEGER)) AS text
+            FROM ({_AGENT_TURNS_SQL})
+            """,
+            budget=30,
+        ),
         "doc_chunk_windows": chunk_windows_oracle_sql(
             "SELECT doc_id, text FROM documents", size=120, stride=80
         ),

@@ -272,8 +272,12 @@ def main() -> None:
         # degree-ordered triangle counting
         "emb_benchmark_decontam",
         "graph_host_triangles",
-        # round-5 continuation: Luhn-validated card scrubbing
+        # round-5 continuation: Luhn-validated card scrubbing,
+        # integer-exact Flesch readability
         "doc_card_scrub",
+        "doc_readability",
+        # context-window assembly fit over agent transcripts
+        "conv_context_fit",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -37,8 +37,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "tool_usage_stats",
     "tool_call_runs",
+    "context_window_fit",
     "tool_stats_oracle_sql",
     "tool_runs_oracle_sql",
+    "context_fit_oracle_sql",
 ]
 
 
@@ -118,6 +120,53 @@ def tool_call_runs(turns: DataFrame, min_len: int = 1) -> DataFrame:
     )
 
 
+def context_window_fit(turns: DataFrame, budget: int) -> DataFrame:
+    """Context-assembly fit: the longest SUFFIX of each conversation's
+    turns whose whitespace-token total fits ``budget``.
+
+    This is the operation every agent runtime performs before each model
+    call — keep the most recent turns that fit the context window, drop
+    the oldest (the reference's chat template assembles history the same
+    most-recent-first way, ``crates/server/src/conversation.rs``).  The
+    suffix-from-the-end cumulative token sum is monotone non-decreasing
+    going earlier, so "suffix sums <= budget" IS the maximal suffix —
+    no iteration, one window pass.
+
+    Plan shape: ONE window shuffle on conv_id (turn_idx DESC running
+    sum) feeding a hash aggregate on the SAME key — Catalyst plans a
+    single exchange.  All arithmetic is exact int64 token counts.
+
+    Output per conversation: (conv_id, n_turns, tokens_total, n_kept,
+    first_kept_idx, tokens_kept).  ``n_kept = 0`` (NULL first_kept_idx,
+    tokens_kept 0) when even the final turn alone exceeds the budget.
+    """
+    tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    ).cast("long")
+    w_suffix = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = turns.select("conv_id", "turn_idx", tokens.alias("tokens"))
+    kept = F.sum("tokens").over(w_suffix) <= F.lit(int(budget))
+    flagged = sized.withColumn("kept", kept)
+    return (
+        flagged.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("tokens").alias("tokens_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.min(F.when(F.col("kept"), F.col("turn_idx")))
+            .cast("long")
+            .alias("first_kept_idx"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("tokens"))), F.lit(0)
+            ).alias("tokens_kept"),
+        )
+    )
+
+
 # --------------------------------------------------------------- oracles
 #
 # Both oracles take the turns relation as an inline SQL fragment (the
@@ -167,4 +216,34 @@ SELECT conv_id,
 FROM islands
 GROUP BY conv_id, isl
 HAVING COUNT(*) >= {min_len}
+"""
+
+def context_fit_oracle_sql(turns_sql: str, budget: int) -> str:
+    """DuckDB replica of :func:`context_window_fit` (internal CTEs are
+    ``cf_``-prefixed so generated callers can't collide)."""
+    return f"""
+WITH cf_turns AS ({turns_sql}),
+cf_sized AS (
+  SELECT conv_id, turn_idx,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END AS BIGINT) AS tokens
+  FROM cf_turns
+),
+cf_flagged AS (
+  SELECT conv_id, turn_idx, tokens,
+         SUM(tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                           ROWS UNBOUNDED PRECEDING) <= {int(budget)}
+           AS kept
+  FROM cf_sized
+)
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       SUM(tokens) AS tokens_total,
+       SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+       CAST(MIN(CASE WHEN kept THEN turn_idx END) AS BIGINT)
+         AS first_kept_idx,
+       COALESCE(SUM(CASE WHEN kept THEN tokens END), 0) AS tokens_kept
+FROM cf_flagged
+GROUP BY conv_id
 """

@@ -362,3 +362,84 @@ def test_curriculum_order_easy_first_contiguous_deterministic(spark):
     assert [(r.doc_id, r.curriculum_pos) for r in out] == [
         (r.doc_id, r.curriculum_pos) for r in again
     ]
+
+
+# ------------------------------------------------------- context-window fit
+
+def _fit_turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+
+
+def _fit(spark, rows, budget):
+    from deepseek_ocr_rs_spark.operators.agentstats import context_window_fit
+
+    return {
+        r.conv_id: (
+            r.n_turns, r.tokens_total, r.n_kept, r.first_kept_idx,
+            r.tokens_kept,
+        )
+        for r in context_window_fit(_fit_turns(spark, rows), budget).collect()
+    }
+
+
+def test_context_fit_keeps_maximal_suffix(spark):
+    # tokens per turn: 3, 4, 2, 1 — suffix sums from the end: 1, 3, 7, 10.
+    # budget 7 keeps the last three turns (idx 1..3), not turn 0.
+    rows = [
+        ("c", 0, "a b c"),
+        ("c", 1, "a b c d"),
+        ("c", 2, "a b"),
+        ("c", 3, "a"),
+    ]
+    assert _fit(spark, rows, 7)["c"] == (4, 10, 3, 1, 7)
+
+
+def test_context_fit_budget_boundary_is_inclusive(spark):
+    rows = [("c", 0, "a b"), ("c", 1, "c d")]
+    # total 4 == budget -> everything fits
+    assert _fit(spark, rows, 4)["c"] == (2, 4, 2, 0, 4)
+    # budget 3 -> only the final 2-token turn fits
+    assert _fit(spark, rows, 3)["c"] == (2, 4, 1, 1, 2)
+
+
+def test_context_fit_zero_fit_when_final_turn_alone_over_budget(spark):
+    rows = [("c", 0, "a"), ("c", 1, "a b c d e")]
+    assert _fit(spark, rows, 4)["c"] == (2, 6, 0, None, 0)
+
+
+def test_context_fit_empty_turns_cost_zero(spark):
+    rows = [("c", 0, "a b c"), ("c", 1, "   "), ("c", 2, "d")]
+    # empty middle turn costs 0 tokens: budget 1 keeps idx 1 and 2
+    assert _fit(spark, rows, 1)["c"] == (3, 4, 2, 1, 1)
+
+
+def test_context_fit_oracle_parity(spark):
+    import duckdb
+
+    from deepseek_ocr_rs_spark.operators.agentstats import (
+        context_fit_oracle_sql,
+        context_window_fit,
+    )
+
+    rows = [
+        ("c%d" % (i % 5), i, ("w " * (1 + (i * 7) % 13)).strip())
+        for i in range(60)
+    ] + [("empty", 0, ""), ("solo", 0, "one two three")]
+    got = sorted(
+        tuple(r)
+        for r in context_window_fit(_fit_turns(spark, rows), 20).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE fit_t (conv_id VARCHAR, turn_idx INTEGER, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO fit_t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            context_fit_oracle_sql("SELECT * FROM fit_t", 20)
+        ).fetchall()
+    )
+    assert got == want
