@@ -5168,6 +5168,41 @@ def doc_card_scrub(spark, sf_dir):
     )
 
 
+def doc_mojibake(spark, sf_dir):
+    """Encoding-damage detection (operators/encoding.py): exact regex
+    counts of the four mojibake signal families over documents with
+    damage PLANTED deterministically in-query and in-oracle (doc_id
+    residue classes get a Latin-1-decoded 'cafe' accent, a Windows-1252
+    curly apostrophe, a raw NEL C1 control, a U+FFFD replacement char)
+    so every signal family fires on a different non-vacuous subset.
+    Shuffle-free per-row projection; basis-point rate in exact integer
+    div."""
+    from deepseek_ocr_rs_spark.operators.encoding import with_mojibake_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" caf\u00c3\u00a9"))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 3,
+                F.lit(" don\u00e2\u20ac\u2122t"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 5, F.lit(" nel\u0085line")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 2, F.lit(" bad\ufffd"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return with_mojibake_signals(planted).select(
+        "doc_id", "n_repl", "n_a_hat", "n_a_circ", "n_c1",
+        "mojibake_bp", "is_mojibake",
+    )
+
+
 def conv_context_fit(spark, sf_dir):
     """Context-window assembly: the longest suffix of each conversation
     fitting a 30-token budget (operators/agentstats.py
@@ -5597,6 +5632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_card_scrub": doc_card_scrub,
         "doc_readability": doc_readability,
         "conv_context_fit": conv_context_fit,
+        "doc_mojibake": doc_mojibake,
     }
 
 
@@ -5707,6 +5743,34 @@ SELECT doc_id,
        {ex['n_syllables']} AS n_syllables,
        {ex['flesch_milli']} AS flesch_milli
 FROM rd_planted
+""".strip()
+
+    def _mojibake_oracle() -> str:
+        from deepseek_ocr_rs_spark.operators.encoding import (
+            mojibake_oracle_exprs,
+        )
+
+        ex = mojibake_oracle_exprs("text")
+        cols = ",\n       ".join(f"{v} AS {k}" for k, v in ex.items())
+        return f"""
+WITH mj_planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' caf' || chr(195) || chr(169) ELSE '' END
+         || CASE WHEN doc_id % 11 = 3
+                 THEN ' don' || chr(226) || chr(8364) || chr(8482) || 't'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 5
+                 THEN ' nel' || chr(133) || 'line' ELSE '' END
+         || CASE WHEN doc_id % 17 = 2
+                 THEN ' bad' || chr(65533) ELSE '' END
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       {cols}
+FROM mj_planted
 """.strip()
 
     def _card_scrub_oracle() -> str:
@@ -7191,6 +7255,7 @@ FROM cs_planted
         ),
         "doc_card_scrub": _card_scrub_oracle(),
         "doc_readability": _readability_oracle(),
+        "doc_mojibake": _mojibake_oracle(),
         "graph_host_triangles": triangle_counts_oracle_sql(
             """
             SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) AS src,

@@ -278,6 +278,8 @@ def main() -> None:
         "doc_readability",
         # context-window assembly fit over agent transcripts
         "conv_context_fit",
+        # encoding-damage (mojibake) signal counts
+        "doc_mojibake",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the
