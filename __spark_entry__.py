@@ -5168,6 +5168,31 @@ def doc_card_scrub(spark, sf_dir):
     )
 
 
+def doc_lexical_diversity(spark, sf_dir):
+    """Type-token + hapax ratios in exact basis points
+    (operators/textstats.py with_lexical_diversity): a single JVM
+    aggregate() fold over each row's sorted token array — a map-only
+    stage with NO token-stream shuffle (the explode+groupBy shape the
+    DuckDB oracle deliberately uses instead, so the engines cross-check
+    semantics rather than sharing an algorithm).  Repetition is planted
+    by doubling every third document's text in-query and in-oracle, so
+    TTR varies structurally, not just lexically."""
+    from deepseek_ocr_rs_spark.operators.textstats import (
+        with_lexical_diversity,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return with_lexical_diversity(docs).select(
+        "doc_id", "n_tokens", "n_types", "n_hapax", "ttr_bp", "hapax_bp"
+    )
+
+
 def doc_mojibake(spark, sf_dir):
     """Encoding-damage detection (operators/encoding.py): exact regex
     counts of the four mojibake signal families over documents with
@@ -5633,6 +5658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": doc_readability,
         "conv_context_fit": conv_context_fit,
         "doc_mojibake": doc_mojibake,
+        "doc_lexical_diversity": doc_lexical_diversity,
     }
 
 
@@ -5744,6 +5770,18 @@ SELECT doc_id,
        {ex['flesch_milli']} AS flesch_milli
 FROM rd_planted
 """.strip()
+
+    def _lexdiv_oracle() -> str:
+        from deepseek_ocr_rs_spark.operators.textstats import (
+            lexical_diversity_oracle_sql,
+        )
+
+        return lexical_diversity_oracle_sql(
+            """SELECT doc_id,
+                      CASE WHEN doc_id % 3 = 0
+                           THEN text || ' ' || text ELSE text END AS text
+               FROM documents"""
+        )
 
     def _mojibake_oracle() -> str:
         from deepseek_ocr_rs_spark.operators.encoding import (
@@ -7256,6 +7294,7 @@ FROM cs_planted
         "doc_card_scrub": _card_scrub_oracle(),
         "doc_readability": _readability_oracle(),
         "doc_mojibake": _mojibake_oracle(),
+        "doc_lexical_diversity": _lexdiv_oracle(),
         "graph_host_triangles": triangle_counts_oracle_sql(
             """
             SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) AS src,

@@ -280,6 +280,8 @@ def main() -> None:
         "conv_context_fit",
         # encoding-damage (mojibake) signal counts
         "doc_mojibake",
+        # shuffle-free type-token / hapax ratios
+        "doc_lexical_diversity",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

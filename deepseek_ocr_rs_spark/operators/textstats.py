@@ -354,3 +354,97 @@ def readability_oracle_exprs(text_expr: str = "text") -> dict:
         "n_syllables": syls,
         "flesch_milli": flesch,
     }
+
+
+# ------------------------------------------------ lexical diversity (TTR)
+
+def with_lexical_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Type-token ratio and hapax-legomenon ratio, exact integers.
+
+    Lexical diversity is a standard curation signal (low TTR = template /
+    boilerplate / keyword-stuffed spam; high hapax share on long docs =
+    OCR noise or gibberish).  Computed WITHOUT a token-stream shuffle:
+    one ``aggregate()`` fold over the per-row SORTED token array counts
+    distinct types and run-lengths-of-1 (hapaxes) in a single O(n log n)
+    per-row pass that stays inside whole-stage codegen — at 100 TB this
+    is a map-only stage, vs the explode + two-level groupBy shape that
+    would shuffle every token.  The DuckDB oracle deliberately uses the
+    OTHER algorithm (unnest + GROUP BY) so the two engines cross-check
+    semantics, not a shared implementation.
+
+    Output columns: ``n_tokens, n_types, n_hapax, ttr_bp, hapax_bp``
+    (basis points, exact integer div; 0 for token-less docs, NULL for
+    NULL text).
+    """
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    out = df.withColumn("_ld_toks", toks)
+    fold = """
+    aggregate(
+      array_sort(_ld_toks),
+      struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS types,
+             CAST(0 AS BIGINT) AS hapax, CAST(0 AS BIGINT) AS run),
+      (acc, x) -> IF(acc.prev IS NULL OR x != acc.prev,
+        struct(x AS prev, acc.types + 1L AS types,
+               acc.hapax + IF(acc.run = 1L, 1L, 0L) AS hapax, 1L AS run),
+        struct(x AS prev, acc.types AS types, acc.hapax AS hapax,
+               acc.run + 1L AS run)),
+      acc -> struct(acc.types AS types,
+                    acc.hapax + IF(acc.run = 1L, 1L, 0L) AS hapax))
+    """
+    out = (
+        out.withColumn("_ld_agg", F.expr(fold))
+        .withColumn("n_tokens", F.size("_ld_toks").cast("long"))
+        .withColumn("n_types", F.col("_ld_agg.types"))
+        .withColumn("n_hapax", F.col("_ld_agg.hapax"))
+    )
+    def _bp(num: str) -> Column:
+        return F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+            F.expr(f"(10000 * {num}) div n_tokens")
+        )
+    return (
+        out.withColumn("ttr_bp", _bp("n_types"))
+        .withColumn("hapax_bp", _bp("n_hapax"))
+        .drop("_ld_toks", "_ld_agg")
+    )
+
+
+def lexical_diversity_oracle_sql(docs_sql: str, id_col: str = "doc_id",
+                                 text_col: str = "text") -> str:
+    """DuckDB replica of :func:`with_lexical_diversity` by the OTHER
+    algorithm (unnest + GROUP BY); ``ld_``-prefixed CTEs."""
+    return f"""
+WITH ld_docs AS ({docs_sql}),
+ld_tok AS (
+  SELECT {id_col} AS ld_id,
+         unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+'))
+           AS tok
+  FROM ld_docs
+  WHERE {text_col} IS NOT NULL AND trim({text_col}) <> ''
+),
+ld_counts AS (
+  SELECT ld_id, tok, COUNT(*) AS c FROM ld_tok GROUP BY ld_id, tok
+),
+ld_stats AS (
+  SELECT ld_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM ld_counts GROUP BY ld_id
+)
+SELECT d.{id_col},
+       CASE WHEN d.{text_col} IS NULL THEN NULL
+            ELSE COALESCE(s.n_tokens, 0) END AS n_tokens,
+       CASE WHEN d.{text_col} IS NULL THEN NULL
+            ELSE COALESCE(s.n_types, 0) END AS n_types,
+       CASE WHEN d.{text_col} IS NULL THEN NULL
+            ELSE COALESCE(s.n_hapax, 0) END AS n_hapax,
+       CASE WHEN d.{text_col} IS NULL THEN NULL
+            WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
+            ELSE (10000 * s.n_types) // s.n_tokens END AS ttr_bp,
+       CASE WHEN d.{text_col} IS NULL THEN NULL
+            WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
+            ELSE (10000 * s.n_hapax) // s.n_tokens END AS hapax_bp
+FROM ld_docs d LEFT JOIN ld_stats s ON d.{id_col} = s.ld_id
+"""

@@ -188,3 +188,89 @@ class TestReadability:
             ).fetchall()
         )
         assert got == want
+
+
+class TestLexicalDiversity:
+    def _run(self, spark, texts):
+        from deepseek_ocr_rs_spark.operators.textstats import (
+            with_lexical_diversity,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {
+            r.doc_id: (r.n_tokens, r.n_types, r.n_hapax, r.ttr_bp, r.hapax_bp)
+            for r in with_lexical_diversity(df).collect()
+        }
+
+    def test_hand_computed(self, spark):
+        out = self._run(
+            spark,
+            [
+                "the cat the dog the bird",  # 6 tokens, 4 types, 3 hapax
+                "a a a a",                   # 4 tokens, 1 type, 0 hapax
+                "all distinct words here",   # 4/4/4
+                "",                          # zeros
+                "   ",                       # whitespace-only: zeros
+                "solo",                      # 1/1/1
+            ],
+        )
+        assert out[0] == (6, 4, 3, 10000 * 4 // 6, 10000 * 3 // 6)
+        assert out[1] == (4, 1, 0, 2500, 0)
+        assert out[2] == (4, 4, 4, 10000, 10000)
+        assert out[3] == (0, 0, 0, 0, 0)
+        assert out[4] == (0, 0, 0, 0, 0)
+        assert out[5] == (1, 1, 1, 10000, 10000)
+
+    def test_case_folded_types(self, spark):
+        # The/THE/the are one type; hapax counts respect folding
+        out = self._run(spark, ["The THE the Cat"])
+        assert out[0] == (4, 2, 1, 5000, 2500)
+
+    def test_null_text_propagates(self, spark):
+        from deepseek_ocr_rs_spark.operators.textstats import (
+            with_lexical_diversity,
+        )
+
+        df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+        r = with_lexical_diversity(df).collect()[0]
+        assert r.n_tokens is None and r.ttr_bp is None
+
+    def test_oracle_parity_including_adjacent_sort_runs(self, spark):
+        import duckdb
+
+        from deepseek_ocr_rs_spark.operators.textstats import (
+            lexical_diversity_oracle_sql,
+            with_lexical_diversity,
+        )
+
+        texts = [
+            "b a b a c",          # interleaved duplicates regroup on sort
+            "z z z y y x",        # runs of 3, 2, 1
+            "",
+            "  spaced   out  ",
+            None,
+            "Unicode naive facade naive",
+            ("tok%d " * 50) % tuple(range(50)) + "tok0 tok1",  # long tail
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = sorted(
+            tuple(r)
+            for r in with_lexical_diversity(df)
+            .select("doc_id", "n_tokens", "n_types", "n_hapax",
+                    "ttr_bp", "hapax_bp")
+            .collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE ld (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO ld VALUES (?, ?)", list(enumerate(texts)))
+        want = sorted(
+            tuple(r)
+            for r in con.sql(
+                lexical_diversity_oracle_sql("SELECT doc_id, text FROM ld")
+            ).fetchall()
+        )
+        assert got == want
