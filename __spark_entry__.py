@@ -5193,6 +5193,28 @@ def doc_lexical_diversity(spark, sf_dir):
     )
 
 
+def doc_length_quantiles(spark, sf_dir):
+    """Exact per-source token-length percentiles
+    (operators/quantiles.py group_disc_quantiles): the data-card /
+    length-bucketing statistic, computed at histogram scale — the only
+    full-data operation is a map-side-combinable (source, token_count)
+    count, so the shuffle carries distinct values, never documents.
+    percentile_approx can never hash-match an oracle; this is the exact
+    discrete quantile (value at rank ceil(p*n)) as integer rationals."""
+    from deepseek_ocr_rs_spark.operators.quantiles import (
+        group_disc_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.trim(F.col("text")) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return group_disc_quantiles(docs, "source", "n_tokens")
+
+
 def doc_mojibake(spark, sf_dir):
     """Encoding-damage detection (operators/encoding.py): exact regex
     counts of the four mojibake signal families over documents with
@@ -5659,6 +5681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_context_fit": conv_context_fit,
         "doc_mojibake": doc_mojibake,
         "doc_lexical_diversity": doc_lexical_diversity,
+        "doc_length_quantiles": doc_length_quantiles,
     }
 
 
@@ -5781,6 +5804,21 @@ FROM rd_planted
                       CASE WHEN doc_id % 3 = 0
                            THEN text || ' ' || text ELSE text END AS text
                FROM documents"""
+        )
+
+    def _length_quantiles_oracle() -> str:
+        from deepseek_ocr_rs_spark.operators.quantiles import (
+            disc_quantiles_oracle_sql,
+        )
+
+        return disc_quantiles_oracle_sql(
+            """SELECT source,
+                      CAST(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text),
+                                                          '\\s+'))
+                           END AS BIGINT) AS n_tokens
+               FROM documents""",
+            "source", "n_tokens",
         )
 
     def _mojibake_oracle() -> str:
@@ -7295,6 +7333,7 @@ FROM cs_planted
         "doc_readability": _readability_oracle(),
         "doc_mojibake": _mojibake_oracle(),
         "doc_lexical_diversity": _lexdiv_oracle(),
+        "doc_length_quantiles": _length_quantiles_oracle(),
         "graph_host_triangles": triangle_counts_oracle_sql(
             """
             SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) AS src,

@@ -282,6 +282,8 @@ def main() -> None:
         "doc_mojibake",
         # shuffle-free type-token / hapax ratios
         "doc_lexical_diversity",
+        # exact per-source length percentiles at histogram scale
+        "doc_length_quantiles",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the
