@@ -5468,6 +5468,120 @@ def ann_sq8_topk(spark, sf_dir):
     return sq8_topk(emb, [float(x) for x in q], k=10)
 
 
+# ---------------------------------------- conversation-level dedup tier
+# Turn-SEQUENCE redundancy a document-level dedup pass cannot see
+# (operators/convdedup.py): prefix-duplicate conversations (resumed /
+# replayed sessions), consecutive retry turns, and DPO preference pairs.
+# The synthetic agent turns have no natural prefix/preference structure
+# (event sequences are random, ~50+ turns), so the prefix and preference
+# inputs PLANT it deterministically — identically in-query and in-oracle,
+# the doc_readability discipline.
+
+
+def conv_prefix_dedup(spark, sf_dir):
+    """Prefix-duplicate conversation removal: for every user_id % 3 == 0
+    the input gains a clone conv '<id>#p' holding only the first
+    ceil(n/2) turns — a resumed session re-logged from the start.  The
+    operator detects each clone as an exact turn-prefix of its original
+    via cumulative md5 chain signatures and emits (conv_id, n_turns,
+    kept_by).  One conv_id window pass + an equi-join on the 32-char
+    digest — never all-pairs (operators/convdedup.py prefix_dedup)."""
+    from deepseek_ocr_rs_spark.operators.convdedup import prefix_dedup
+
+    base = _events_as_agent_turns(_t(spark, sf_dir, "events"))
+    w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ranked = base.withColumn("rn", F.row_number().over(w_ord)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
+    )
+    clones = ranked.where(
+        (F.col("conv_id").cast("bigint") % 3 == 0)
+        & (F.col("rn") <= F.expr("(n + 1) div 2"))
+    ).select(
+        F.concat(F.col("conv_id"), F.lit("#p")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
+    return prefix_dedup(base.unionByName(clones)).orderBy("conv_id")
+
+
+def conv_retry_collapse(spark, sf_dir):
+    """Consecutive-duplicate turn collapse: turns repeating the previous
+    (role, text) in the same conversation are client retries / duplicate
+    SSE appends — keep the FIRST, re-index survivors densely.  The
+    synthetic corpus has ~2k natural consecutive duplicates at sf0.01,
+    so no planting is needed.  Two windows over one (conv_id, turn_idx)
+    ordering -> ONE exchange (operators/convdedup.py collapse_retries)."""
+    from deepseek_ocr_rs_spark.operators.convdedup import collapse_retries
+
+    return collapse_retries(
+        _events_as_agent_turns(_t(spark, sf_dir, "events"))
+    )
+
+
+def conv_preference_pairs(spark, sf_dir):
+    """DPO preference-pair mining: conversations identical in every turn
+    EXCEPT the last, with differing final responses, form (chosen,
+    rejected) pairs — chosen is the longer final text, ties break to the
+    smaller conv_id.  Planted input: each conversation's first 8 turns
+    become a shared prompt carrying 2 response variants ('#a', '#b';
+    '#c' for user_id % 5 == 0) whose lengths derive from the conv id, so
+    length ties DO occur and exercise the tie-break.  Candidates are
+    capped at 8 per prompt group BEFORE the self-join (skew guard)
+    (operators/convdedup.py preference_pairs)."""
+    from deepseek_ocr_rs_spark.operators.convdedup import preference_pairs
+
+    base = _events_as_agent_turns(_t(spark, sf_dir, "events"))
+    w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prompt = base.withColumn("rn", F.row_number().over(w_ord)).where(
+        F.col("rn") <= 8
+    )
+
+    def variant(tag: str, reps_mod: int, ch: str, mod_filter: int | None):
+        rows = prompt
+        if mod_filter is not None:
+            rows = rows.where(
+                F.col("conv_id").cast("bigint") % mod_filter == 0
+            )
+        pturns = rows.select(
+            F.concat(F.col("conv_id"), F.lit(tag)).alias("conv_id"),
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            "ts",
+        )
+        finals = (
+            rows.where(F.col("rn") == 1)
+            .select(
+                F.concat(F.col("conv_id"), F.lit(tag)).alias("conv_id"),
+                F.lit(2000000000).cast("int").alias("turn_idx"),
+                F.lit("assistant").alias("role"),
+                F.concat(
+                    F.lit("response "),
+                    F.expr(
+                        f"repeat('{ch}', CAST(CAST(conv_id AS BIGINT)"
+                        f" % {reps_mod} + 1 AS INT))"
+                    ),
+                ).alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.col("ts"),
+            )
+        )
+        return pturns.unionByName(finals)
+
+    turns = (
+        variant("#a", 7, "x", None)
+        .unionByName(variant("#b", 5, "y", None))
+        .unionByName(variant("#c", 3, "z", 5))
+    )
+    return preference_pairs(turns, max_group=8).orderBy(
+        "prompt_sig", "chosen_conv", "rejected_conv"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the external driver CORRECTNESS-checks the FIRST 50
     # entries.  Round 5 rotates in the 26 queries that have never received
@@ -5544,6 +5658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_curriculum_order": train_curriculum_order,
         # -- 51+: green in a prior driver round (or gate-covered); the
         #    in-repo full gate at two scale factors covers everything ----
+        "conv_prefix_dedup": conv_prefix_dedup,
+        "conv_retry_collapse": conv_retry_collapse,
+        "conv_preference_pairs": conv_preference_pairs,
         "emb_semantic_dedup": emb_semantic_dedup,
         "media_bicubic_resample": media_bicubic_resample,
         "warc_http_responses": warc_http_responses,
@@ -5726,6 +5843,11 @@ def oracle_sql() -> dict[str, str]:
         context_fit_oracle_sql,
         tool_runs_oracle_sql,
         tool_stats_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.convdedup import (
+        collapse_retries_oracle_sql,
+        preference_pairs_oracle_sql,
+        prefix_dedup_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.chunking import (
         chunk_windows_oracle_sql,
@@ -7410,6 +7532,56 @@ FROM cs_planted
             FROM turns
             GROUP BY conv_id
         """,
+        "conv_prefix_dedup": prefix_dedup_oracle_sql(
+            f"""
+            WITH pd_base AS ({_AGENT_TURNS_SQL}),
+            pd_ranked AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS rn,
+                     COUNT(*) OVER (PARTITION BY conv_id) AS n
+              FROM pd_base
+            )
+            SELECT conv_id, turn_idx, role, text, tool, ts FROM pd_base
+            UNION ALL
+            SELECT conv_id || '#p', turn_idx, role, text, tool, ts
+            FROM pd_ranked
+            WHERE CAST(conv_id AS BIGINT) % 3 = 0 AND rn <= (n + 1) // 2
+            """
+        ),
+        "conv_retry_collapse": collapse_retries_oracle_sql(
+            _AGENT_TURNS_SQL
+        ),
+        "conv_preference_pairs": preference_pairs_oracle_sql(
+            f"""
+            WITH pp_base AS ({_AGENT_TURNS_SQL}),
+            pp_prompt AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id
+                                             ORDER BY turn_idx) AS rn
+                FROM pp_base
+              ) WHERE rn <= 8
+            )
+            SELECT conv_id || v.tag AS conv_id,
+                   turn_idx, role, text, tool, ts
+            FROM pp_prompt, (VALUES ('#a'), ('#b'), ('#c')) v(tag)
+            WHERE v.tag <> '#c' OR CAST(conv_id AS BIGINT) % 5 = 0
+            UNION ALL
+            SELECT conv_id || t.tag,
+                   CAST(2000000000 AS INT),
+                   'assistant',
+                   'response ' || repeat(
+                     t.ch, CAST(CAST(conv_id AS BIGINT) % t.m + 1 AS INT)),
+                   CAST(NULL AS VARCHAR),
+                   ts
+            FROM pp_prompt,
+                 (VALUES ('#a', 'x', 7), ('#b', 'y', 5), ('#c', 'z', 3))
+                   t(tag, ch, m)
+            WHERE rn = 1
+              AND (t.tag <> '#c' OR CAST(conv_id AS BIGINT) % 5 = 0)
+            """,
+            max_group=8,
+        ),
         "train_curriculum_order": """
             WITH d AS (
               SELECT doc_id,

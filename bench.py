@@ -284,6 +284,11 @@ def main() -> None:
         "doc_lexical_diversity",
         # exact per-source length percentiles at histogram scale
         "doc_length_quantiles",
+        # conversation-level dedup tier: prefix-duplicate convs via chain
+        # signatures, consecutive-retry collapse, DPO preference pairs
+        "conv_prefix_dedup",
+        "conv_retry_collapse",
+        "conv_preference_pairs",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -601,6 +601,29 @@ AUDITS = {
         ("pruned scan", "ReadSchema: struct<doc_id"),
         ("no Python stage", "!ArrowEvalPython"),
     ],
+    "conv_prefix_dedup": [
+        # chain signatures in one conv_id window pass; prefix match is an
+        # equi-join on the 32-char digest (broadcast at this SF, shuffle
+        # hash at scale) — never all-pairs
+        ("chain window on conv_id", "hashpartitioning(conv_id"),
+        ("digest equi-join", "HashJoin"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "conv_retry_collapse": [
+        # lag-filter and survivor re-index share ONE (conv_id, turn_idx)
+        # ordering -> a single exchange in the final plan
+        ("one conv_id exchange", "hashpartitioning(conv_id"),
+        ("stacked windows, no second shuffle", "Window"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "conv_preference_pairs": [
+        # the per-prompt-group candidate cap compiles to WindowGroupLimit
+        # (rank pushdown) — a mega-group never fully sorts; the pair join
+        # keys on the prompt digest over capped sides only
+        ("group cap via WindowGroupLimit", "WindowGroupLimit"),
+        ("pair join on prompt digest", "HashJoin"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
 }
 
 
