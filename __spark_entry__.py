@@ -5582,6 +5582,102 @@ def conv_preference_pairs(spark, sf_dir):
     )
 
 
+def conv_branch_points(spark, sf_dir):
+    """Conversation-trie divergence points: nodes (depth, prefix-chain
+    signature) where the conversations passing through continue with
+    >= 2 distinct next turns — the retry/regeneration points of an
+    agent corpus.  Planted branches: every user_id % 4 == 0 gains a
+    clone '<id>#r' identical through the first n div 3 turns and
+    'alt|'-mutated afterwards (a divergent regeneration); shallow
+    depths also branch naturally (5 event types -> shared openings).
+    One conv_id window pass -> hash aggregate on the node key
+    (operators/convdedup.py branch_points)."""
+    from deepseek_ocr_rs_spark.operators.convdedup import branch_points
+
+    base = _events_as_agent_turns(_t(spark, sf_dir, "events"))
+    w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ranked = base.withColumn("rn", F.row_number().over(w_ord)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
+    )
+    clones = ranked.where(F.col("conv_id").cast("bigint") % 4 == 0).select(
+        F.concat(F.col("conv_id"), F.lit("#r")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.when(
+            F.col("rn") <= F.expr("n div 3"), F.col("text")
+        ).otherwise(F.concat(F.lit("alt|"), F.col("text"))).alias("text"),
+        "tool",
+        "ts",
+    )
+    return branch_points(base.unionByName(clones)).orderBy(
+        "depth", "prefix_sig"
+    )
+
+
+def ann_sign_hamming(spark, sf_dir):
+    """Sign-bit binary-quantization ANN (the 1-bit memory floor of the
+    quantization ladder): 64 dims -> two non-negative 32-bit words per
+    vector, exact Hamming top-10 vs the vec_id=0 query via JVM
+    xor + bit_count — encode is a zero-shuffle projection, top-k is
+    TakeOrderedAndProject, every step integer-exact
+    (operators/bitann.py)."""
+    from deepseek_ocr_rs_spark.operators.bitann import hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return hamming_topk(emb, [float(x) for x in q], dim=64, k=10)
+
+
+def w_funnel_stages(spark, sf_dir):
+    """Ordered conversion-funnel analytics: per user, the furthest
+    stage of signup -> click -> purchase reached where each stage's
+    FIRST qualifying event falls strictly after the previous stage's
+    and within a 3-day window (the window makes stages non-vacuous:
+    22/39/89 users at stages 1/2/3 at sf0.01).  Three min-aggregates
+    and their joins all key on user_id — one partitioning reused;
+    timestamps surface as exact epoch millis."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    day3 = F.expr("INTERVAL 3 DAYS")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day3))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day3))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("stage_reached"),
+            F.unix_millis("t1").alias("t1_ms"),
+            F.unix_millis("t2").alias("t2_ms"),
+            F.unix_millis("t3").alias("t3_ms"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the external driver CORRECTNESS-checks the FIRST 50
     # entries.  Round 5 rotates in the 26 queries that have never received
@@ -5661,6 +5757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_prefix_dedup": conv_prefix_dedup,
         "conv_retry_collapse": conv_retry_collapse,
         "conv_preference_pairs": conv_preference_pairs,
+        "conv_branch_points": conv_branch_points,
+        "ann_sign_hamming": ann_sign_hamming,
+        "w_funnel_stages": w_funnel_stages,
         "emb_semantic_dedup": emb_semantic_dedup,
         "media_bicubic_resample": media_bicubic_resample,
         "warc_http_responses": warc_http_responses,
@@ -5845,9 +5944,13 @@ def oracle_sql() -> dict[str, str]:
         tool_stats_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.convdedup import (
+        branch_points_oracle_sql,
         collapse_retries_oracle_sql,
         preference_pairs_oracle_sql,
         prefix_dedup_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.bitann import (
+        hamming_topk_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.chunking import (
         chunk_windows_oracle_sql,
@@ -7582,6 +7685,57 @@ FROM cs_planted
             """,
             max_group=8,
         ),
+        "conv_branch_points": branch_points_oracle_sql(
+            f"""
+            WITH bp_base AS ({_AGENT_TURNS_SQL}),
+            bp_ranked AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS rn,
+                     COUNT(*) OVER (PARTITION BY conv_id) AS n
+              FROM bp_base
+            )
+            SELECT conv_id, turn_idx, role, text, tool, ts FROM bp_base
+            UNION ALL
+            SELECT conv_id || '#r', turn_idx, role,
+                   CASE WHEN rn <= n // 3 THEN text
+                        ELSE 'alt|' || text END AS text,
+                   tool, ts
+            FROM bp_ranked
+            WHERE CAST(conv_id AS BIGINT) % 4 = 0
+            """
+        ),
+        "ann_sign_hamming": hamming_topk_oracle_sql(
+            "embeddings", dim=64, k=10, query_pred="vec_id = 0"
+        ),
+        "w_funnel_stages": """
+            WITH fe AS (SELECT user_id, event_type, ts FROM events),
+            f1 AS (SELECT user_id, MIN(ts) AS t1 FROM fe
+                   WHERE event_type = 'signup' GROUP BY user_id),
+            f2 AS (SELECT fe.user_id, MIN(fe.ts) AS t2
+                   FROM fe JOIN f1 USING (user_id)
+                   WHERE fe.event_type = 'click' AND fe.ts > f1.t1
+                     AND fe.ts <= f1.t1 + INTERVAL 3 DAY
+                   GROUP BY fe.user_id),
+            f3 AS (SELECT fe.user_id, MIN(fe.ts) AS t3
+                   FROM fe JOIN f2 USING (user_id)
+                   WHERE fe.event_type = 'purchase' AND fe.ts > f2.t2
+                     AND fe.ts <= f2.t2 + INTERVAL 3 DAY
+                   GROUP BY fe.user_id),
+            fu AS (SELECT DISTINCT user_id FROM fe)
+            SELECT fu.user_id,
+                   CASE WHEN t3 IS NOT NULL THEN 3
+                        WHEN t2 IS NOT NULL THEN 2
+                        WHEN t1 IS NOT NULL THEN 1
+                        ELSE 0 END AS stage_reached,
+                   epoch_ms(t1) AS t1_ms,
+                   epoch_ms(t2) AS t2_ms,
+                   epoch_ms(t3) AS t3_ms
+            FROM fu
+            LEFT JOIN f1 USING (user_id)
+            LEFT JOIN f2 USING (user_id)
+            LEFT JOIN f3 USING (user_id)
+        """,
         "train_curriculum_order": """
             WITH d AS (
               SELECT doc_id,

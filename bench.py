@@ -289,6 +289,11 @@ def main() -> None:
         "conv_prefix_dedup",
         "conv_retry_collapse",
         "conv_preference_pairs",
+        # conversation-trie divergence, 1-bit sign-quantization ANN,
+        # ordered funnel-stage analytics
+        "conv_branch_points",
+        "ann_sign_hamming",
+        "w_funnel_stages",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -64,9 +64,11 @@ __all__ = [
     "prefix_dedup",
     "collapse_retries",
     "preference_pairs",
+    "branch_points",
     "prefix_dedup_oracle_sql",
     "collapse_retries_oracle_sql",
     "preference_pairs_oracle_sql",
+    "branch_points_oracle_sql",
 ]
 
 # Shared SQL fragment: per-turn cumulative chain signatures.  Kept in one
@@ -292,6 +294,44 @@ def preference_pairs(turns: DataFrame, max_group: int = 8) -> DataFrame:
     )
 
 
+def branch_points(turns: DataFrame) -> DataFrame:
+    """Divergence points of the corpus's conversation TRIE.
+
+    Every conversation walks the prefix trie whose nodes are (depth,
+    chain-signature); a node is a BRANCH POINT when the conversations
+    passing through it continue with >= 2 distinct next turns — the
+    retry / regeneration / A-B-response points of an agent-transcript
+    corpus (and, at shallow depths, shared conversation openings).
+
+    Output per branch node: (depth, prefix_sig, n_convs passing
+    through, n_children distinct continuations, n_terminal convs ending
+    exactly here).  The child link is lead(chain) over the SAME
+    (conv_id, rn) ordering the chain pass already established — no
+    second exchange; the rollup groups on the node key itself.
+    """
+    sigs = chain_signatures(turns)
+    w_ord = Window.partitionBy("conv_id").orderBy("rn")
+    nodes = sigs.select(
+        "conv_id",
+        "rn",
+        "chain",
+        F.lead("chain").over(w_ord).alias("child_chain"),
+    )
+    return (
+        nodes.groupBy(
+            F.col("rn").alias("depth"), F.col("chain").alias("prefix_sig")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.countDistinct("child_chain").alias("n_children"),
+            F.sum(
+                F.when(F.col("child_chain").isNull(), 1).otherwise(0)
+            ).alias("n_terminal"),
+        )
+        .where(F.col("n_children") >= 2)
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 
@@ -338,6 +378,27 @@ SELECT conv_id, turn_idx,
          AS new_turn_idx,
        role, text
 FROM cd_kept
+"""
+
+
+def branch_points_oracle_sql(turns_sql: str) -> str:
+    return f"""
+WITH cd_turns AS ({turns_sql}),
+{_CHAIN_CTE},
+cd_nodes AS (
+  SELECT conv_id, rn, chain,
+         LEAD(chain) OVER (PARTITION BY conv_id ORDER BY rn)
+           AS child_chain
+  FROM cd_sig
+)
+SELECT rn AS depth, chain AS prefix_sig,
+       COUNT(*) AS n_convs,
+       COUNT(DISTINCT child_chain) AS n_children,
+       CAST(SUM(CASE WHEN child_chain IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_terminal
+FROM cd_nodes
+GROUP BY rn, chain
+HAVING COUNT(DISTINCT child_chain) >= 2
 """
 
 

@@ -616,6 +616,27 @@ AUDITS = {
         ("stacked windows, no second shuffle", "Window"),
         ("no Python stage", "!ArrowEvalPython"),
     ],
+    "conv_branch_points": [
+        # conversation-trie divergence: the chain pass is the only
+        # conv-keyed shuffle; the node rollup groups on (depth, chain)
+        ("chain window on conv_id", "hashpartitioning(conv_id"),
+        ("node rollup hash agg", "HashAggregate"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "ann_sign_hamming": [
+        # 1-bit sign codes: encode is a pure projection, distance is
+        # xor+bit_count in codegen, top-k never fully sorts
+        ("zero-shuffle encode + top-k", "!Exchange"),
+        ("top-k without full sort", "TakeOrderedAndProject"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "w_funnel_stages": [
+        # three stage mins + assembly all key on user_id; the tiny
+        # per-stage tables broadcast at this SF
+        ("stage mins shuffle on user_id", "hashpartitioning(user_id"),
+        ("stage tables broadcast", "BroadcastHashJoin"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
     "conv_preference_pairs": [
         # the per-prompt-group candidate cap compiles to WindowGroupLimit
         # (rank pushdown) — a mega-group never fully sorts; the pair join

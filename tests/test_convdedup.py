@@ -197,3 +197,42 @@ def test_preference_pairs_null_final_text_never_pairs(spark):
         ("b", 0, "user", "q"), ("b", 1, "assistant", "x"),
     ]
     assert preference_pairs(_turns(spark, rows)).count() == 0
+
+
+# --------------------------------------------------------- branch points
+
+def test_branch_points_divergence_and_terminals(spark):
+    from deepseek_ocr_rs_spark.operators.convdedup import branch_points
+
+    rows = [
+        ("a", 0, "user", "x"),
+        ("b", 0, "user", "x"), ("b", 1, "assistant", "y"),
+        ("c", 0, "user", "x"), ("c", 1, "assistant", "z"),
+    ]
+    out = branch_points(_turns(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["depth"] == 1
+    assert r["prefix_sig"] == _md5(_md5("user|x"))
+    assert (r["n_convs"], r["n_children"], r["n_terminal"]) == (3, 2, 1)
+
+
+def test_branch_points_identical_convs_never_branch(spark):
+    from deepseek_ocr_rs_spark.operators.convdedup import branch_points
+
+    rows = [
+        ("a", 0, "user", "x"), ("a", 1, "assistant", "y"),
+        ("b", 0, "user", "x"), ("b", 1, "assistant", "y"),
+    ]
+    assert branch_points(_turns(spark, rows)).count() == 0
+
+
+def test_branch_points_divergent_roots_are_separate_nodes(spark):
+    from deepseek_ocr_rs_spark.operators.convdedup import branch_points
+
+    # different FIRST turns -> different depth-1 nodes, no shared prefix
+    rows = [
+        ("a", 0, "user", "p"), ("a", 1, "assistant", "y"),
+        ("b", 0, "user", "q"), ("b", 1, "assistant", "z"),
+    ]
+    assert branch_points(_turns(spark, rows)).count() == 0
