@@ -5678,6 +5678,78 @@ def w_funnel_stages(spark, sf_dir):
     )
 
 
+def graph_host_kcore(spark, sf_dir):
+    """5-core of a degree-heterogeneous deterministic 48-host graph (a
+    mixed-modulus 24/36 family layered over a 48-host ring, derived from
+    doc_id residues so the edge SET is identical at every SF): iterative
+    peel, EXACTLY 6 fixed rounds — the measured peel depth of this
+    graph is 4 (probed rounds 3 != 4 == 5..20), so the result IS the
+    true 5-core (16 survivor hosts of 48) and the DuckDB oracle unrolls
+    the identical 6 rounds.  The core-decomposition density prior
+    completing the graph tier next to PageRank / HITS / triangles /
+    components; the default checkpoint_every=2 truncates the 5^rounds
+    lineage growth (operators/linkgraph.py kcore)."""
+    from deepseek_ocr_rs_spark.operators.linkgraph import kcore
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = lambda e: F.concat(F.lit("h"), e.cast("string"))
+    r72 = F.pmod(F.col("doc_id"), F.lit(72))
+    e1 = d.select(
+        h(F.pmod(r72, F.lit(24))).alias("src"),
+        h(F.pmod(r72 * 5 + 1, F.lit(36))).alias("dst"),
+    )
+    e2 = d.select(
+        h(F.pmod(F.col("doc_id"), F.lit(48))).alias("src"),
+        h(F.pmod(F.col("doc_id") + 1, F.lit(48))).alias("dst"),
+    )
+    return kcore(e1.unionByName(e2), k=5, rounds=6)
+
+
+def search_postings_compression(spark, sf_dir):
+    """Index-compression economics per term: delta-gap + classic-varbyte
+    sizing of every posting list (raw int64 bytes vs gap-compressed
+    bytes + the max gap as the term-clustering signal).  The integer
+    CASE ladder replaces log() so DuckDB replicates the byte counts
+    exactly; one corpus shuffle (the (term, doc) tf aggregate), then the
+    LAG window and the per-term rollup reuse the same term partitioning
+    (operators/search.py postings_compression)."""
+    from deepseek_ocr_rs_spark.operators.search import postings_compression
+
+    return postings_compression(_t(spark, sf_dir, "documents"), min_df=2)
+
+
+def doc_template_spans(spark, sf_dir):
+    """Site-level template detection: 3-word spans repeated across >=30%
+    of one host's pages are that site's chrome — the cross-page
+    boilerplate signal single-document DOM heuristics cannot see.  The
+    corpus is documents with a deterministic per-source template prefix
+    ('cookie consent required nav <source> home archive') injected on
+    doc_id % 3 < 2 (~2/3 of each source's pages — residues decorrelated
+    from the doc_id % 20 source assignment), so every source flags
+    exactly its two fully-aligned template spans (40 rows at sf0.01)
+    while body spans stay under the threshold — the detector is probed
+    on BOTH sides of the cut (operators/spandedup.py
+    host_template_spans)."""
+    from deepseek_ocr_rs_spark.operators.spandedup import host_template_spans
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) < 2,
+            F.concat(
+                F.lit("cookie consent required nav "),
+                F.col("source"),
+                F.lit(" home archive "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return host_template_spans(docs, min_pct=30, min_docs=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the external driver CORRECTNESS-checks the FIRST 50
     # entries.  Round 5 rotates in the 26 queries that have never received
@@ -5898,6 +5970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mojibake": doc_mojibake,
         "doc_lexical_diversity": doc_lexical_diversity,
         "doc_length_quantiles": doc_length_quantiles,
+        "graph_host_kcore": graph_host_kcore,
+        "search_postings_compression": search_postings_compression,
+        "doc_template_spans": doc_template_spans,
     }
 
 
@@ -5992,8 +6067,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.linkgraph import (
         hits_oracle_sql,
+        kcore_oracle_sql,
         pagerank_oracle_sql,
         triangle_counts_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.spandedup import (
+        host_template_spans_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.redaction import (
         luhn_check_digit_sql,
@@ -6138,6 +6217,7 @@ FROM cs_planted
         bm25_topk_oracle_sql,
         phrase_match_oracle_sql,
         posting_lists_oracle_sql,
+        postings_compression_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.sampling import (
         stratified_sample_oracle_predicate,
@@ -7559,6 +7639,35 @@ FROM cs_planted
         "doc_mojibake": _mojibake_oracle(),
         "doc_lexical_diversity": _lexdiv_oracle(),
         "doc_length_quantiles": _length_quantiles_oracle(),
+        "graph_host_kcore": kcore_oracle_sql(
+            """
+            SELECT 'h' || CAST((doc_id % 72) % 24 AS VARCHAR) AS src,
+                   'h' || CAST(((doc_id % 72) * 5 + 1) % 36 AS VARCHAR)
+                     AS dst
+            FROM documents
+            UNION ALL
+            SELECT 'h' || CAST(doc_id % 48 AS VARCHAR),
+                   'h' || CAST((doc_id + 1) % 48 AS VARCHAR)
+            FROM documents
+            """,
+            k=5,
+            rounds=6,
+        ),
+        "search_postings_compression": postings_compression_oracle_sql(
+            "documents", min_df=2
+        ),
+        "doc_template_spans": host_template_spans_oracle_sql(
+            """(
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 3 < 2
+                          THEN 'cookie consent required nav ' || source ||
+                               ' home archive ' || text
+                          ELSE text END AS text
+              FROM documents
+            ) tmpl""",
+            min_pct=30,
+            min_docs=3,
+        ),
         "graph_host_triangles": triangle_counts_oracle_sql(
             """
             SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) AS src,

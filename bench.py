@@ -294,6 +294,11 @@ def main() -> None:
         "conv_branch_points",
         "ann_sign_hamming",
         "w_funnel_stages",
+        # k-core peel, posting-list compression economics, host-level
+        # template-span detection
+        "graph_host_kcore",
+        "search_postings_compression",
+        "doc_template_spans",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

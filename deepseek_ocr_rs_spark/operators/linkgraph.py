@@ -55,6 +55,7 @@ __all__ = [
     "pagerank", "pagerank_oracle_sql",
     "hits", "hits_oracle_sql",
     "triangle_counts", "triangle_counts_oracle_sql",
+    "kcore", "kcore_oracle_sql",
 ]
 
 
@@ -455,4 +456,122 @@ SELECT n.node,
 FROM tc_nodes n
 LEFT JOIN (SELECT node, count(*) AS n_triangles FROM tc_m GROUP BY node) c
   ON n.node = c.node
+""".strip()
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: Optional[int] = 2,
+) -> DataFrame:
+    """k-core of the UNDIRECTED simple graph induced by ``edges``
+    (direction, self-loops and multiplicity dropped): iteratively peel
+    every node whose current degree is below ``k`` until nothing peels.
+    Returns ``(node string, core_deg long)`` — the survivors with their
+    within-core degree.  The k-core is the classic link-farm /
+    crawl-seed density prior next to PageRank / HITS / triangles: spam
+    clusters and genuinely authoritative cores both live in high-k
+    cores, and frontier scheduling uses core membership as a host prior.
+
+    Determinism contract: EXACTLY ``rounds`` peeling rounds run — no
+    driver-side convergence ``count()`` (the fixed-iteration discipline
+    of :func:`pagerank`).  Peeling is monotone and idempotent once
+    converged, so any ``rounds`` >= the graph's peel depth yields the
+    true k-core and the DuckDB oracle unrolls the identical rounds.
+    Peel depth is bounded by ceil(n/2) on a path (the worst case —
+    pytested); real web graphs converge in tens of rounds.
+
+    100 TB plan shape: per round ONE degree hash-aggregate over the
+    surviving edge list + TWO semi-joins of edges against the alive
+    node set (both keyed on node — the alive side is one row per node
+    and shrinks monotonically, so AQE broadcasts it as soon as it
+    fits).  ``checkpoint_every`` truncates lineage and is ON by
+    default (every 2 rounds): round i+1's logical plan references
+    round i's subtree FIVE times (once directly, twice inside each of
+    the two alive sets), so an unchecked plan grows 5^rounds — the
+    exact 4^rounds blowup :func:`hits` hit, measured live here as an
+    11-minute/JVM-killing analysis at rounds=16.  Checkpointing every
+    2 rounds caps each segment at 5^2 = 25 nodes; pass ``None`` only
+    for rounds <= ~4.
+    """
+    und = (
+        edges.select(
+            F.col(src).cast("string").alias("s"),
+            F.col(dst).cast("string").alias("d"),
+        )
+        .where(F.col("s") != F.col("d"))
+        .select(
+            F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+        )
+        .distinct()
+    )
+
+    def _deg(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for i in range(rounds):
+        alive = _deg(und).where(F.col("deg") >= k).select("node")
+        und = und.join(
+            alive.withColumnRenamed("node", "a"), "a", "semi"
+        ).join(alive.withColumnRenamed("node", "b"), "b", "semi")
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            und = und.localCheckpoint(eager=True)
+    return (
+        _deg(und)
+        .where(F.col("deg") >= k)
+        .select("node", F.col("deg").cast("long").alias("core_deg"))
+    )
+
+
+def kcore_oracle_sql(edges_sql: str, k: int = 3, rounds: int = 8) -> str:
+    """DuckDB replica of :func:`kcore`: the identical fixed peel
+    unrolled round-by-round (the pagerank/hits oracle discipline).
+
+    Every round CTE is ``AS MATERIALIZED``: each ``kc_und{{i}}`` is
+    referenced three times downstream, so inlining would re-expand the
+    whole prefix 3^rounds times — materialization keeps the oracle
+    linear in rounds, mirroring what Spark's per-round DataFrames do."""
+    parts = [
+        f"""kc_und0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM (
+    SELECT CAST(src AS VARCHAR) AS s, CAST(dst AS VARCHAR) AS d
+    FROM ({edges_sql})
+  ) WHERE s <> d
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""kc_alive{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS deg FROM (
+      SELECT a AS node FROM kc_und{i}
+      UNION ALL SELECT b FROM kc_und{i}
+    ) GROUP BY node
+  ) WHERE deg >= {k}
+)"""
+        )
+        parts.append(
+            f"""kc_und{i + 1} AS MATERIALIZED (
+  SELECT u.a, u.b FROM kc_und{i} u
+  JOIN kc_alive{i} x ON u.a = x.node
+  JOIN kc_alive{i} y ON u.b = y.node
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT node, CAST(deg AS BIGINT) AS core_deg FROM (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM kc_und{rounds}
+    UNION ALL SELECT b FROM kc_und{rounds}
+  ) GROUP BY node
+) WHERE deg >= {k}
 """.strip()

@@ -353,3 +353,124 @@ SELECT {id_col},
 FROM pm_anchor
 GROUP BY {id_col}
 """.strip()
+
+
+def _varbyte_len(gap):
+    """Column expr: bytes a non-negative int64 gap takes under classic
+    varbyte (7 payload bits per byte; 0 still costs one byte).  A CASE
+    over integer thresholds — no log(), so integer-exact on every
+    engine (the same libm-avoidance as the rational BM25 idf)."""
+    return (
+        F.when(gap < 128, 1)
+        .when(gap < 16384, 2)
+        .when(gap < 2097152, 3)
+        .when(gap < 268435456, 4)
+        .when(gap < 34359738368, 5)
+        .otherwise(6)
+        .cast("long")
+    )
+
+
+def postings_compression(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Index-compression economics per term: delta-gap + varbyte sizing
+    of each posting list.  Returns
+    ``(term, df, raw_bytes, varbyte_bytes, max_gap)`` where
+
+    * ``raw_bytes``     = 8 * df (uncompressed int64 postings),
+    * ``varbyte_bytes`` = total classic-varbyte bytes of the gap
+      sequence (first gap = first doc id, then successive deltas),
+    * ``max_gap``       = the widest delta (the term's clustering
+      signal: low max_gap == the term concentrates in an id range).
+
+    At web scale the inverted index is often larger than the text it
+    indexes unless gap-compressed; this operator prices that decision
+    per term so index planning (which terms to stripe, which to cut by
+    ``min_df``) is driven by measured bytes, not guesses — the same
+    measure-don't-guess discipline the reference applies to its decode
+    paths (benchsuite orchestration).
+
+    100 TB plan shape: the (term, id) tf aggregate is the only corpus
+    shuffle; the LAG window and the final per-term rollup both run on
+    the SAME term-hash partitioning, so Catalyst plans exactly ONE
+    exchange after the tf aggregate — verified in the plan audit.  All
+    arithmetic is int64 CASE/sum — no floats, no Python.
+    """
+    from pyspark.sql import Window
+
+    tf = _words(df, id_col, text_col).groupBy("term", id_col).agg(
+        F.count("*").alias("tf")
+    )
+    w = Window.partitionBy("term").orderBy(F.col(id_col))
+    gap = F.col(id_col) - F.coalesce(
+        F.lag(id_col).over(w), F.lit(0)
+    )
+    sized = tf.select(
+        "term",
+        F.col(id_col),
+        gap.alias("gap"),
+    ).select(
+        "term",
+        "gap",
+        _varbyte_len(F.col("gap")).alias("vb"),
+    )
+    return (
+        sized.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            (F.count("*") * 8).cast("long").alias("raw_bytes"),
+            F.sum("vb").cast("long").alias("varbyte_bytes"),
+            F.max("gap").cast("long").alias("max_gap"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+
+
+def postings_compression_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> str:
+    """DuckDB SQL replicating ``postings_compression`` exactly (same
+    LAG-over-term gap chain, same varbyte CASE ladder)."""
+    return f"""
+        WITH words AS (
+          SELECT {id_col},
+                 unnest(string_split_regex(lower({text_col}), '\\s+')) AS term
+          FROM {table}
+        ),
+        tf AS (
+          SELECT term, {id_col} FROM words WHERE term <> ''
+          GROUP BY 1, 2
+        ),
+        gaps AS (
+          SELECT term,
+                 {id_col} - coalesce(
+                   lag({id_col}) OVER (PARTITION BY term ORDER BY {id_col}),
+                   0) AS gap
+          FROM tf
+        ),
+        sized AS (
+          SELECT term, gap,
+                 CASE WHEN gap < 128 THEN 1
+                      WHEN gap < 16384 THEN 2
+                      WHEN gap < 2097152 THEN 3
+                      WHEN gap < 268435456 THEN 4
+                      WHEN gap < 34359738368 THEN 5
+                      ELSE 6 END AS vb
+          FROM gaps
+        )
+        SELECT term,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+               CAST(sum(vb) AS BIGINT) AS varbyte_bytes,
+               CAST(max(gap) AS BIGINT) AS max_gap
+        FROM sized
+        GROUP BY term
+        HAVING count(*) >= {min_df}
+    """

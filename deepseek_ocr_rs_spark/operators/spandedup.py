@@ -148,3 +148,102 @@ def span_dedup_oracle_sql(
         LEFT JOIN tot USING ({id_col})
         LEFT JOIN kept USING ({id_col})
     """
+
+
+def host_template_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "source",
+    text_col: str = "text",
+    span_words: int = 3,
+    min_pct: int = 30,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Site-level template detection: spans that repeat across a large
+    FRACTION of one host's pages are that site's chrome (nav bars,
+    cookie banners, footers) — the cross-page boilerplate signal
+    Trafilatura-class extractors use that single-document DOM heuristics
+    (functions/classify.py) cannot see, and that corpus-GLOBAL span
+    dedup (:func:`span_dedup`) misses when a template is unique to one
+    site.  Returns ``(host, span, n_docs, n_docs_host)`` — one row per
+    flagged template span per host, where
+
+        flag iff  n_docs * 100 >= min_pct * n_docs_host
+             and  n_docs >= min_docs
+
+    (the integer cross-multiplication avoids a float ratio — exact on
+    every engine; ``min_docs`` guards tiny hosts where one repeat
+    already clears any percentage).
+
+    100 TB plan shape: chunking is the map-side lambda chunker shared
+    with :func:`span_dedup`; the per-(host, span) distinct-doc count is
+    a two-phase hash aggregate keyed on (host, span) — high cardinality,
+    naturally balanced; per-host page totals are a tiny second aggregate
+    broadcast back.  No Python, no window, two exchanges total.
+    """
+    spans = df.select(
+        F.col(id_col),
+        F.col(host_col).alias("host"),
+        F.explode(F.expr(_spans_expr(text_col, span_words))).alias("_s"),
+    ).select(id_col, "host", F.col("_s.span").alias("span"))
+
+    per_span = spans.groupBy("host", "span").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    per_host = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(id_col).alias("n_docs_host")
+    )
+    return (
+        per_span.join(F.broadcast(per_host), "host")
+        .where(
+            (F.col("n_docs") * 100 >= F.lit(min_pct) * F.col("n_docs_host"))
+            & (F.col("n_docs") >= min_docs)
+        )
+        .select(
+            "host",
+            "span",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_docs_host").cast("long").alias("n_docs_host"),
+        )
+    )
+
+
+def host_template_spans_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    host_col: str = "source",
+    text_col: str = "text",
+    span_words: int = 3,
+    min_pct: int = 30,
+    min_docs: int = 3,
+) -> str:
+    """DuckDB SQL replicating ``host_template_spans`` exactly (same
+    chunker as ``span_dedup_oracle_sql``, same integer threshold)."""
+    k = span_words
+    return f"""
+        WITH t AS (
+          SELECT {id_col}, {host_col} AS host,
+                 list_filter(string_split({text_col}, ' '),
+                             x -> x <> '') AS toks
+          FROM {table}
+        ), s AS (
+          SELECT {id_col}, host,
+                 array_to_string(
+                   list_slice(toks, i * {k} + 1, i * {k} + {k}), ' ') AS span
+          FROM t, UNNEST(range(0, CAST(ceil(len(toks) / {k}.0) AS BIGINT)))
+               AS u(i)
+          WHERE len(toks) > 0
+        ), per_span AS (
+          SELECT host, span, count(DISTINCT {id_col}) AS n_docs
+          FROM s GROUP BY host, span
+        ), per_host AS (
+          SELECT {host_col} AS host, count(DISTINCT {id_col}) AS n_docs_host
+          FROM {table} GROUP BY 1
+        )
+        SELECT p.host, p.span,
+               CAST(p.n_docs AS BIGINT) AS n_docs,
+               CAST(h.n_docs_host AS BIGINT) AS n_docs_host
+        FROM per_span p JOIN per_host h USING (host)
+        WHERE p.n_docs * 100 >= {min_pct} * h.n_docs_host
+          AND p.n_docs >= {min_docs}
+    """

@@ -645,6 +645,29 @@ AUDITS = {
         ("pair join on prompt digest", "HashJoin"),
         ("no Python stage", "!ArrowEvalPython"),
     ],
+    "graph_host_kcore": [
+        # iterative peel: per round ONE degree hash agg + two alive-set
+        # semi-joins; checkpoint_every=4 truncates the 16-round lineage
+        # (the plan below is the final post-checkpoint segment)
+        ("per-round degree hash agg", "HashAggregate"),
+        ("alive-set semi-join", "LeftSemi"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "search_postings_compression": [
+        # (term, doc) pre-agg is the skew-safe corpus shuffle; the LAG
+        # window and the per-term byte rollup share ONE term-hash
+        # partitioning (no third exchange)
+        ("gap window on term partitioning", "hashpartitioning(term"),
+        ("tf partial agg", "HashAggregate"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "doc_template_spans": [
+        # chunking is the lambda chunker (engine-side Generate); the tiny
+        # per-host page totals broadcast back onto the span counts
+        ("span chunker stays JVM-side", "Generate"),
+        ("per-host totals broadcast", "BroadcastHashJoin"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
 }
 
 

@@ -238,3 +238,96 @@ def test_triangle_cross_engine_parity_and_invariance(spark):
     assert got == want
     assert sum(n for _, n in got) % 3 == 0  # every triangle counted 3x
     assert sum(n for _, n in got) > 0
+
+
+# --------------------------------------------------------------- k-core
+
+
+def _kcore(spark, edges, **kw):
+    from deepseek_ocr_rs_spark.operators.linkgraph import kcore
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.core_deg for r in kcore(df, **kw).collect()}
+
+
+def test_kcore_k4_with_pendant_tail(spark):
+    # K4 plus a tail d-e-f: e and f (deg <= 2) peel in round 1, the K4
+    # survives k=3 with within-core degree 3 each (d loses its tail edge)
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d")]
+    got = _kcore(spark, k4 + [("d", "e"), ("e", "f")], k=3, rounds=4)
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_cycle_is_its_own_2core(spark):
+    cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    assert _kcore(spark, cyc, k=2, rounds=3) == {
+        "a": 2, "b": 2, "c": 2, "d": 2,
+    }
+
+
+def test_kcore_path_peels_one_layer_per_round(spark):
+    # 9-node path, k=2: only the two endpoints peel each round (interior
+    # degree 2 >= k until a neighbour goes), one layer per round — the
+    # docstring's ceil(n/2) worst-case depth bound.  After 2 rounds the
+    # edge set spans n2..n6 and the final deg>=k projection reports the
+    # still-2-regular middle {n3, n4, n5}; erosion completes at round 4.
+    path = [(f"n{i}", f"n{i+1}") for i in range(8)]
+    partial = _kcore(spark, path, k=2, rounds=2)
+    assert set(partial) == {"n3", "n4", "n5"}
+    assert _kcore(spark, path, k=2, rounds=4) == {}
+
+
+def test_kcore_direction_multiplicity_selfloops_ignored(spark):
+    # reversed duplicates, a parallel edge and a self-loop leave the
+    # induced simple undirected graph (a triangle) unchanged
+    noisy = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("b", "c"), ("c", "a"),
+        ("a", "a"),
+    ]
+    assert _kcore(spark, noisy, k=2, rounds=3) == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_rounds_beyond_convergence_idempotent(spark):
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d"), ("d", "e"), ("e", "f")]
+    assert _kcore(spark, k4, k=3, rounds=2) == _kcore(
+        spark, k4, k=3, rounds=5
+    )
+
+
+def test_kcore_cross_engine_parity_and_invariance(spark):
+    from deepseek_ocr_rs_spark.operators.linkgraph import (
+        kcore,
+        kcore_oracle_sql,
+    )
+
+    # the gate graph shape: mixed-modulus family over a ring (peel
+    # depth 4; rounds=6 converged, same parameters as graph_host_kcore)
+    edges = []
+    for d in range(360):
+        edges.append((f"h{(d % 72) % 24}", f"h{((d % 72) * 5 + 1) % 36}"))
+        edges.append((f"h{d % 48}", f"h{(d + 1) % 48}"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(tuple(r) for r in kcore(df, k=5, rounds=6).collect())
+    got8 = sorted(
+        tuple(r)
+        for r in kcore(
+            df.repartition(8), k=5, rounds=6, checkpoint_every=3
+        ).collect()
+    )
+    assert got8 == got
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges_kc (src VARCHAR, dst VARCHAR)")
+    con.executemany("INSERT INTO edges_kc VALUES (?, ?)", edges)
+    want = sorted(
+        tuple(x)
+        for x in con.sql(
+            kcore_oracle_sql("SELECT src, dst FROM edges_kc", k=5, rounds=6)
+        ).fetchall()
+    )
+    assert got == want
+    # heterogeneous by construction: a real peel happened AND a core kept
+    assert 0 < len(got) < 48
+    assert all(deg >= 5 for _, deg in got)

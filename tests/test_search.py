@@ -213,3 +213,83 @@ class TestPhraseMatch:
             phrase_match(df, "   ")
         with pytest.raises(ValueError):
             phrase_match_oracle_sql("documents", "")
+
+
+class TestPostingsCompression:
+    def test_hand_sized_gaps(self, spark):
+        # term 'x' in docs 1, 2, 130: gaps 1, 1, 128 -> varbyte 1+1+2
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, "x"), (2, "x"), (130, "x")], columns=["doc_id", "text"]
+            )
+        )
+        from deepseek_ocr_rs_spark.operators.search import (
+            postings_compression,
+        )
+
+        row = postings_compression(docs, min_df=2).collect()[0]
+        assert (row.term, row.df, row.raw_bytes, row.varbyte_bytes,
+                row.max_gap) == ("x", 3, 24, 4, 128)
+
+    def test_varbyte_thresholds_exact(self, spark):
+        # successive ids chosen so each gap lands exactly on a varbyte
+        # boundary (last value below / first value at each byte width)
+        gaps = [127, 128, 16383, 16384, 2097151, 2097152,
+                268435455, 268435456, 34359738367, 34359738368]
+        sizes = [1, 2, 2, 3, 3, 4, 4, 5, 5, 6]
+        ids, acc = [], 0
+        for g in gaps:
+            acc += g
+            ids.append(acc)
+        docs = spark.createDataFrame(
+            pd.DataFrame([(i, "t") for i in ids],
+                         columns=["doc_id", "text"])
+        )
+        from deepseek_ocr_rs_spark.operators.search import (
+            postings_compression,
+        )
+
+        row = postings_compression(docs, min_df=2).collect()[0]
+        assert row.varbyte_bytes == sum(sizes)
+        assert row.max_gap == max(gaps)
+        assert row.raw_bytes == 8 * len(gaps)
+
+    def test_min_df_and_tokenization_shared_with_index(self, docs):
+        from deepseek_ocr_rs_spark.operators.search import (
+            posting_lists,
+            postings_compression,
+        )
+
+        terms_pc = {r.term for r in
+                    postings_compression(docs, min_df=2).collect()}
+        terms_pl = {r.term for r in posting_lists(docs, min_df=2).collect()}
+        assert terms_pc == terms_pl == {"cat", "dog", "bird"}
+
+    def test_oracle_parity_and_invariance(self, spark, docs):
+        from deepseek_ocr_rs_spark.operators.search import (
+            postings_compression,
+            postings_compression_oracle_sql,
+        )
+
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(CORPUS, columns=["doc_id", "text"])
+        )
+        want = sorted(
+            tuple(x)
+            for x in con.sql(
+                postings_compression_oracle_sql("documents", min_df=1)
+            ).fetchall()
+        )
+        got = sorted(
+            tuple(r)
+            for r in postings_compression(docs, min_df=1).collect()
+        )
+        got7 = sorted(
+            tuple(r)
+            for r in postings_compression(
+                docs.repartition(7), min_df=1
+            ).collect()
+        )
+        assert got == want
+        assert got7 == got
