@@ -647,10 +647,12 @@ AUDITS = {
     ],
     "graph_host_kcore": [
         # iterative peel: per round ONE degree hash agg + two alive-set
-        # semi-joins; checkpoint_every=4 truncates the 16-round lineage
-        # (the plan below is the final post-checkpoint segment)
-        ("per-round degree hash agg", "HashAggregate"),
-        ("alive-set semi-join", "LeftSemi"),
+        # semi-joins; rounds=6 ends on a checkpoint boundary, so the
+        # audited (final-segment) plan is the degree rollup over the
+        # checkpointed RDD — the semi-joins live in the truncated
+        # segments and the ExistingRDD leaf IS the lineage-cap evidence
+        ("degree hash agg", "HashAggregate"),
+        ("lineage truncated at the checkpoint", "Scan ExistingRDD"),
         ("no Python stage", "!ArrowEvalPython"),
     ],
     "search_postings_compression": [
