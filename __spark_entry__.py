@@ -5750,6 +5750,56 @@ def doc_template_spans(spark, sf_dir):
     return host_template_spans(docs, min_pct=30, min_docs=3)
 
 
+def doc_host_mirrors(spark, sf_dir):
+    """Cross-host mirror detection: unordered host pairs serving >=2
+    identical page digests covering >=15% of the smaller host's distinct
+    digests — true mirrors / scraper farms / CDN aliases that URL
+    canonicalization misses.  The corpus plants three clone tiers keyed
+    on doc_id div 10 (r=0 always, r=1 on 2-of-3 keys, r=2 on 1-of-5
+    keys), so pairs land on BOTH sides of both thresholds (5 flagged
+    pairs at sf0.01 with n_shared 4..17; the (src1, src2) pair crosses
+    UNDER the pct cut at sf0.1 — threshold probed in both directions)
+    and no digest ever reaches 3+ hosts, keeping the stop-digest cap
+    slack (the cap itself is pytested)
+    (operators/mirrors.py host_mirror_pairs)."""
+    from deepseek_ocr_rs_spark.operators.mirrors import host_mirror_pairs
+
+    q = F.floor(F.col("doc_id") / 10)
+    r = F.pmod(F.col("doc_id"), F.lit(10))
+    is_clone = (
+        (r == 0)
+        | ((r == 1) & (F.pmod(q, F.lit(3)) < 2))
+        | ((r == 2) & (F.pmod(q, F.lit(5)) == 0))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            is_clone,
+            F.concat(
+                F.lit("mirror page content "), q.cast("long").cast("string")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return host_mirror_pairs(docs, min_shared=2, min_pct=15)
+
+
+def doc_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty: the fraction (integer basis points)
+    of each document's distinct sliding trigrams whose corpus-wide FIRST
+    occurrence (min doc_id) is this document — the ordering-aware
+    corpus-contribution signal (RefinedWeb-class dedup-rate curves)
+    distinct from span dedup (no attribution) and ExactSubstr
+    (within-pair).  One gram-keyed min aggregate + one gram-keyed
+    attribution join + one doc-keyed rollup, all hash-balanced
+    (operators/novelty.py ngram_novelty)."""
+    from deepseek_ocr_rs_spark.operators.novelty import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the external driver CORRECTNESS-checks the FIRST 50
     # entries.  Round 5 rotates in the 26 queries that have never received
@@ -5973,6 +6023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_kcore": graph_host_kcore,
         "search_postings_compression": search_postings_compression,
         "doc_template_spans": doc_template_spans,
+        "doc_host_mirrors": doc_host_mirrors,
+        "doc_ngram_novelty": doc_ngram_novelty,
     }
 
 
@@ -6073,6 +6125,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.spandedup import (
         host_template_spans_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.mirrors import (
+        host_mirror_pairs_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.novelty import (
+        ngram_novelty_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.redaction import (
         luhn_check_digit_sql,
@@ -7668,6 +7726,23 @@ FROM cs_planted
             min_pct=30,
             min_docs=3,
         ),
+        "doc_host_mirrors": host_mirror_pairs_oracle_sql(
+            """(
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 10 = 0
+                            OR (doc_id % 10 = 1
+                                AND (doc_id // 10) % 3 < 2)
+                            OR (doc_id % 10 = 2
+                                AND (doc_id // 10) % 5 = 0)
+                          THEN 'mirror page content ' ||
+                               CAST(doc_id // 10 AS VARCHAR)
+                          ELSE text END AS text
+              FROM documents
+            ) mir""",
+            min_shared=2,
+            min_pct=15,
+        ),
+        "doc_ngram_novelty": ngram_novelty_oracle_sql("documents", n=3),
         "graph_host_triangles": triangle_counts_oracle_sql(
             """
             SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) AS src,

@@ -299,6 +299,9 @@ def main() -> None:
         "graph_host_kcore",
         "search_postings_compression",
         "doc_template_spans",
+        # cross-host mirror pairs, per-doc n-gram novelty
+        "doc_host_mirrors",
+        "doc_ngram_novelty",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -1,0 +1,135 @@
+"""Per-document n-gram novelty (corpus-contribution scoring).
+
+Data-curation stacks rank documents by how much NEW text they add to
+the corpus: RefinedWeb/FineWeb-class pipelines track the duplicate-
+n-gram fraction as the aggregate "how much of this crawl is new"
+signal, and the per-document version — what fraction of a document's
+n-grams appear in NO earlier document — is the ordering-aware
+counterpart used for crawl-over-crawl triage and dedup-rate curves.
+Distinct from span_dedup (removes globally repeated spans, no
+attribution) and from ExactSubstr (within-pair duplicated ranges):
+novelty ATTRIBUTES each n-gram to the single document that introduced
+it under the corpus's id order, so scores are deterministic, order-
+sensitive by design, and sum to the corpus's distinct-n-gram count.
+
+``ngram_novelty`` computes, per document: the distinct ``n``-gram count,
+the count of those n-grams whose corpus-wide FIRST occurrence (minimum
+``id_col``) is this document, and the novelty in integer basis points
+(10000 * n_new / n_grams, floor — the integer-bp discipline of
+doc_oov_rate).  Empty / sub-n-token documents report (0, 0, NULL).
+
+100 TB posture:
+* tokenize + sliding n-grams are map-side lambda expressions (no
+  Python); per-doc DISTINCT grams collapse repetition before anything
+  shuffles;
+* the first-occurrence table is ONE hash aggregate keyed on the gram
+  (min is map-side-combinable; stop-gram skew is absorbed by partial
+  aggregation — a gram in every doc still reduces to one row);
+* attribution is an equi-join back on the gram key — big-big but
+  hash-balanced on the same high-cardinality key, and AQE handles the
+  Zipf head;
+* the per-doc rollup re-keys on doc_id (the corpus's layout key).
+  Three exchanges total, all key-balanced — audited in PLANS.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ngram_novelty", "ngram_novelty_oracle_sql"]
+
+
+def _grams_expr(text_col: str, n: int) -> str:
+    """SQL expr: array<string> of SLIDING lowercase whitespace-token
+    n-grams (size - n + 1 of them; empty array below n tokens)."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(0, size({toks}) - {n}), "
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, n_grams, n_new, novelty_bp) per input row — see module doc."""
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.expr(_grams_expr(text_col, n))).alias("gram"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min(id_col).alias("first_id"))
+    scored = (
+        grams.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_id") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            # integer floor division (the pagerank DIV discipline) so the
+            # basis points are cross-engine exact; NULL for gram-less docs
+            F.expr("cast((10000 * n_new) div n_grams as bigint)").alias(
+                "novelty_bp"
+            ),
+        )
+    )
+
+
+def ngram_novelty_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> str:
+    """DuckDB SQL replicating ``ngram_novelty`` exactly (same sliding
+    grams, same min-id attribution, same floor-division basis points)."""
+    return f"""
+        WITH nv_toks AS (
+          SELECT {id_col},
+                 list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM {table}
+        ),
+        nv_grams AS (
+          SELECT DISTINCT {id_col},
+                 array_to_string(list_slice(toks, i + 1, i + {n}), ' ')
+                   AS gram
+          FROM nv_toks,
+               UNNEST(range(0, greatest(len(toks) - {n} + 1, 0))) AS u(i)
+        ),
+        nv_first AS (
+          SELECT gram, min({id_col}) AS first_id FROM nv_grams GROUP BY gram
+        ),
+        nv_scored AS (
+          SELECT g.{id_col},
+                 count(*) AS n_grams,
+                 sum(CASE WHEN f.first_id = g.{id_col} THEN 1 ELSE 0 END)
+                   AS n_new
+          FROM nv_grams g JOIN nv_first f USING (gram)
+          GROUP BY g.{id_col}
+        )
+        SELECT d.{id_col},
+               CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(s.n_new, 0) AS BIGINT) AS n_new,
+               CAST(10000 * s.n_new // s.n_grams AS BIGINT) AS novelty_bp
+        FROM (SELECT {id_col} FROM {table}) d
+        LEFT JOIN nv_scored s USING ({id_col})
+    """

@@ -670,6 +670,22 @@ AUDITS = {
         ("per-host totals broadcast", "BroadcastHashJoin"),
         ("no Python stage", "!ArrowEvalPython"),
     ],
+    "doc_host_mirrors": [
+        # pair candidates come from a DIGEST-keyed self-join (never host
+        # all-pairs); per-host digest distinct is a partial-agg'd
+        # aggregate and the tiny host totals broadcast back
+        ("distinct (host, digest) partial agg", "HashAggregate"),
+        ("host totals broadcast", "BroadcastHashJoin"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "doc_ngram_novelty": [
+        # sliding grams are a lambda transform (engine-side Generate);
+        # first-occurrence min and the attribution join both key on the
+        # gram (high-cardinality, hash-balanced)
+        ("gram explode stays JVM-side", "Generate"),
+        ("gram-keyed exchange", "hashpartitioning(gram"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
 }
 
 
