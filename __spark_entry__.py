@@ -5800,6 +5800,56 @@ def doc_ngram_novelty(spark, sf_dir):
     return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
 
 
+def sketch_hll_daily_users(spark, sf_dir):
+    """Per-day distinct-user HLL estimates PLUS the merged total from
+    the SAME register tables — the mergeability property that makes HLL
+    the production sketch for time-windowed cardinality (one pass; the
+    ALL row max-merges the per-day registers instead of re-reading the
+    data, and equals a direct whole-table sketch exactly — pytested).
+    Registers are the md5-derived integer arithmetic of sketch_hll_users
+    so DuckDB replicates every register and both folds bit-for-bit
+    (operators/sketches.py hll_windowed)."""
+    from deepseek_ocr_rs_spark.operators.sketches import hll_windowed
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    return hll_windowed(ev, "user_id", "day", b=5)
+
+
+def doc_code_switching(spark, sf_dir):
+    """Language-consistency rollup over 4 planted segments per document:
+    segment s of doc d carries the plant language of index
+    (d + s*(d%4)) % 9, so d%4==0 docs are monolingual (major_bp 10000),
+    d%4==3 docs repeat one language twice among three (5000, no tie),
+    and d%4 in {1,2} docs are 4-way TIES exercising the smallest-lang
+    tie-break.  The REAL Arrow-batched classifier labels every segment;
+    the oracle is the expected-label CASE rolled up in SQL — the
+    doc_lang_id discipline extended to the mixed-language (FineWeb
+    filter) case (operators/textstats.py code_switching)."""
+    from deepseek_ocr_rs_spark.operators.textstats import code_switching
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    segs = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s"),
+    ).select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(t) for t, _ in _LANG_PLANTS]),
+            (
+                F.pmod(
+                    F.col("doc_id")
+                    + F.col("s") * F.pmod(F.col("doc_id"), F.lit(4)),
+                    F.lit(len(_LANG_PLANTS)),
+                )
+                + 1
+            ).cast("int"),
+        ).alias("text"),
+    )
+    return code_switching(segs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the external driver CORRECTNESS-checks the FIRST 50
     # entries.  Round 5 rotates in the 26 queries that have never received
@@ -6025,6 +6075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_template_spans": doc_template_spans,
         "doc_host_mirrors": doc_host_mirrors,
         "doc_ngram_novelty": doc_ngram_novelty,
+        "sketch_hll_daily_users": sketch_hll_daily_users,
+        "doc_code_switching": doc_code_switching,
     }
 
 
@@ -6267,6 +6319,7 @@ FROM cs_planted
         cm_estimate_oracle_sql,
         hist_quantiles_oracle_sql,
         hll_oracle_sql,
+        hll_windowed_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.textrank import (
         textrank_terms_oracle_sql,
@@ -7743,6 +7796,41 @@ FROM cs_planted
             min_pct=15,
         ),
         "doc_ngram_novelty": ngram_novelty_oracle_sql("documents", n=3),
+        "sketch_hll_daily_users": hll_windowed_oracle_sql(
+            "(SELECT user_id, CAST(ts AS DATE) AS day FROM events) hw_ev",
+            "user_id",
+            "day",
+            b=5,
+        ),
+        "doc_code_switching": f"""
+            WITH cs_segs AS (
+              SELECT doc_id, s
+              FROM documents, UNNEST(range(0, 4)) AS u(s)
+            ),
+            cs_counts AS (
+              SELECT doc_id,
+                     CASE ((doc_id + s * (doc_id % 4))
+                           % {len(_LANG_PLANTS)}) {lang_case} END AS lang,
+                     count(*) AS n
+              FROM cs_segs GROUP BY 1, 2
+            ),
+            cs_major AS (
+              SELECT doc_id, lang, n,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY n DESC, lang ASC) AS rn
+              FROM cs_counts
+            ),
+            cs_tot AS (
+              SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_segments,
+                     CAST(count(*) AS BIGINT) AS n_langs
+              FROM cs_counts GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_segments, t.n_langs,
+                   m.lang AS major_lang,
+                   CAST(10000 * m.n // t.n_segments AS BIGINT) AS major_bp
+            FROM cs_tot t
+            JOIN cs_major m ON t.doc_id = m.doc_id AND m.rn = 1
+        """,
         "graph_host_triangles": triangle_counts_oracle_sql(
             """
             SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) AS src,

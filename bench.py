@@ -302,6 +302,9 @@ def main() -> None:
         # cross-host mirror pairs, per-doc n-gram novelty
         "doc_host_mirrors",
         "doc_ngram_novelty",
+        # windowed mergeable HLL, segment-level language consistency
+        "sketch_hll_daily_users",
+        "doc_code_switching",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

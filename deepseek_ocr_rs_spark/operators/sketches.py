@@ -471,3 +471,122 @@ def hist_quantiles_oracle_sql(
           ON c.cum >= CAST(ceiling(q.q * c.total) AS BIGINT)
          AND c.cum - c.cnt < CAST(ceiling(q.q * c.total) AS BIGINT)
     """
+
+
+# ------------------------------------------- windowed / mergeable HLL
+
+
+def hll_windowed(
+    df: DataFrame,
+    key_col: str,
+    window_col: str,
+    b: int = 10,
+    seed: int = 42,
+    merged_label: str = "ALL",
+) -> DataFrame:
+    """Per-window HLL estimates PLUS the merged total, computed from the
+    SAME register tables — the mergeability property that makes HLL the
+    production sketch for "distinct users per day + overall": registers
+    max-merge losslessly, so the all-windows row is EXACTLY what a
+    direct sketch of the union would produce (pinned by pytest), while
+    a count-distinct would need a second full pass.
+
+    Returns ``(win, hll_estimate, n_registers_used)`` with one row
+    per distinct window value (cast to string) and one ``merged_label``
+    row.  NULL keys and NULL windows are dropped.
+
+    100 TB plan shape: ONE pass computes (window, bucket, rho) map-side;
+    the per-(window, bucket) max is partial-agg combinable; the merged
+    row max-merges the per-window REGISTER TABLE (windows * m rows, tiny)
+    — the raw data is never read twice.  Estimate folds run in fixed
+    bucket order over <= m = 2^b collected registers per group (bounded
+    by construction, the bm25 fold discipline).
+    """
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    u = _u_col(F.col(key_col), seed)
+    v = F.shiftright(u, b)
+    rho = F.when(v == 0, F.lit(_HLL_BITS_TOTAL - b + 1)).otherwise(
+        F.lit(_HLL_BITS_TOTAL - b + 1) - F.length(F.bin(v))
+    )
+    regs = (
+        df.where(F.col(key_col).isNotNull() & F.col(window_col).isNotNull())
+        .select(
+            F.col(window_col).cast("string").alias("win"),
+            (u % m).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("win", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+        .select(F.lit(merged_label).alias("win"), "bucket", "rho_max")
+    )
+
+    def _est(r: DataFrame) -> DataFrame:
+        s = F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "rho_max"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(F.lit(2.0), -x["rho_max"]),
+        )
+        return r.groupBy("win").agg(
+            F.round(
+                F.lit(alpha * m * m)
+                / (s + (F.lit(m) - F.count(F.lit(1))).cast("double")),
+                4,
+            ).alias("hll_estimate"),
+            F.count(F.lit(1)).cast("long").alias("n_registers_used"),
+        )
+
+    return _est(regs.unionByName(merged))
+
+
+def hll_windowed_oracle_sql(
+    table: str,
+    key_col: str,
+    window_col: str,
+    b: int = 10,
+    seed: int = 42,
+    merged_label: str = "ALL",
+) -> str:
+    """DuckDB SQL replicating ``hll_windowed`` bit-for-bit (same md5
+    register arithmetic as ``hll_oracle_sql``, same fixed-order fold)."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rbits = _HLL_BITS_TOTAL - b
+    u = (
+        f"(CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR) || ':{seed}'),"
+        f" 1, 15) AS BIGINT))"
+    )
+    return f"""
+        WITH hw AS (
+          SELECT CAST({window_col} AS VARCHAR) AS win,
+                 {u} % {m} AS bucket, {u} // {m} AS v
+          FROM {table}
+          WHERE {key_col} IS NOT NULL AND {window_col} IS NOT NULL
+        ),
+        hw_regs AS (
+          SELECT win, bucket,
+                 max(CASE WHEN v = 0 THEN {rbits + 1}
+                          ELSE {rbits + 1} - length(bin(v)) END) AS rho_max
+          FROM hw GROUP BY win, bucket
+        ),
+        hw_all AS (
+          SELECT win, bucket, rho_max FROM hw_regs
+          UNION ALL
+          SELECT '{merged_label}', bucket, max(rho_max)
+          FROM hw_regs GROUP BY bucket
+        )
+        SELECT win,
+               round({alpha * m * m!r} /
+                 (list_reduce(
+                    list_prepend(0.0,
+                      list(pow(2.0, -rho_max) ORDER BY bucket)),
+                    (acc, x) -> acc + x)
+                  + CAST({m} - count(*) AS DOUBLE)), 4) AS hll_estimate,
+               CAST(count(*) AS BIGINT) AS n_registers_used
+        FROM hw_all
+        GROUP BY win
+    """

@@ -448,3 +448,58 @@ SELECT d.{id_col},
             ELSE (10000 * s.n_hapax) // s.n_tokens END AS hapax_bp
 FROM ld_docs d LEFT JOIN ld_stats s ON d.{id_col} = s.ld_id
 """
+
+
+# ------------------------------------------------ code-switching detection
+
+
+def code_switching(
+    segments: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document language-consistency rollup over pre-segmented text:
+    ``segments`` has one row per (document, segment); each segment is
+    language-identified by the REAL Arrow-batched classifier
+    (:func:`lang_id_udf`) and the rollup reports
+
+      (id, n_segments, n_langs, major_lang, major_bp)
+
+    where ``major_lang`` is the most frequent segment language (ties
+    broken by SMALLEST language code — the classifier's own tie-break
+    discipline) and ``major_bp`` its share in integer basis points
+    (10000 * n_major div n_segments, floor).  Mixed-language pages
+    (code-switching, boilerplate in a second language, wrong-language
+    embeds) are the FineWeb/CCNet-class filter target: a monolingual
+    page scores 10000, a 50/50 bilingual page 5000.
+
+    100 TB plan shape: ONE ArrowEvalPython stage (the shared lang-ID
+    batch kernel, no per-row Python) feeding two hash aggregates —
+    (id, lang) counts, then the per-id argmax via min(struct(-n, lang))
+    (the t_best_supplier argmin discipline, no window, no self-join).
+    """
+    seg_langs = segments.select(
+        F.col(id_col), lang_id_udf()(F.col(text_col)).alias("lang")
+    )
+    per_lang = seg_langs.groupBy(id_col, "lang").agg(
+        F.count(F.lit(1)).alias("n_seg")
+    )
+    return (
+        per_lang.groupBy(id_col)
+        .agg(
+            F.sum("n_seg").cast("long").alias("n_segments"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.min(F.struct((-F.col("n_seg")).alias("neg"), "lang")).alias(
+                "_m"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "n_segments",
+            "n_langs",
+            F.col("_m.lang").alias("major_lang"),
+            F.expr("cast((10000 * -_m.neg) div n_segments as bigint)").alias(
+                "major_bp"
+            ),
+        )
+    )

@@ -686,6 +686,22 @@ AUDITS = {
         ("gram-keyed exchange", "hashpartitioning(gram"),
         ("no Python stage", "!ArrowEvalPython"),
     ],
+    "sketch_hll_daily_users": [
+        # registers computed map-side in one pass; per-(win, bucket) max
+        # is partial-agg combinable; the ALL row merges the register
+        # table, never re-reading the data
+        ("register max partial agg", "HashAggregate"),
+        ("register arithmetic in codegen", "codegen id"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "doc_code_switching": [
+        # ONE Arrow batch stage (the shared lang-ID kernel) feeding two
+        # hash aggregates; majority via min(struct(-n, lang)) — no
+        # window, no self-join
+        ("single Arrow lang-ID stage", "ArrowEvalPython"),
+        ("argmax as plain agg (no window)", "!WindowExec"),
+        ("partial agg", "HashAggregate"),
+    ],
 }
 
 

@@ -225,3 +225,73 @@ def test_hist_nulls_dropped_and_clamped(spark):
          hist_counts(df, "v", 0.0, 100.0, 10).collect()}
     # NULL dropped; extremes clamp to edge bins; 5.0 -> bin 0
     assert h == {0: 2, 9: 1}
+
+
+# ------------------------------------------------------ windowed HLL
+
+
+def test_hll_windowed_merge_equals_direct(spark, keys1000):
+    from deepseek_ocr_rs_spark.operators.sketches import hll_windowed
+
+    # split the keys over 3 windows; the ALL row must equal a DIRECT
+    # whole-table sketch exactly (register max-merge is lossless)
+    df = keys1000.selectExpr("k", "cast(k % 3 as string) as w")
+    rows = {r.win: (r.hll_estimate, r.n_registers_used)
+            for r in hll_windowed(df, "k", "w", b=5).collect()}
+    direct = hll_estimate(keys1000, "k", b=5).collect()[0]
+    assert rows["ALL"] == (
+        direct["hll_estimate"], direct["n_registers_used"]
+    )
+    # each window row equals a direct sketch of that window's subset
+    for w in ("0", "1", "2"):
+        sub = hll_estimate(
+            df.where(f"w = '{w}'"), "k", b=5
+        ).collect()[0]
+        assert rows[w] == (sub["hll_estimate"], sub["n_registers_used"])
+
+
+def test_hll_windowed_null_and_duplicates(spark):
+    from deepseek_ocr_rs_spark.operators.sketches import hll_windowed
+
+    rows = [(1, "a"), (1, "a"), (2, "a"), (None, "a"), (3, None)]
+    df = spark.createDataFrame(rows, "k bigint, w string")
+    got = {r.win: r.n_registers_used
+           for r in hll_windowed(df, "k", "w", b=5).collect()}
+    # NULL key and NULL window dropped: only window 'a' (+ ALL) remain,
+    # and the duplicate k=1 adds no register
+    assert set(got) == {"a", "ALL"}
+    ref = {r.win: r.n_registers_used
+           for r in hll_windowed(
+               spark.createDataFrame([(1, "a"), (2, "a")],
+                                     "k bigint, w string"),
+               "k", "w", b=5).collect()}
+    assert got == ref
+
+
+def test_hll_windowed_oracle_parity_and_invariance(spark, keys1000):
+    from deepseek_ocr_rs_spark.operators.sketches import (
+        hll_windowed,
+        hll_windowed_oracle_sql,
+    )
+
+    df = keys1000.selectExpr("k", "cast(k % 4 as string) as w")
+    con = duckdb.connect()
+    con.register(
+        "tw", pd.DataFrame(
+            [(r["k"], r["w"]) for r in df.collect()], columns=["k", "w"]
+        )
+    )
+    want = sorted(
+        tuple(x)
+        for x in con.sql(hll_windowed_oracle_sql("tw", "k", "w", b=5))
+        .fetchall()
+    )
+    got = sorted(
+        tuple(r) for r in hll_windowed(df, "k", "w", b=5).collect()
+    )
+    got7 = sorted(
+        tuple(r)
+        for r in hll_windowed(df.repartition(7), "k", "w", b=5).collect()
+    )
+    assert got == want
+    assert got7 == got
