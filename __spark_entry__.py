@@ -5800,6 +5800,24 @@ def doc_ngram_novelty(spark, sf_dir):
     return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
 
 
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric containment verify over the SAME MinHash+LSH candidate
+    tier dedup_verified_pairs drives: exact distinct word-trigram
+    containment in both directions, floor basis points — the
+    quote/subset relation Jaccard resemblance misses (Broder's
+    resemblance/containment pair).  Candidates only, never
+    corpus-squared; grams are exact strings so there is no hash
+    collision term in the verdict
+    (operators/dedup.py containment_pairs)."""
+    from deepseek_ocr_rs_spark.operators.dedup import (
+        containment_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(minhash_lsh_pairs(docs, threshold=0.5), docs)
+
+
 def sketch_hll_daily_users(spark, sf_dir):
     """Per-day distinct-user HLL estimates PLUS the merged total from
     the SAME register tables — the mergeability property that makes HLL
@@ -6077,6 +6095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_novelty": doc_ngram_novelty,
         "sketch_hll_daily_users": sketch_hll_daily_users,
         "doc_code_switching": doc_code_switching,
+        "dedup_containment_pairs": dedup_containment_pairs,
     }
 
 
@@ -6089,6 +6108,7 @@ _NORM_SQL = (
 def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.dedup import (
         components_oracle_sql,
+        containment_oracle_sql,
         minhash_oracle_sql,
         minhash_verified_oracle_sql,
         simhash_oracle_sql,
@@ -7176,6 +7196,8 @@ FROM cs_planted
         "dedup_minhash_pairs": minhash_oracle_sql(threshold=0.5),
         "dedup_verified_pairs": minhash_verified_oracle_sql(
             threshold=0.5, min_jaccard=0.4),
+        "dedup_containment_pairs": containment_oracle_sql(
+            minhash_oracle_sql(threshold=0.5)),
         "emb_semantic_dedup": semantic_dedup_oracle_sql(
             "embeddings", k=8, iters=2, threshold=0.4),
         "dedup_quality_keep_best": quality_prune_oracle_sql(

@@ -305,6 +305,8 @@ def main() -> None:
         # windowed mergeable HLL, segment-level language consistency
         "sketch_hll_daily_users",
         "doc_code_switching",
+        # asymmetric containment verify over the LSH candidate tier
+        "dedup_containment_pairs",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -882,3 +882,144 @@ def simhash_oracle_sql(table: str = "documents", id_col: str = "doc_id",
                 j -> l.bl[CAST(j + 1 AS INT)] <> r.bl[CAST(j + 1 AS INT)]))
               <= {max_hamming}
     """
+
+
+# ------------------------------------------------------ exact containment
+
+
+def containment_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric verify tier over a CANDIDATE pair set: exact distinct
+    word-``n``-gram containment in both directions,
+
+        (id_a, id_b, n_a, n_b, n_common, cont_a_bp, cont_b_bp)
+
+    with ``cont_a_bp = 10000 * n_common div n_a`` (the fraction of A's
+    grams that also occur in B, floor basis points; NULL when a side has
+    no grams).  Jaccard resemblance misses the SUBSET relation — a tweet
+    quoted inside an article scores near-zero Jaccard but containment
+    ~10000 on the tweet side — and Broder's original resemblance/
+    containment pair (public, 1997) treats them as co-equal signals.
+    Grams are exact STRINGS (the novelty-operator chunker), not hashed
+    shingles: no collision term in the verdict, all JVM-side.
+
+    Plan shape at scale: the corpus is semi-join-pruned to the ids the
+    pair set references BEFORE gram explosion; the two gram joins key on
+    (pair id, gram) — the verify tier must NEVER run corpus-squared, so
+    feed it LSH/simhash candidates only (the verify_pairs discipline).
+    """
+    from deepseek_ocr_rs_spark.operators.novelty import _grams_expr
+
+    ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    grams = (
+        docs.join(ids, docs[id_col] == ids["_id"], "left_semi")
+        .select(
+            F.col(id_col).alias("_gid"),
+            F.explode(F.expr(_grams_expr(text_col, n))).alias("gram"),
+        )
+        .distinct()
+    )
+    counts = grams.groupBy("_gid").agg(F.count(F.lit(1)).alias("_n"))
+    common = (
+        pairs.select("id_a", "id_b")
+        .join(
+            grams.select(F.col("_gid").alias("id_a"), "gram"), "id_a"
+        )
+        .join(
+            grams.select(F.col("_gid").alias("id_b"), "gram"),
+            ["id_b", "gram"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    bp = "cast((10000 * n_common) div {side} as bigint)"
+    return (
+        pairs.select("id_a", "id_b")
+        .join(
+            counts.select(F.col("_gid").alias("id_a"),
+                          F.col("_n").alias("n_a")),
+            "id_a",
+            "left",
+        )
+        .join(
+            counts.select(F.col("_gid").alias("id_b"),
+                          F.col("_n").alias("n_b")),
+            "id_b",
+            "left",
+        )
+        .join(common, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.expr(
+                "cast((10000 * coalesce(n_common, 0)) div n_a as bigint)"
+            ).alias("cont_a_bp"),
+            F.expr(
+                "cast((10000 * coalesce(n_common, 0)) div n_b as bigint)"
+            ).alias("cont_b_bp"),
+        )
+    )
+
+
+def containment_oracle_sql(
+    pairs_sql: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> str:
+    """DuckDB SQL replicating ``containment_pairs`` exactly (same string
+    grams, same floor-division basis points, NULL on gram-less sides)."""
+    return f"""
+        WITH ct_pairs AS (
+          SELECT id_a, id_b FROM ({pairs_sql})
+        ),
+        ct_toks AS (
+          SELECT {id_col} AS _gid,
+                 list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM {table}
+        ),
+        ct_grams AS (
+          SELECT DISTINCT _gid,
+                 array_to_string(list_slice(toks, i + 1, i + {n}), ' ')
+                   AS gram
+          FROM ct_toks,
+               UNNEST(range(0, greatest(len(toks) - {n} + 1, 0))) AS u(i)
+        ),
+        ct_n AS (
+          SELECT _gid, count(*) AS _n FROM ct_grams GROUP BY _gid
+        ),
+        ct_common AS (
+          SELECT p.id_a, p.id_b, count(*) AS n_common
+          FROM ct_pairs p
+          JOIN ct_grams a ON a._gid = p.id_a
+          JOIN ct_grams b ON b._gid = p.id_b AND b.gram = a.gram
+          GROUP BY 1, 2
+        )
+        SELECT p.id_a, p.id_b,
+               CAST(coalesce(na._n, 0) AS BIGINT) AS n_a,
+               CAST(coalesce(nb._n, 0) AS BIGINT) AS n_b,
+               CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+               CAST(10000 * coalesce(c.n_common, 0) // na._n AS BIGINT)
+                 AS cont_a_bp,
+               CAST(10000 * coalesce(c.n_common, 0) // nb._n AS BIGINT)
+                 AS cont_b_bp
+        FROM ct_pairs p
+        LEFT JOIN ct_n na ON na._gid = p.id_a
+        LEFT JOIN ct_n nb ON nb._gid = p.id_b
+        LEFT JOIN ct_common c
+          ON c.id_a = p.id_a AND c.id_b = p.id_b
+    """

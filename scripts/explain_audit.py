@@ -702,6 +702,14 @@ AUDITS = {
         ("argmax as plain agg (no window)", "!WindowExec"),
         ("partial agg", "HashAggregate"),
     ],
+    "dedup_containment_pairs": [
+        # corpus semi-join-pruned to pair ids BEFORE gram explosion; the
+        # containment math itself is JVM (the only Python is the cached
+        # minhash signature stage the candidate tier already pays)
+        ("id prune before explode", "LeftSemi"),
+        ("gram explode stays JVM-side", "Generate"),
+        ("signature stage computed once (cached)", "InMemoryTableScan"),
+    ],
 }
 
 

@@ -424,3 +424,92 @@ class TestBenchmarkDecontam:
             [(100, [0.0, 0.0])],
         )
         assert out == {1: (-1.0, False)}
+
+
+# ------------------------------------------------------ exact containment
+
+
+class TestContainmentPairs:
+    def _run(self, spark, docs_rows, pairs_rows, **kw):
+        from deepseek_ocr_rs_spark.operators.dedup import containment_pairs
+
+        docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+        pairs = spark.createDataFrame(pairs_rows, "id_a long, id_b long")
+        return {
+            (r.id_a, r.id_b): (r.n_a, r.n_b, r.n_common,
+                               r.cont_a_bp, r.cont_b_bp)
+            for r in containment_pairs(pairs, docs, **kw).collect()
+        }
+
+    def test_subset_scores_full_on_the_small_side(self, spark):
+        # doc 2 is a verbatim quote inside doc 1: every gram of 2 occurs
+        # in 1 (containment 10000 on the 2-side), while 1's side is
+        # partial — the asymmetry Jaccard cannot express
+        docs = [
+            (1, "intro words here the quick brown fox ends the story"),
+            (2, "the quick brown fox"),
+        ]
+        got = self._run(spark, docs, [(1, 2)])
+        n_a = 8  # 10 tokens -> 8 sliding trigrams, all distinct
+        assert got[(1, 2)] == (n_a, 2, 2, 10000 * 2 // n_a, 10000)
+
+    def test_disjoint_and_identical(self, spark):
+        docs = [
+            (1, "alpha beta gamma delta"),
+            (2, "one two three four"),
+            (3, "alpha beta gamma delta"),
+        ]
+        got = self._run(spark, docs, [(1, 2), (1, 3)])
+        assert got[(1, 2)] == (2, 2, 0, 0, 0)
+        assert got[(1, 3)] == (2, 2, 2, 10000, 10000)
+
+    def test_gramless_side_is_null(self, spark):
+        docs = [(1, "alpha beta gamma"), (2, "too short")]
+        got = self._run(spark, docs, [(1, 2)])
+        assert got[(1, 2)] == (1, 0, 0, 0, None)
+
+    def test_oracle_parity_and_invariance(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from deepseek_ocr_rs_spark.operators.dedup import (
+            containment_oracle_sql,
+            containment_pairs,
+        )
+
+        drows = []
+        for i in range(30):
+            body = " ".join(f"w{(i * 7 + j * 3) % 19}" for j in range(8))
+            drows.append((i, body if i % 11 else ""))
+        prows = [(a, b) for a in range(0, 30, 3) for b in range(1, 30, 7)
+                 if a < b]
+        ddf = pd.DataFrame(drows, columns=["doc_id", "text"])
+        pdf = pd.DataFrame(prows, columns=["id_a", "id_b"])
+        docs = spark.createDataFrame(ddf)
+        pairs = spark.createDataFrame(pdf)
+
+        con = duckdb.connect()
+        con.register("ct_docs", ddf)
+        con.register("ct_cand", pdf)
+        want = sorted(
+            (tuple(x) for x in con.sql(
+                containment_oracle_sql(
+                    "SELECT id_a, id_b FROM ct_cand", "ct_docs"
+                )
+            ).fetchall()),
+            key=lambda t: (t[0], t[1]),
+        )
+        got = sorted(
+            (tuple(r) for r in
+             containment_pairs(pairs, docs).collect()),
+            key=lambda t: (t[0], t[1]),
+        )
+        got8 = sorted(
+            (tuple(r) for r in
+             containment_pairs(pairs.repartition(5),
+                               docs.repartition(8)).collect()),
+            key=lambda t: (t[0], t[1]),
+        )
+        assert got == want
+        assert got8 == got
+        assert len(got) == len(prows)
