@@ -5800,6 +5800,30 @@ def doc_ngram_novelty(spark, sf_dir):
     return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
 
 
+def diag_key_skew(spark, sf_dir):
+    """Join-key skew profile over events: log2-bucketed key-frequency
+    histogram with NULLs as their own bucket (-1) — the diagnostic that
+    decides when the salted-join / AQE-skew defenses are needed BEFORE
+    committing a join strategy.  The key plants the two classic
+    accidents on top of the natural user distribution: a NULL tier
+    (event_id % 31) and one hot key (42, every third event — the
+    melt-one-reducer tier that lands in a high bucket), so the profile
+    shows healthy mass, the NULL row, and the hot tail at every SF.
+    One map-side-combinable count shuffle + a tiny bucket rollup, NO
+    global sort (a ranked Gini would funnel all keys through one
+    window) (operators/skew.py key_skew_profile)."""
+    from deepseek_ocr_rs_spark.operators.skew import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.pmod(F.col("event_id"), F.lit(31)) == 0, F.lit(None))
+        .when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit(42))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k")
+    )
+    return key_skew_profile(ev, "k")
+
+
 def dedup_containment_pairs(spark, sf_dir):
     """Asymmetric containment verify over the SAME MinHash+LSH candidate
     tier dedup_verified_pairs drives: exact distinct word-trigram
@@ -6096,6 +6120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_daily_users": sketch_hll_daily_users,
         "doc_code_switching": doc_code_switching,
         "dedup_containment_pairs": dedup_containment_pairs,
+        "diag_key_skew": diag_key_skew,
     }
 
 
@@ -6203,6 +6228,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.novelty import (
         ngram_novelty_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.skew import (
+        key_skew_profile_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.redaction import (
         luhn_check_digit_sql,
@@ -7818,6 +7846,15 @@ FROM cs_planted
             min_pct=15,
         ),
         "doc_ngram_novelty": ngram_novelty_oracle_sql("documents", n=3),
+        "diag_key_skew": key_skew_profile_oracle_sql(
+            """(
+              SELECT CASE WHEN event_id % 31 = 0 THEN NULL
+                          WHEN event_id % 3 = 0 THEN 42
+                          ELSE user_id END AS k
+              FROM events
+            ) ks_ev""",
+            "k",
+        ),
         "sketch_hll_daily_users": hll_windowed_oracle_sql(
             "(SELECT user_id, CAST(ts AS DATE) AS day FROM events) hw_ev",
             "user_id",

@@ -307,6 +307,8 @@ def main() -> None:
         "doc_code_switching",
         # asymmetric containment verify over the LSH candidate tier
         "dedup_containment_pairs",
+        # join-key skew profile (log2 bucket histogram, NULL tier)
+        "diag_key_skew",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -95,3 +95,82 @@ def write_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.format("parquet").saveAsTable(table)
+
+
+# ----------------------------------------------------- skew diagnostics
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str
+) -> DataFrame:
+    """Log2-bucketed key-frequency histogram — the diagnostic that
+    DECIDES when the salted-join / AQE-skew defenses above are needed,
+    run before committing a join strategy at 100 TB: one row per
+    occupied bucket,
+
+        (bucket, n_keys, n_rows, rows_bp)
+
+    where ``bucket = floor(log2(key_count))`` (bucket 0 = singleton
+    keys, bucket 20 = keys with ~1M rows — the melt-one-reducer tier),
+    ``n_rows`` the total rows those keys hold and ``rows_bp`` their
+    share of the table in floor basis points.  A healthy join key puts
+    its mass in low buckets; mass in high buckets is exactly the skew
+    a plain hash join serializes onto single reducers.
+
+    NULL keys get bucket -1 (their own row): NULLs are the classic
+    accidental hot key, so the profile must show them, not drop them.
+
+    100 TB plan shape: ONE shuffle (the per-key count — map-side
+    combinable), then the bucket rollup re-aggregates the tiny counts
+    table; the log2 is ``length(bin(c)) - 1`` (the HLL register trick),
+    integer-exact on both engines.  NO global sort anywhere — a ranked
+    Gini would funnel |keys| rows through one window; the histogram
+    carries the same decision signal fully parallel.
+    """
+    counts = df.groupBy(
+        F.col(key_col).alias("_k")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("_t"))
+    bucket = F.when(F.col("_k").isNull(), F.lit(-1)).otherwise(
+        F.length(F.bin(F.col("c"))) - 1
+    )
+    return (
+        counts.select(bucket.alias("bucket"), "c")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("c").cast("long").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_keys",
+            "n_rows",
+            F.expr("cast((10000 * n_rows) div _t as bigint)").alias(
+                "rows_bp"
+            ),
+        )
+    )
+
+
+def key_skew_profile_oracle_sql(table: str, key_col: str) -> str:
+    """DuckDB SQL replicating ``key_skew_profile`` exactly (same
+    length(bin()) log2, same floor-division basis points)."""
+    return f"""
+        WITH ks_counts AS (
+          SELECT {key_col} AS _k, count(*) AS c
+          FROM {table} GROUP BY 1
+        ),
+        ks_buckets AS (
+          SELECT CASE WHEN _k IS NULL THEN -1
+                      ELSE length(bin(c)) - 1 END AS bucket,
+                 count(*) AS n_keys, sum(c) AS n_rows
+          FROM ks_counts GROUP BY 1
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(n_keys AS BIGINT) AS n_keys,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(10000 * n_rows //
+                    (SELECT sum(c) FROM ks_counts) AS BIGINT) AS rows_bp
+        FROM ks_buckets
+    """

@@ -702,6 +702,14 @@ AUDITS = {
         ("argmax as plain agg (no window)", "!WindowExec"),
         ("partial agg", "HashAggregate"),
     ],
+    "diag_key_skew": [
+        # per-key count is the one (map-side-combinable) shuffle; the
+        # bucket rollup re-aggregates the tiny counts table and the
+        # 1-row total broadcasts — no global sort anywhere
+        ("per-key count partial agg", "HashAggregate"),
+        ("1-row total broadcast", "BroadcastNestedLoopJoin"),
+        ("no global sort", "!Sort "),
+    ],
     "dedup_containment_pairs": [
         # corpus semi-join-pruned to pair ids BEFORE gram explosion; the
         # containment math itself is JVM (the only Python is the cached

@@ -182,3 +182,75 @@ def test_stratified_sample_rates_and_determinism(spark):
                               "k", seed=3, default_fraction=0.0)
     assert sorted(map(tuple, out.collect())) == \
         sorted(map(tuple, again.collect()))
+
+
+# ----------------------------------------------------- skew diagnostics
+
+
+def _profile(spark, keys):
+    from deepseek_ocr_rs_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    return {
+        r.bucket: (r.n_keys, r.n_rows, r.rows_bp)
+        for r in key_skew_profile(df, "k").collect()
+    }
+
+
+def test_skew_profile_hand_buckets(spark):
+    # keys: a=1 row (bucket 0), b=2 and c=3 rows (bucket 1), d=8 rows
+    # (bucket 3); total 14 rows
+    keys = [1] + [2] * 2 + [3] * 3 + [4] * 8
+    got = _profile(spark, keys)
+    assert got == {
+        0: (1, 1, 10000 * 1 // 14),
+        1: (2, 5, 10000 * 5 // 14),
+        3: (1, 8, 10000 * 8 // 14),
+    }
+
+
+def test_skew_profile_null_bucket(spark):
+    # NULLs are the classic accidental hot key: their own bucket -1
+    got = _profile(spark, [None, None, None, 7])
+    assert got == {-1: (1, 3, 7500), 0: (1, 1, 2500)}
+
+
+def test_skew_profile_uniform_vs_hot(spark):
+    # a uniform key puts all mass in one low bucket; one hot key moves
+    # most mass into a single high bucket — the decision signal
+    uniform = _profile(spark, list(range(64)))
+    assert set(uniform) == {0} and uniform[0][2] == 10000
+    hot = _profile(spark, list(range(16)) + [99] * 48)
+    assert hot[5] == (1, 48, 7500)  # 48 rows -> bucket 5, 75% of mass
+
+
+def test_skew_profile_oracle_parity_and_invariance(spark):
+    import duckdb
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.operators.skew import (
+        key_skew_profile,
+        key_skew_profile_oracle_sql,
+    )
+
+    keys = [i % 17 for i in range(200)] + [None] * 9 + [3] * 120
+    pdf = pd.DataFrame({"k": pd.array(keys, dtype="Int64")})
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+
+    con = duckdb.connect()
+    con.register("ks_t", pdf)
+    want = sorted(
+        tuple(x)
+        for x in con.sql(key_skew_profile_oracle_sql("ks_t", "k")).fetchall()
+    )
+    got = sorted(
+        tuple(r) for r in key_skew_profile(df, "k").collect()
+    )
+    got8 = sorted(
+        tuple(r)
+        for r in key_skew_profile(df.repartition(8), "k").collect()
+    )
+    assert got == want
+    assert got8 == got
+    # conservation: bucket rows sum to the table size
+    assert sum(t[2] for t in got) == len(keys)
