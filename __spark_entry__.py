@@ -5800,6 +5800,35 @@ def doc_ngram_novelty(spark, sf_dir):
     return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
 
 
+def doc_crawl_overlap(spark, sf_dir):
+    """Crawl-over-crawl dedup rate: documents split into a reference
+    snapshot (even doc_id) and a new snapshot (odd doc_id); pairs
+    (2m, 2m+1) with m % 3 == 0 carry the SAME planted stable-page text
+    in both snapshots, so ~1/3 of the new snapshot reads overlap_bp =
+    10000 (the recrawled-unchanged tier) while the rest sit at their
+    natural near-zero — the production "how much of crawl N+1 is old
+    news" metric, probed on both sides.  The reference collapses to ONE
+    distinct gram set; membership is a gram-keyed left join
+    (operators/novelty.py ngram_overlap_vs)."""
+    from deepseek_ocr_rs_spark.operators.novelty import ngram_overlap_vs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.pmod(F.floor(F.col("doc_id") / 2), F.lit(3)) == 0,
+            F.concat(
+                F.lit("stable page content block "),
+                F.floor(F.col("doc_id") / 2).cast("long").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    ref = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    return ngram_overlap_vs(new, ref)
+
+
 def diag_key_skew(spark, sf_dir):
     """Join-key skew profile over events: log2-bucketed key-frequency
     histogram with NULLs as their own bucket (-1) — the diagnostic that
@@ -6121,6 +6150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_code_switching": doc_code_switching,
         "dedup_containment_pairs": dedup_containment_pairs,
         "diag_key_skew": diag_key_skew,
+        "doc_crawl_overlap": doc_crawl_overlap,
     }
 
 
@@ -6228,6 +6258,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.novelty import (
         ngram_novelty_oracle_sql,
+        ngram_overlap_vs_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.skew import (
         key_skew_profile_oracle_sql,
@@ -7846,6 +7877,20 @@ FROM cs_planted
             min_pct=15,
         ),
         "doc_ngram_novelty": ngram_novelty_oracle_sql("documents", n=3),
+        "doc_crawl_overlap": ngram_overlap_vs_oracle_sql(
+            """SELECT doc_id,
+                      CASE WHEN (doc_id // 2) % 3 = 0
+                           THEN 'stable page content block ' ||
+                                CAST(doc_id // 2 AS VARCHAR)
+                           ELSE text END AS text
+               FROM documents WHERE doc_id % 2 = 1""",
+            """SELECT doc_id,
+                      CASE WHEN (doc_id // 2) % 3 = 0
+                           THEN 'stable page content block ' ||
+                                CAST(doc_id // 2 AS VARCHAR)
+                           ELSE text END AS text
+               FROM documents WHERE doc_id % 2 = 0""",
+        ),
         "diag_key_skew": key_skew_profile_oracle_sql(
             """(
               SELECT CASE WHEN event_id % 31 = 0 THEN NULL

@@ -309,6 +309,8 @@ def main() -> None:
         "dedup_containment_pairs",
         # join-key skew profile (log2 bucket histogram, NULL tier)
         "diag_key_skew",
+        # crawl-over-crawl overlap (the dedup-rate-between-snapshots metric)
+        "doc_crawl_overlap",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

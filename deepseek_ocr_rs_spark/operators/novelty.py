@@ -37,7 +37,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ngram_novelty", "ngram_novelty_oracle_sql"]
+__all__ = [
+    "ngram_novelty",
+    "ngram_novelty_oracle_sql",
+    "ngram_overlap_vs",
+    "ngram_overlap_vs_oracle_sql",
+]
 
 
 def _grams_expr(text_col: str, n: int) -> str:
@@ -132,4 +137,113 @@ def ngram_novelty_oracle_sql(
                CAST(10000 * s.n_new // s.n_grams AS BIGINT) AS novelty_bp
         FROM (SELECT {id_col} FROM {table}) d
         LEFT JOIN nv_scored s USING ({id_col})
+    """
+
+
+def ngram_overlap_vs(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-snapshot overlap: for every document of ``new_df``, the
+    fraction of its distinct sliding ``n``-grams already present
+    ANYWHERE in ``ref_df`` — the crawl-over-crawl dedup-rate metric
+    (what share of crawl N+1 is old news), per document so the rollup
+    can slice by host/source.  Returns
+    ``(id, n_grams, n_seen, overlap_bp)`` with ``overlap_bp = 10000 *
+    n_seen div n_grams`` (floor; NULL for gram-less docs).  The
+    within-corpus counterpart is :func:`ngram_novelty` (attribution by
+    min id); this one is BETWEEN corpora and needs no ordering.
+
+    100 TB plan shape: the reference collapses to its DISTINCT gram set
+    (one hash aggregate — the only pass over the old crawl); the
+    membership test is a gram-keyed LEFT SEMI-shaped join counted via a
+    left join + flag sum, hash-balanced on the gram.  Neither corpus is
+    ever read twice.
+    """
+    new_grams = (
+        new_df.select(
+            F.col(id_col),
+            F.explode(F.expr(_grams_expr(text_col, n))).alias("gram"),
+        )
+        .distinct()
+    )
+    ref_grams = (
+        ref_df.select(
+            F.explode(F.expr(_grams_expr(text_col, n))).alias("gram")
+        )
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    scored = (
+        new_grams.join(ref_grams, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("_seen", F.lit(0))).alias("n_seen"),
+        )
+    )
+    return (
+        new_df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_seen", F.lit(0)).cast("long").alias("n_seen"),
+            F.expr(
+                "cast((10000 * coalesce(n_seen, 0)) div n_grams as bigint)"
+            ).alias("overlap_bp"),
+        )
+    )
+
+
+def ngram_overlap_vs_oracle_sql(
+    new_sql: str,
+    ref_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> str:
+    """DuckDB SQL replicating ``ngram_overlap_vs`` exactly."""
+    return f"""
+        WITH ov_new AS ({new_sql}),
+        ov_ref AS ({ref_sql}),
+        ov_ngrams AS (
+          SELECT DISTINCT {id_col},
+                 array_to_string(list_slice(toks, i + 1, i + {n}), ' ')
+                   AS gram
+          FROM (
+            SELECT {id_col},
+                   list_filter(string_split_regex(lower({text_col}),
+                               '\\s+'), x -> x <> '') AS toks
+            FROM ov_new
+          ), UNNEST(range(0, greatest(len(toks) - {n} + 1, 0))) AS u(i)
+        ),
+        ov_rgrams AS (
+          SELECT DISTINCT
+                 array_to_string(list_slice(toks, i + 1, i + {n}), ' ')
+                   AS gram
+          FROM (
+            SELECT list_filter(string_split_regex(lower({text_col}),
+                               '\\s+'), x -> x <> '') AS toks
+            FROM ov_ref
+          ), UNNEST(range(0, greatest(len(toks) - {n} + 1, 0))) AS u(i)
+        ),
+        ov_scored AS (
+          SELECT g.{id_col},
+                 count(*) AS n_grams,
+                 sum(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_seen
+          FROM ov_ngrams g LEFT JOIN ov_rgrams r USING (gram)
+          GROUP BY g.{id_col}
+        )
+        SELECT d.{id_col},
+               CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(s.n_seen, 0) AS BIGINT) AS n_seen,
+               CAST(10000 * coalesce(s.n_seen, 0) // s.n_grams AS BIGINT)
+                 AS overlap_bp
+        FROM (SELECT {id_col} FROM ov_new) d
+        LEFT JOIN ov_scored s USING ({id_col})
     """

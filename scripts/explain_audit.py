@@ -702,6 +702,13 @@ AUDITS = {
         ("argmax as plain agg (no window)", "!WindowExec"),
         ("partial agg", "HashAggregate"),
     ],
+    "doc_crawl_overlap": [
+        # ref collapses to ONE distinct gram set (hash agg); membership
+        # is a gram-keyed left join; grams stay engine-side
+        ("gram explode stays JVM-side", "Generate"),
+        ("gram-keyed membership join", "hashpartitioning(gram"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
     "diag_key_skew": [
         # per-key count is the one (map-side-combinable) shuffle; the
         # bucket rollup re-aggregates the tiny counts table and the

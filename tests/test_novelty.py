@@ -101,3 +101,85 @@ def test_oracle_parity_and_invariance(spark):
            )"""
     ).fetchone()[0]
     assert n_new_total == n_distinct
+
+
+# ------------------------------------------------- cross-snapshot overlap
+
+
+def _overlap(spark, new_rows, ref_rows, **kw):
+    from deepseek_ocr_rs_spark.operators.novelty import ngram_overlap_vs
+
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    return {
+        r.doc_id: (r.n_grams, r.n_seen, r.overlap_bp)
+        for r in ngram_overlap_vs(new, ref, **kw).collect()
+    }
+
+
+def test_overlap_hand_scored(spark):
+    ref = [(100, "a b c d"), (101, "x y z")]
+    new = [
+        (1, "a b c d"),     # fully old
+        (2, "a b c q"),     # 1 of 2 grams old
+        (3, "p q r s"),     # fully new
+        (4, ""),            # gram-less
+    ]
+    got = _overlap(spark, new, ref)
+    assert got == {
+        1: (2, 2, 10000),
+        2: (2, 1, 5000),
+        3: (2, 0, 0),
+        4: (0, 0, None),
+    }
+
+
+def test_overlap_ref_multiplicity_and_order_irrelevant(spark):
+    # the reference is a SET: duplicated ref docs and ref ids change
+    # nothing; new-side ids do not interact with ref ids
+    ref1 = [(1, "k l m")]
+    ref2 = [(9, "k l m"), (8, "k l m"), (7, "k l m")]
+    new = [(1, "k l m n")]
+    assert _overlap(spark, new, ref1) == _overlap(spark, new, ref2)
+
+
+def test_overlap_oracle_parity_and_invariance(spark):
+    import duckdb
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.operators.novelty import (
+        ngram_overlap_vs,
+        ngram_overlap_vs_oracle_sql,
+    )
+
+    rows = []
+    for i in range(40):
+        base = f"s{i % 5} s{(i * 3) % 5} s{(i * 7 + 1) % 5} u{i} u{i + 1}"
+        rows.append((i, base if i % 13 else ""))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    new_p = pdf[pdf.doc_id % 2 == 1]
+    ref_p = pdf[pdf.doc_id % 2 == 0]
+    new = spark.createDataFrame(new_p)
+    ref = spark.createDataFrame(ref_p)
+
+    con = duckdb.connect()
+    con.register("ov_n", new_p)
+    con.register("ov_r", ref_p)
+    want = sorted(
+        tuple(x)
+        for x in con.sql(
+            ngram_overlap_vs_oracle_sql(
+                "SELECT * FROM ov_n", "SELECT * FROM ov_r"
+            )
+        ).fetchall()
+    )
+    got = sorted(tuple(r) for r in ngram_overlap_vs(new, ref).collect())
+    got8 = sorted(
+        tuple(r)
+        for r in ngram_overlap_vs(
+            new.repartition(8), ref.repartition(5)
+        ).collect()
+    )
+    assert got == want
+    assert got8 == got
+    assert any(t[2] and t[2] > 0 for t in got)   # real overlap present
