@@ -5829,6 +5829,23 @@ def doc_crawl_overlap(spark, sf_dir):
     return ngram_overlap_vs(new, ref)
 
 
+def train_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffling: a 4-round Feistel bijection keyed
+    by (seed, epoch) maps every doc_id to a distinct shuffle_key — the
+    zero-shuffle replacement for ORDER BY rand() that 100 TB multi-epoch
+    training needs (retry-stable, identical on every reader, no
+    materialized permutation table; Black-Rogaway cycle-walking FPE /
+    dataloader index-shuffle construction).  3 epochs, 16 reader shards;
+    bijectivity is structural (Feistel), pinned by the distinct-count
+    test.  Plan: ONE 1-row max(id) aggregate broadcast back, then pure
+    row-local projection (operators/epochshuffle.py epoch_shuffle)."""
+    from deepseek_ocr_rs_spark.operators.epochshuffle import epoch_shuffle
+
+    return epoch_shuffle(
+        _t(spark, sf_dir, "documents").select("doc_id"), id_col="doc_id"
+    )
+
+
 def diag_key_skew(spark, sf_dir):
     """Join-key skew profile over events: log2-bucketed key-frequency
     histogram with NULLs as their own bucket (-1) — the diagnostic that
@@ -5996,7 +6013,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split_assignment": train_split_assignment,
         "train_curriculum_order": train_curriculum_order,
         # -- 51+: green in a prior driver round (or gate-covered); the
-        #    in-repo full gate at two scale factors covers everything ----
+        #    in-repo full gate at two scale factors covers everything.
+        #    Late round-5 additions land here: the 50 driver slots are
+        #    already all first-time rows, so these are gate-covered ----
+        "train_epoch_shuffle": train_epoch_shuffle,
         "conv_prefix_dedup": conv_prefix_dedup,
         "conv_retry_collapse": conv_retry_collapse,
         "conv_preference_pairs": conv_preference_pairs,
@@ -6259,6 +6279,9 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.novelty import (
         ngram_novelty_oracle_sql,
         ngram_overlap_vs_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.epochshuffle import (
+        epoch_shuffle_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.skew import (
         key_skew_profile_oracle_sql,
@@ -7877,6 +7900,9 @@ FROM cs_planted
             min_pct=15,
         ),
         "doc_ngram_novelty": ngram_novelty_oracle_sql("documents", n=3),
+        "train_epoch_shuffle": epoch_shuffle_oracle_sql(
+            "(SELECT doc_id FROM documents)"
+        ),
         "doc_crawl_overlap": ngram_overlap_vs_oracle_sql(
             """SELECT doc_id,
                       CASE WHEN (doc_id // 2) % 3 = 0

@@ -311,6 +311,8 @@ def main() -> None:
         "diag_key_skew",
         # crawl-over-crawl overlap (the dedup-rate-between-snapshots metric)
         "doc_crawl_overlap",
+        # Feistel epoch shuffle (the zero-shuffle ORDER BY rand() killer)
+        "train_epoch_shuffle",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

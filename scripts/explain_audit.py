@@ -717,6 +717,16 @@ AUDITS = {
         ("1-row total broadcast", "BroadcastNestedLoopJoin"),
         ("no global sort", "!Sort "),
     ],
+    "train_epoch_shuffle": [
+        # the ONLY non-projection work is the 1-row max(id) domain
+        # aggregate broadcast back; the Feistel rounds + epoch explode
+        # are row-local codegen — no wide exchange, no Python, no sort
+        ("1-row domain broadcast", "BroadcastNestedLoopJoin"),
+        ("epoch explode stays JVM-side", "Generate"),
+        ("no wide exchange", "!hashpartitioning"),
+        ("no Python stage", "!ArrowEvalPython"),
+        ("no global sort", "!Sort "),
+    ],
     "dedup_containment_pairs": [
         # corpus semi-join-pruned to pair ids BEFORE gram explosion; the
         # containment math itself is JVM (the only Python is the cached
