@@ -5846,6 +5846,67 @@ def train_epoch_shuffle(spark, sf_dir):
     )
 
 
+def a_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix over events: users cohorted by
+    the week of their FIRST event, per-(cohort_week, week_offset)
+    distinct active users + retention in floor basis points of the
+    cohort size.  The synthetic corpus activates every user in week
+    one (a single vacuous cohort), so the gate staggers onboarding
+    deterministically — events before (user_id % 4) weeks after the
+    2024-01-01 corpus epoch are dropped, planting four cohorts whose
+    later rows retain fewer weeks — probing the matrix off the
+    diagonal.  Two map-side-combinable aggregates + a window over the
+    tiny matrix (operators/cohorts.py retention_cohorts)."""
+    from deepseek_ocr_rs_spark.operators.cohorts import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.datediff(F.col("ts"), F.lit("2024-01-01"))
+        >= F.pmod(F.col("user_id"), F.lit(4)) * 7
+    )
+    return retention_cohorts(ev)
+
+
+def sketch_kmv_source_overlap(spark, sf_dir):
+    """Bottom-k (KMV) source-overlap sketches: per unordered source
+    pair, the KMV Jaccard estimate over the k=64 smallest distinct
+    trigram hashes plus per-source distinct-count estimates — the
+    synopsis that decides WHICH sources are worth cross-deduping
+    before paying a corpus-squared join (Beyer et al. KMV / Broder
+    minwise, public).  The natural corpus overlaps near zero, so the
+    gate plants a shared-slab tier: docs with doc_id % 3 == 0 AND
+    doc_id % 20 < 8 (roughly a third of the docs of sources 0-7, no
+    others — each source's planted ids sit on one residue mod 60 by
+    CRT) carry 81 slab-keyed synthetic words from an 8-slab pool keyed
+    on (doc_id div 60) % 8, which cycles through ALL slabs for every
+    affected source: the 28 pairs among sources 0-7 read mid-range
+    overlap (shared slabs + disjoint natural text) while the other 162
+    stay near zero — probing both ends without saturating either.  Sketches are exact
+    histogram-pruned order statistics; the oracle replicates every
+    sketch row and estimate bit-for-bit
+    (operators/kmv.py kmv_source_overlap)."""
+    from deepseek_ocr_rs_spark.operators.kmv import kmv_source_overlap
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+            & (F.pmod(F.col("doc_id"), F.lit(20)) < 8),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(0, 80), i -> concat('slabw', "
+                    "cast(pmod(doc_id div 60, 8) as string), '_', "
+                    "cast(i as string)))"
+                ),
+                " ",
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return kmv_source_overlap(docs)
+
+
 def diag_key_skew(spark, sf_dir):
     """Join-key skew profile over events: log2-bucketed key-frequency
     histogram with NULLs as their own bucket (-1) — the diagnostic that
@@ -6017,6 +6078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    Late round-5 additions land here: the 50 driver slots are
         #    already all first-time rows, so these are gate-covered ----
         "train_epoch_shuffle": train_epoch_shuffle,
+        "a_retention_cohorts": a_retention_cohorts,
+        "sketch_kmv_source_overlap": sketch_kmv_source_overlap,
         "conv_prefix_dedup": conv_prefix_dedup,
         "conv_retry_collapse": conv_retry_collapse,
         "conv_preference_pairs": conv_preference_pairs,
@@ -6283,6 +6346,10 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.epochshuffle import (
         epoch_shuffle_oracle_sql,
     )
+    from deepseek_ocr_rs_spark.operators.cohorts import (
+        retention_cohorts_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.kmv import kmv_overlap_oracle_sql
     from deepseek_ocr_rs_spark.operators.skew import (
         key_skew_profile_oracle_sql,
     )
@@ -7902,6 +7969,26 @@ FROM cs_planted
         "doc_ngram_novelty": ngram_novelty_oracle_sql("documents", n=3),
         "train_epoch_shuffle": epoch_shuffle_oracle_sql(
             "(SELECT doc_id FROM documents)"
+        ),
+        "sketch_kmv_source_overlap": kmv_overlap_oracle_sql(
+            """(
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 3 = 0 AND doc_id % 20 < 8
+                          THEN array_to_string(list_transform(
+                                 range(0, 81),
+                                 i -> 'slabw'
+                                      || CAST((doc_id // 60) % 8 AS VARCHAR)
+                                      || '_' || CAST(i AS VARCHAR)), ' ')
+                          ELSE text END AS text
+              FROM documents
+            )"""
+        ),
+        "a_retention_cohorts": retention_cohorts_oracle_sql(
+            """(
+              SELECT * FROM events
+              WHERE datediff('day', DATE '2024-01-01', ts)
+                    >= (user_id % 4) * 7
+            )"""
         ),
         "doc_crawl_overlap": ngram_overlap_vs_oracle_sql(
             """SELECT doc_id,

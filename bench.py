@@ -313,6 +313,10 @@ def main() -> None:
         "doc_crawl_overlap",
         # Feistel epoch shuffle (the zero-shuffle ORDER BY rand() killer)
         "train_epoch_shuffle",
+        # weekly cohort retention matrix (distinct-agg + tiny window)
+        "a_retention_cohorts",
+        # bottom-k KMV source-overlap sketches (histogram-pruned)
+        "sketch_kmv_source_overlap",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -1,0 +1,111 @@
+"""Cohort retention: the week-over-week user-retention matrix.
+
+The standard product-analytics rollup (and the reference discipline's
+"stage totals over runs" A1/A10 shape, lifted to users): cohort every
+user by the week of their FIRST event, then for each (cohort_week,
+week_offset) count how many of that cohort's users were active —
+retention in floor basis points of the cohort's size.
+
+100 TB plan shape: two map-side-combinable hash aggregates joined on
+the user key —
+
+  1. per-user min(ts) (the cohort assignment), shuffled once on
+     user_id;
+  2. events join that per-user cohort on user_id (same key, AQE can
+     co-locate; the per-user table is |users| rows, broadcastable when
+     small), then ONE distinct-aggregate on (cohort_week, week_offset,
+     user_id) feeding the (cohort_week, week_offset) rollup.
+
+The denominator (cohort size = week-0 distinct users, which first-event
+semantics make exactly the cohort's population) comes from a window
+over the TINY (weeks x offsets) matrix — never over raw events.  All
+date math is date_trunc('week') + day-difference div 7: integer-exact
+and identical in Spark and DuckDB (both truncate weeks to Monday).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_week, week_offset, n_users, retention_bp) per occupied
+    cell of the retention matrix.  week_offset 0 rows carry
+    retention_bp = 10000 by construction (every cohort member's first
+    event is in week 0)."""
+    first = (
+        events.where(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.date_trunc("week", F.min(ts_col)).cast("date").alias("_cw"))
+    )
+    active = (
+        events.where(F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("_u"),
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("_ew"),
+        )
+        .join(first, "_u")
+        .select(
+            "_u",
+            "_cw",
+            F.expr("datediff(_ew, _cw) div 7").cast("long").alias("_off"),
+        )
+        .distinct()
+    )
+    cells = active.groupBy(
+        F.col("_cw").alias("cohort_week"), F.col("_off").alias("week_offset")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    w = Window.partitionBy("cohort_week")
+    base = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_users"))
+    ).over(w)
+    return (
+        cells.withColumn("_base", base)
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            F.expr("cast((10000 * n_users) div _base as bigint)").alias(
+                "retention_bp"
+            ),
+        )
+    )
+
+
+def retention_cohorts_oracle_sql(
+    table: str, user_col: str = "user_id", ts_col: str = "ts"
+) -> str:
+    """DuckDB SQL replicating ``retention_cohorts`` exactly (same week
+    truncation, same floor-div basis points)."""
+    return f"""
+        WITH rc_first AS (
+          SELECT {user_col} AS _u,
+                 CAST(date_trunc('week', min({ts_col})) AS DATE) AS _cw
+          FROM {table} WHERE {user_col} IS NOT NULL GROUP BY 1
+        ),
+        rc_active AS (
+          SELECT DISTINCT e.{user_col} AS _u, f._cw,
+                 (CAST(date_trunc('week', e.{ts_col}) AS DATE) - f._cw) // 7
+                   AS _off
+          FROM {table} e JOIN rc_first f ON e.{user_col} = f._u
+          WHERE e.{user_col} IS NOT NULL
+        ),
+        rc_cells AS (
+          SELECT _cw AS cohort_week, _off AS week_offset,
+                 count(*) AS n_users
+          FROM rc_active GROUP BY 1, 2
+        )
+        SELECT cohort_week,
+               CAST(week_offset AS BIGINT) AS week_offset,
+               CAST(n_users AS BIGINT) AS n_users,
+               CAST(10000 * n_users //
+                    max(CASE WHEN week_offset = 0 THEN n_users END)
+                      OVER (PARTITION BY cohort_week) AS BIGINT)
+                 AS retention_bp
+        FROM rc_cells
+    """

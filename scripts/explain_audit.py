@@ -727,6 +727,24 @@ AUDITS = {
         ("no Python stage", "!ArrowEvalPython"),
         ("no global sort", "!Sort "),
     ],
+    "a_retention_cohorts": [
+        # per-user min(ts) and the distinct-activity agg both partial-
+        # aggregate before their user_id shuffle; the retention window
+        # runs over the tiny (weeks x offsets) matrix, never raw events
+        ("partial agg before shuffle", "HashAggregate"),
+        ("user-keyed exchange", "hashpartitioning(_u"),
+        ("window over tiny matrix only", "Window"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "sketch_kmv_source_overlap": [
+        # the gram-cardinality distinct is the one big shuffle; the
+        # bucket histogram partial-aggregates before it; the per-source
+        # threshold broadcasts back; grams stay JVM-side lambdas
+        ("gram explode stays JVM-side", "Generate"),
+        ("histogram partial agg", "HashAggregate"),
+        ("threshold broadcast", "BroadcastHashJoin"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
     "dedup_containment_pairs": [
         # corpus semi-join-pruned to pair ids BEFORE gram explosion; the
         # containment math itself is JVM (the only Python is the cached
