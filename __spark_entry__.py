@@ -5907,6 +5907,77 @@ def sketch_kmv_source_overlap(spark, sf_dir):
     return kmv_source_overlap(docs)
 
 
+def web_url_param_learn(spark, sf_dir):
+    """Learned URL-parameter semantics (DUST detection, Bar-Yossef
+    WWW'07): which query params are content-irrelevant for a host,
+    from digest invariance across URLs differing only in that param.
+    The synthetic capture log plants all three verdicts: ``page``
+    drives the content digest (non-invariant -> content), ``sid`` is a
+    session id the digest ignores (invariant -> superfluous), ``ref``
+    appears only on event_id % 51 == 0 so its evidence groups stay
+    under min_groups (-> insufficient).  One JVM explode + two hash
+    aggregates, no window (operators/urlparams.py url_param_stats)."""
+    from deepseek_ocr_rs_spark.operators.urlparams import url_param_stats
+
+    ev = _t(spark, sf_dir, "events")
+    u2 = F.pmod(F.col("user_id"), F.lit(200)).cast("string")
+    pg = F.pmod(F.col("event_id"), F.lit(5)).cast("string")
+    sid = F.pmod(F.col("event_id"), F.lit(17)).cast("string")
+    url = F.concat(
+        F.lit("http://site"),
+        F.pmod(F.col("user_id"), F.lit(50)).cast("string"),
+        F.lit(".com/p/"), u2,
+        F.lit("?page="), pg,
+        F.lit("&sid="), sid,
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(51)) == 0,
+            F.concat(F.lit("&ref="), F.col("event_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    caps = ev.select(
+        url.alias("url"),
+        F.md5(F.concat(u2, F.lit(":"), pg)).alias("digest"),
+    )
+    return url_param_stats(caps)
+
+
+def graph_label_communities(spark, sf_dir):
+    """Synchronous label-propagation communities (Raghavan 2007) over
+    a deterministic 40-host graph with REAL cluster structure: hosts
+    g{b*10+i} in four blocks b = doc_id % 4, dense intra-block edges
+    from doc_id arithmetic, plus rare cross-block bridges (doc_id %
+    97 == 0) — so LPA must find the four blocks THROUGH the bridge
+    noise, ties broken to the lexicographically smallest label.  Three
+    fixed rounds; the oracle unrolls them CTE-by-CTE
+    (operators/labelprop.py label_propagation)."""
+    from deepseek_ocr_rs_spark.operators.labelprop import label_propagation
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    b = F.pmod(F.col("doc_id"), F.lit(4))
+    g = lambda i: F.concat(
+        F.lit("g"), (b * 10 + F.pmod(i, F.lit(10))).cast("string")
+    )
+    intra1 = d.select(
+        g(F.expr("doc_id div 4")).alias("src"),
+        g(F.expr("doc_id div 4") * 3 + 1).alias("dst"),
+    )
+    intra2 = d.select(
+        g(F.expr("doc_id div 4") * 7 + 2).alias("src"),
+        g(F.expr("doc_id div 4") + 5).alias("dst"),
+    )
+    bridge = d.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0).select(
+        g(F.col("doc_id")).alias("src"),
+        F.concat(
+            F.lit("g"),
+            (
+                F.pmod(F.col("doc_id") + 1, F.lit(4)) * 10
+                + F.pmod(F.col("doc_id"), F.lit(10))
+            ).cast("string"),
+        ).alias("dst"),
+    )
+    return label_propagation(intra1.unionByName(intra2).unionByName(bridge))
+
+
 def diag_key_skew(spark, sf_dir):
     """Join-key skew profile over events: log2-bucketed key-frequency
     histogram with NULLs as their own bucket (-1) — the diagnostic that
@@ -6080,6 +6151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_epoch_shuffle": train_epoch_shuffle,
         "a_retention_cohorts": a_retention_cohorts,
         "sketch_kmv_source_overlap": sketch_kmv_source_overlap,
+        "web_url_param_learn": web_url_param_learn,
+        "graph_label_communities": graph_label_communities,
         "conv_prefix_dedup": conv_prefix_dedup,
         "conv_retry_collapse": conv_retry_collapse,
         "conv_preference_pairs": conv_preference_pairs,
@@ -6350,6 +6423,12 @@ def oracle_sql() -> dict[str, str]:
         retention_cohorts_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.kmv import kmv_overlap_oracle_sql
+    from deepseek_ocr_rs_spark.operators.urlparams import (
+        url_param_stats_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.labelprop import (
+        label_propagation_oracle_sql,
+    )
     from deepseek_ocr_rs_spark.operators.skew import (
         key_skew_profile_oracle_sql,
     )
@@ -7969,6 +8048,41 @@ FROM cs_planted
         "doc_ngram_novelty": ngram_novelty_oracle_sql("documents", n=3),
         "train_epoch_shuffle": epoch_shuffle_oracle_sql(
             "(SELECT doc_id FROM documents)"
+        ),
+        "graph_label_communities": label_propagation_oracle_sql(
+            """(
+              SELECT 'g' || CAST((doc_id % 4) * 10
+                     + ((doc_id // 4) % 10) AS VARCHAR) AS src,
+                     'g' || CAST((doc_id % 4) * 10
+                     + (((doc_id // 4) * 3 + 1) % 10) AS VARCHAR) AS dst
+              FROM documents
+              UNION ALL
+              SELECT 'g' || CAST((doc_id % 4) * 10
+                     + (((doc_id // 4) * 7 + 2) % 10) AS VARCHAR),
+                     'g' || CAST((doc_id % 4) * 10
+                     + (((doc_id // 4) + 5) % 10) AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'g' || CAST((doc_id % 4) * 10
+                     + (doc_id % 10) AS VARCHAR),
+                     'g' || CAST(((doc_id + 1) % 4) * 10
+                     + (doc_id % 10) AS VARCHAR)
+              FROM documents WHERE doc_id % 97 = 0
+            )"""
+        ),
+        "web_url_param_learn": url_param_stats_oracle_sql(
+            """(
+              SELECT 'http://site' || CAST(user_id % 50 AS VARCHAR)
+                     || '.com/p/' || CAST(user_id % 200 AS VARCHAR)
+                     || '?page=' || CAST(event_id % 5 AS VARCHAR)
+                     || '&sid=' || CAST(event_id % 17 AS VARCHAR)
+                     || CASE WHEN event_id % 51 = 0
+                             THEN '&ref=' || CAST(event_id AS VARCHAR)
+                             ELSE '' END AS url,
+                     md5(CAST(user_id % 200 AS VARCHAR) || ':'
+                         || CAST(event_id % 5 AS VARCHAR)) AS digest
+              FROM events
+            )"""
         ),
         "sketch_kmv_source_overlap": kmv_overlap_oracle_sql(
             """(

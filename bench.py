@@ -317,6 +317,10 @@ def main() -> None:
         "a_retention_cohorts",
         # bottom-k KMV source-overlap sketches (histogram-pruned)
         "sketch_kmv_source_overlap",
+        # learned URL-param semantics (DUST digest invariance)
+        "web_url_param_learn",
+        # synchronous label-propagation communities (Pregel pattern)
+        "graph_label_communities",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

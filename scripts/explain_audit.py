@@ -745,6 +745,24 @@ AUDITS = {
         ("threshold broadcast", "BroadcastHashJoin"),
         ("no Python stage", "!ArrowEvalPython"),
     ],
+    "web_url_param_learn": [
+        # param explode is a JVM Generate; the (host,param,residual)
+        # distinct-count agg partial-aggregates before its shuffle and
+        # the (host,param) rollup re-aggregates the small groups table
+        ("param explode stays JVM-side", "Generate"),
+        ("partial agg before shuffle", "HashAggregate"),
+        ("no Python stage", "!ArrowEvalPython"),
+        ("no window", "!WindowExec"),
+    ],
+    "graph_label_communities": [
+        # per round: one labels-to-edges equi-join + two hash aggs
+        # (vote count, per-node argmin via min(struct)) — Pregel
+        # message pattern, no window over votes, no Python
+        ("vote argmin as plain agg (no window)", "!WindowExec"),
+        ("partial agg", "HashAggregate"),
+        ("edge list persisted", "InMemoryTableScan"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
     "dedup_containment_pairs": [
         # corpus semi-join-pruned to pair ids BEFORE gram explosion; the
         # containment math itself is JVM (the only Python is the cached
