@@ -5978,6 +5978,67 @@ def graph_label_communities(spark, sf_dir):
     return label_propagation(intra1.unionByName(intra2).unionByName(bridge))
 
 
+def doc_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (Rabin boundary rule, LBFS/rsync
+    lineage): each doc splits where the 8-char rolling hash hits
+    63 mod 64 — boundaries are local content, so an edit perturbs only
+    the chunks it touches.  The gate corpus doubles every document
+    into an edited twin (id 2d = original, 2d+1 = 'edited prefix
+    insertion ' + same text), so the chunk table itself carries the
+    shift-resilience evidence: twins share every chunk hash except at
+    the edit site — the storage-dedup / dataset-versioning primitive.
+    Pure JVM lambda pipeline, no shuffle before the consumer's rollup
+    (operators/cdc.py cdc_chunks)."""
+    from deepseek_ocr_rs_spark.operators.cdc import cdc_chunks
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = d.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "text"
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+            F.concat(F.lit("edited prefix insertion "), F.col("text")).alias(
+                "text"
+            ),
+        )
+    )
+    return cdc_chunks(twins)
+
+
+def diag_quality_calibration(spark, sf_dir):
+    """Reliability bins + ECE (Guo 2017) for a planted QUADRATICALLY
+    miscalibrated scorer: score_bp spreads over [0, 10000] from doc_id
+    arithmetic, while the label fires at rate (score/10000)^2 via the
+    md5-inclusion draw (the s_weighted_sample discipline — exact
+    cross-engine, no RNG).  Low bins read small gaps, high bins read
+    gaps approaching 2500 bp, and the bin=-1 summary row carries the
+    n-weighted ECE — the diagnostic that a confidence-thresholded
+    quality filter is deleting good documents at an unexpected rate.
+    ONE hash aggregate + a 10-row rollup
+    (operators/calibration.py calibration_bins)."""
+    from deepseek_ocr_rs_spark.operators.calibration import (
+        calibration_bins,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id") * 37 + 11, F.lit(10001))
+        .cast("long")
+        .alias("score_bp"),
+    )
+    draw = F.expr(
+        "cast(conv(substring(md5(concat('cal:', cast(doc_id as string))),"
+        " 1, 15), 16, 10) as bigint) % 10000"
+    )
+    scored = d.select(
+        "score_bp",
+        (draw < F.expr("(score_bp * score_bp) div 10000"))
+        .cast("long")
+        .alias("label"),
+    )
+    return calibration_bins(scored)
+
+
 def diag_key_skew(spark, sf_dir):
     """Join-key skew profile over events: log2-bucketed key-frequency
     histogram with NULLs as their own bucket (-1) — the diagnostic that
@@ -6153,6 +6214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_source_overlap": sketch_kmv_source_overlap,
         "web_url_param_learn": web_url_param_learn,
         "graph_label_communities": graph_label_communities,
+        "doc_cdc_chunks": doc_cdc_chunks,
+        "diag_quality_calibration": diag_quality_calibration,
         "conv_prefix_dedup": conv_prefix_dedup,
         "conv_retry_collapse": conv_retry_collapse,
         "conv_preference_pairs": conv_preference_pairs,
@@ -6428,6 +6491,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.labelprop import (
         label_propagation_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.cdc import cdc_chunks_oracle_sql
+    from deepseek_ocr_rs_spark.operators.calibration import (
+        calibration_bins_oracle_sql,
     )
     from deepseek_ocr_rs_spark.operators.skew import (
         key_skew_profile_oracle_sql,
@@ -8048,6 +8115,26 @@ FROM cs_planted
         "doc_ngram_novelty": ngram_novelty_oracle_sql("documents", n=3),
         "train_epoch_shuffle": epoch_shuffle_oracle_sql(
             "(SELECT doc_id FROM documents)"
+        ),
+        "diag_quality_calibration": calibration_bins_oracle_sql(
+            """(
+              SELECT (doc_id * 37 + 11) % 10001 AS score_bp,
+                     CASE WHEN CAST('0x' || substr(md5('cal:'
+                            || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                            % 10000
+                          < (((doc_id * 37 + 11) % 10001)
+                             * ((doc_id * 37 + 11) % 10001)) // 10000
+                          THEN 1 ELSE 0 END AS label
+              FROM documents
+            )"""
+        ),
+        "doc_cdc_chunks": cdc_chunks_oracle_sql(
+            """(
+              SELECT doc_id * 2 AS doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id * 2 + 1, 'edited prefix insertion ' || text
+              FROM documents
+            )"""
         ),
         "graph_label_communities": label_propagation_oracle_sql(
             """(

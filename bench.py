@@ -321,6 +321,10 @@ def main() -> None:
         "web_url_param_learn",
         # synchronous label-propagation communities (Pregel pattern)
         "graph_label_communities",
+        # content-defined chunking (shift-resilient Rabin boundaries)
+        "doc_cdc_chunks",
+        # reliability bins + ECE over a planted miscalibrated scorer
+        "diag_quality_calibration",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -763,6 +763,21 @@ AUDITS = {
         ("edge list persisted", "InMemoryTableScan"),
         ("no Python stage", "!ArrowEvalPython"),
     ],
+    "doc_cdc_chunks": [
+        # boundaries/spans/digests are ONE row-local lambda pipeline
+        # ending in the per-chunk posexplode — no shuffle at all, no
+        # Python, no window
+        ("chunk explode stays JVM-side", "Generate"),
+        ("no wide exchange", "!hashpartitioning"),
+        ("no Python stage", "!ArrowEvalPython"),
+        ("no window", "!WindowExec"),
+    ],
+    "diag_quality_calibration": [
+        # one 10-group hash aggregate + the tiny ECE rollup
+        ("partial agg", "HashAggregate"),
+        ("no Python stage", "!ArrowEvalPython"),
+        ("no window", "!WindowExec"),
+    ],
     "dedup_containment_pairs": [
         # corpus semi-join-pruned to pair ids BEFORE gram explosion; the
         # containment math itself is JVM (the only Python is the cached
