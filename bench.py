@@ -325,6 +325,10 @@ def main() -> None:
         "doc_cdc_chunks",
         # reliability bins + ECE over a planted miscalibrated scorer
         "diag_quality_calibration",
+        # per-language BPE fertility (distinct-word fold + group rollup)
+        "train_tokenizer_fertility",
+        # credential scrubbing (JVM regexp chain, 7 pattern tiers)
+        "doc_secret_scrub",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -259,3 +259,127 @@ def bpe_encode(
         )
         .withColumn("n_tokens", F.size("tokens").cast("long"))
     )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: List[Tuple[str, str]],
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Per-group tokenizer fertility and compression for a trained
+    merge table — the vocabulary-fairness report (how many tokens a
+    language pays per word/char) that decides whether a shared BPE
+    vocabulary starves some languages (the "tokenizer premium" studied
+    publicly around multilingual LLMs).  Output per group:
+
+      (group, n_docs, n_words, n_tokens, n_chars,
+       fertility_bp,          -- 10000 * tokens / word, floor
+       chars_per_token_cbp)   -- 100 * chars / token, floor
+
+    Scale shape: identical to ``bpe_encode`` — merge folds run over
+    DISTINCT words only; the corpus side is one word join feeding ONE
+    map-side-combinable rollup on the group key (no per-doc
+    reassembly at all, so fertility is CHEAPER than encoding)."""
+    words = (
+        df.select(
+            F.col(id_col),
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "word"
+            ),
+        )
+        .where(F.col("word") != "")
+    )
+    seg = (
+        words.select("word")
+        .distinct()
+        .withColumn("syms", _char_syms("word"))
+    )
+    for i, m in enumerate(merges):
+        seg = seg.withColumn("syms", _apply_merge(F.col("syms"), m[0], m[1]))
+        if (i + 1) % checkpoint_every == 0:
+            seg = seg.localCheckpoint()
+    seg = seg.select(
+        "word",
+        F.size("syms").cast("long").alias("_nt"),
+        F.length("word").cast("long").alias("_nc"),
+    )
+    return (
+        words.join(seg, "word")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.sum("_nc").cast("long").alias("n_chars"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr(
+                "cast((10000 * n_tokens) div nullif(n_words, 0) as bigint)"
+            ).alias("fertility_bp"),
+            F.expr(
+                "cast((100 * n_chars) div nullif(n_tokens, 0) as bigint)"
+            ).alias("chars_per_token_cbp"),
+        )
+    )
+
+
+def bpe_fertility_oracle_sql(
+    table: str,
+    merges: List[Tuple[str, str]],
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL replicating ``bpe_fertility`` exactly — the same
+    delimiter-wrapped replace-chain segmentation as the bpe_encode
+    oracle (chr(1)/chr(2) wrap tokens so a replace can never match
+    across boundaries), rolled up per group."""
+    wrapped = (
+        f"chr(1) || array_to_string(string_split(word, ''),"
+        f" chr(2) || chr(1)) || chr(2)"
+    )
+    e = wrapped
+    for l, r in merges:
+        pat = f"chr(1) || '{l}' || chr(2) || chr(1) || '{r}' || chr(2)"
+        rep = f"chr(1) || '{l}{r}' || chr(2)"
+        e = f"replace({e}, {pat}, {rep})"
+    return f"""
+        WITH bft_dcs AS (
+          SELECT {id_col} AS _id, {group_col} AS grp,
+                 string_split_regex(lower({text_col}), '\\s+') AS ws
+          FROM {table}
+        ),
+        bft_w AS (
+          SELECT _id, grp, ws[i.i] AS word
+          FROM bft_dcs, LATERAL unnest(range(1, len(ws) + 1)) AS i(i)
+          WHERE ws[i.i] <> ''
+        ),
+        bft_seg AS (
+          SELECT word,
+                 CAST(length(e) - length(replace(e, chr(1), ''))
+                      AS BIGINT) AS nt,
+                 CAST(length(word) AS BIGINT) AS nc
+          FROM (SELECT word, {e} AS e
+                FROM (SELECT DISTINCT word FROM bft_w))
+        )
+        SELECT w.grp AS {group_col},
+               CAST(count(DISTINCT w._id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(s.nt) AS BIGINT) AS n_tokens,
+               CAST(sum(s.nc) AS BIGINT) AS n_chars,
+               CAST(10000 * sum(s.nt) // nullif(count(*), 0) AS BIGINT)
+                 AS fertility_bp,
+               CAST(100 * sum(s.nc) // nullif(sum(s.nt), 0) AS BIGINT)
+                 AS chars_per_token_cbp
+        FROM bft_w w JOIN bft_seg s USING (word)
+        GROUP BY 1
+    """

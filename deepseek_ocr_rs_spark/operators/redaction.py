@@ -198,3 +198,67 @@ def luhn_scrub_oracle_exprs(
         "n_valid_cards": f"CAST(len({valid}) AS BIGINT)",
         "scrubbed": scrubbed,
     }
+
+
+# ------------------------------------------------- credential scrubbing
+
+# (name, pattern, replacement) applied IN THIS ORDER — the code-corpus
+# counterpart of PII_PATTERNS: leaked credentials in scraped repos /
+# pastebins / notebooks, the scrub every code-data pipeline runs before
+# training (public pattern corpus: the prefixes are the providers' own
+# documented formats — AKIA..., ghp_..., xox?-..., AIza...; PEM blocks
+# and JWTs are self-describing; the trailing hex rule is the
+# deterministic charset+length approximation of the usual "high
+# entropy string" heuristic, so the whole chain stays float-free and
+# cross-engine exact).  PEM first (its body could contain anything),
+# then JWT (dotted base64url), then the prefixed provider keys, then
+# the bare-hex fallback LAST so provider formats win attribution.
+SECRET_PATTERNS: List[Tuple[str, str, str]] = [
+    (
+        "pem",
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----[\s\S]*?"
+        r"-----END [A-Z ]*PRIVATE KEY-----",
+        "<PEM_KEY>",
+    ),
+    (
+        "jwt",
+        r"\beyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}",
+        "<JWT>",
+    ),
+    ("aws", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    ("github", r"\bghp_[A-Za-z0-9]{36}\b", "<GH_TOKEN>"),
+    ("slack", r"\bxox[abprs]-[A-Za-z0-9-]{10,}\b", "<SLACK_TOKEN>"),
+    ("gcp", r"\bAIza[0-9A-Za-z_-]{35}\b", "<GCP_KEY>"),
+    ("hex", r"\b[0-9a-f]{40,64}\b", "<HEX_SECRET>"),
+]
+
+
+def scrub_secrets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``text_scrubbed`` plus one ``n_<type>`` count per credential
+    pattern — same running-text/count-before-replace contract as
+    ``redact_pii`` (placeholders match no pattern, so the scrub is
+    idempotent).  Pure JVM regexp chain: shuffle-free per-row map."""
+    running: Column = F.col(text_col)
+    counts = {}
+    for name, pat, repl in SECRET_PATTERNS:
+        counts[f"n_{name}"] = F.size(
+            F.regexp_extract_all(running, F.lit(pat), 0)
+        ).cast("long")
+        running = F.regexp_replace(running, pat, repl)
+    return df.withColumns({**counts, "text_scrubbed": running})
+
+
+def secrets_oracle_exprs(text_expr: str = "text") -> Tuple[str, List[str]]:
+    """DuckDB SQL replicating ``scrub_secrets`` exactly (same pattern
+    sequence; the patterns sit in the shared Java-regex / RE2 subset —
+    lazy quantifiers and ASCII word boundaries included)."""
+    running = text_expr
+    count_exprs: List[str] = []
+    for name, pat, repl in SECRET_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        count_exprs.append(
+            f"CAST(len(regexp_extract_all({running}, '{sql_pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        running = f"regexp_replace({running}, '{sql_pat}', '{repl}', 'g')"
+    return running, count_exprs

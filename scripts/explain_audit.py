@@ -778,6 +778,20 @@ AUDITS = {
         ("no Python stage", "!ArrowEvalPython"),
         ("no window", "!WindowExec"),
     ],
+    "train_tokenizer_fertility": [
+        # merge folds over DISTINCT words only; corpus side is one word
+        # join + ONE group rollup (no per-doc reassembly window)
+        ("word explode stays JVM-side", "Generate"),
+        ("partial agg", "HashAggregate"),
+        ("no Python stage", "!ArrowEvalPython"),
+        ("no window", "!WindowExec"),
+    ],
+    "doc_secret_scrub": [
+        # pure per-row regexp chain: no shuffle, no Python, no window
+        ("no wide exchange", "!hashpartitioning"),
+        ("no Python stage", "!ArrowEvalPython"),
+        ("no window", "!WindowExec"),
+    ],
     "dedup_containment_pairs": [
         # corpus semi-join-pruned to pair ids BEFORE gram explosion; the
         # containment math itself is JVM (the only Python is the cached
