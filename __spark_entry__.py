@@ -6096,6 +6096,60 @@ def doc_secret_scrub(spark, sf_dir):
     ).drop("text")
 
 
+def train_unimax_quotas(spark, sf_dir):
+    """UniMax budget allocation (Chung ICLR'23): per-source sampling
+    quotas under a 4-epoch cap, waterfilling the budget largest-last.
+    Sources get planted size skew (source s keeps docs with
+    (doc_id div 20) % 10 < s % 10 + 1 — the div-20 block index varies
+    WITHIN a source where doc_id % 10 does not — so sizes spread
+    ~1..10x); budget =
+    2x total tokens, so small sources cap at 4 epochs and return
+    budget to the big ones — both branches and the remainder
+    distribution live in the output.  The corpus-sized work is ONE
+    token-count aggregate; the waterfilling windows run over the
+    20-row source table; budget uses the bounded 1-row collect
+    (the PQ-codebook discipline)
+    (operators/unimax.py unimax_quotas)."""
+    from deepseek_ocr_rs_spark.operators.unimax import unimax_quotas
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.pmod(F.expr("doc_id div 20"), F.lit(10))
+        < F.pmod(F.expr("cast(substring(source, 4) as int)"), F.lit(10)) + 1
+    )
+    sizes = docs.groupBy("source").agg(
+        F.sum(
+            F.size(
+                F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+            )
+        )
+        .cast("long")
+        .alias("n_tokens")
+    )
+    total = sizes.agg(F.sum("n_tokens")).collect()[0][0]
+    return unimax_quotas(sizes, budget=2 * int(total), max_epochs=4)
+
+
+def diag_join_explosion(spark, sf_dir):
+    """Exact pre-join cardinality guard: the top-10 keys by
+    cA(k)*cB(k) contribution plus the exact total a self-equi-join of
+    events on the diag_key_skew key (NULL tier dropped as the join
+    would drop it, hot key 42 on every third event) WOULD produce —
+    computed from the two count tables at |keys| cost, never running
+    the join.  The hot key's share_bp dominates, which is exactly the
+    melt-one-reducer warning the profile exists to raise
+    (operators/skew.py join_explosion_profile)."""
+    from deepseek_ocr_rs_spark.operators.skew import join_explosion_profile
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.pmod(F.col("event_id"), F.lit(31)) == 0, F.lit(None))
+        .when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit(42))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k")
+    )
+    return join_explosion_profile(ev, ev, "k")
+
+
 def diag_key_skew(spark, sf_dir):
     """Join-key skew profile over events: log2-bucketed key-frequency
     histogram with NULLs as their own bucket (-1) — the diagnostic that
@@ -6275,6 +6329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_quality_calibration": diag_quality_calibration,
         "train_tokenizer_fertility": train_tokenizer_fertility,
         "doc_secret_scrub": doc_secret_scrub,
+        "train_unimax_quotas": train_unimax_quotas,
+        "diag_join_explosion": diag_join_explosion,
         "conv_prefix_dedup": conv_prefix_dedup,
         "conv_retry_collapse": conv_retry_collapse,
         "conv_preference_pairs": conv_preference_pairs,
@@ -6559,6 +6615,33 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.redaction import (
         secrets_oracle_exprs,
     )
+    from deepseek_ocr_rs_spark.operators.unimax import (
+        unimax_quotas_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.skew import (
+        join_explosion_oracle_sql,
+    )
+
+    je_ev = """(
+        SELECT CASE WHEN event_id % 31 = 0 THEN NULL
+                    WHEN event_id % 3 = 0 THEN 42
+                    ELSE user_id END AS k
+        FROM events
+    )"""
+
+    um_docs = """(
+        SELECT source,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                   x -> x <> '')) AS wc
+        FROM documents
+        WHERE (doc_id // 20) % 10
+              < (CAST(substr(source, 4) AS INTEGER) % 10) + 1
+    )"""
+    um_sizes = (
+        f"(SELECT source, CAST(sum(wc) AS BIGINT) AS n_tokens"
+        f" FROM {um_docs} GROUP BY 1)"
+    )
+    um_budget = f"(SELECT 2 * sum(wc) FROM {um_docs})"
 
     ss_scrub, ss_counts = secrets_oracle_exprs("text")
     ss_plant = """
@@ -8215,6 +8298,10 @@ FROM cs_planted
         "train_tokenizer_fertility": bpe_fertility_oracle_sql(
             "documents", _BPE_MERGES
         ),
+        "train_unimax_quotas": unimax_quotas_oracle_sql(
+            um_sizes, um_budget, max_epochs=4
+        ),
+        "diag_join_explosion": join_explosion_oracle_sql(je_ev, je_ev, "k"),
         "doc_secret_scrub": ss_plant
         + "SELECT doc_id, "
         + ", ".join(ss_counts)

@@ -329,6 +329,10 @@ def main() -> None:
         "train_tokenizer_fertility",
         # credential scrubbing (JVM regexp chain, 7 pattern tiers)
         "doc_secret_scrub",
+        # UniMax waterfilling quotas (corpus-sized work = one count agg)
+        "train_unimax_quotas",
+        # exact pre-join cardinality guard (count-table product)
+        "diag_join_explosion",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -174,3 +174,98 @@ def key_skew_profile_oracle_sql(table: str, key_col: str) -> str:
                     (SELECT sum(c) FROM ks_counts) AS BIGINT) AS rows_bp
         FROM ks_buckets
     """
+
+
+def join_explosion_profile(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Exact pre-join cardinality profile: what WILL an equi-join of
+    ``a`` and ``b`` on ``key_col`` produce, before paying for it?
+
+    The join's output size is sum_k cA(k) * cB(k) — computable from
+    the two per-key count tables at a tiny fraction of the join's own
+    cost (counts are map-side combinable; the count-table join is
+    |keys|-sized, not |rows|-sized).  At 100 TB this is the guard that
+    catches a join explosion (a boilerplate digest, a default user id,
+    an unexpected m:n key) BEFORE it melts the shuffle — the decision
+    input for broadcast/salt/bucket strategies, complementing
+    ``key_skew_profile`` (one-sided histogram) with the two-sided
+    product view.
+
+    Output: the ``top_k`` keys by contribution,
+      (key, n_a, n_b, contribution, share_bp, total_rows)
+    ordered deterministically by (contribution DESC, key) via
+    TakeOrderedAndProject — no full sort.  ``total_rows`` (the same on
+    every row) is the exact join cardinality; NULL keys are excluded
+    exactly as the equi-join itself would drop them.
+    """
+    ca = (
+        a.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("_ca"))
+    )
+    cb = (
+        b.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    contrib = ca.join(cb, "k").select(
+        "k",
+        F.col("_ca").cast("long").alias("n_a"),
+        F.col("_cb").cast("long").alias("n_b"),
+        (F.col("_ca") * F.col("_cb")).cast("long").alias("contribution"),
+    )
+    total = contrib.agg(
+        F.coalesce(F.sum("contribution"), F.lit(0)).alias("_tot")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(total))
+        .orderBy(F.col("contribution").desc(), F.col("k"))
+        .limit(top_k)
+        .select(
+            F.col("k").alias(key_col),
+            "n_a",
+            "n_b",
+            "contribution",
+            F.expr(
+                "cast((10000 * contribution) div nullif(_tot, 0) as bigint)"
+            ).alias("share_bp"),
+            F.col("_tot").cast("long").alias("total_rows"),
+        )
+    )
+
+
+def join_explosion_oracle_sql(
+    a_sql: str,
+    b_sql: str,
+    key_col: str,
+    top_k: int = 10,
+) -> str:
+    """DuckDB SQL replicating ``join_explosion_profile`` exactly (same
+    contribution product, same (contribution DESC, key) top-k)."""
+    return f"""
+        WITH je_ca AS (
+          SELECT {key_col} AS k, count(*) AS ca FROM {a_sql}
+          WHERE {key_col} IS NOT NULL GROUP BY 1
+        ),
+        je_cb AS (
+          SELECT {key_col} AS k, count(*) AS cb FROM {b_sql}
+          WHERE {key_col} IS NOT NULL GROUP BY 1
+        ),
+        je_c AS (
+          SELECT k, CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b,
+                 CAST(ca * cb AS BIGINT) AS contribution
+          FROM je_ca JOIN je_cb USING (k)
+        ),
+        je_t AS (SELECT coalesce(sum(contribution), 0) AS tot FROM je_c)
+        SELECT k AS {key_col}, n_a, n_b, contribution,
+               CAST(10000 * contribution // nullif(tot, 0) AS BIGINT)
+                 AS share_bp,
+               CAST(tot AS BIGINT) AS total_rows
+        FROM je_c, je_t
+        ORDER BY contribution DESC, k
+        LIMIT {top_k}
+    """

@@ -792,6 +792,19 @@ AUDITS = {
         ("no Python stage", "!ArrowEvalPython"),
         ("no window", "!WindowExec"),
     ],
+    "train_unimax_quotas": [
+        # the corpus-sized stage is ONE token-count hash agg; the
+        # waterfilling windows run over the n_sources-row table only
+        ("partial agg on the corpus stage", "HashAggregate"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "diag_join_explosion": [
+        # two map-side-combinable count aggs + a |keys|-sized join;
+        # top-k via TakeOrderedAndProject, never a full sort
+        ("partial agg", "HashAggregate"),
+        ("topk no full sort", "TakeOrderedAndProject"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
     "dedup_containment_pairs": [
         # corpus semi-join-pruned to pair ids BEFORE gram explosion; the
         # containment math itself is JVM (the only Python is the cached

@@ -254,3 +254,69 @@ def test_skew_profile_oracle_parity_and_invariance(spark):
     assert got8 == got
     # conservation: bucket rows sum to the table size
     assert sum(t[2] for t in got) == len(keys)
+
+
+class TestJoinExplosionProfile:
+    def _ev(self, spark, ks):
+        return spark.createDataFrame([(k,) for k in ks], "k long")
+
+    def test_exact_cardinality_and_hot_key(self, spark):
+        from deepseek_ocr_rs_spark.operators.skew import (
+            join_explosion_profile,
+        )
+
+        a = self._ev(spark, [1, 1, 1, 2, 3, None])
+        b = self._ev(spark, [1, 1, 2, 2, 4, None])
+        out = join_explosion_profile(a, b, "k").collect()
+        got = {r.k: (r.n_a, r.n_b, r.contribution, r.total_rows)
+               for r in out}
+        # 1: 3*2=6, 2: 1*2=2; 3 and 4 don't co-occur; NULLs dropped
+        assert got == {1: (3, 2, 6, 8), 2: (1, 2, 2, 8)}
+        shares = {r.k: r.share_bp for r in out}
+        assert shares == {1: 7500, 2: 2500}
+        # matches the actual join exactly
+        assert a.join(b, "k").count() == 8
+
+    def test_disjoint_keys_empty_profile(self, spark):
+        from deepseek_ocr_rs_spark.operators.skew import (
+            join_explosion_profile,
+        )
+
+        a = self._ev(spark, [1, 2])
+        b = self._ev(spark, [3, 4])
+        assert join_explosion_profile(a, b, "k").count() == 0
+
+    def test_topk_order_and_oracle_parity(self, spark, tmp_path):
+        import duckdb
+        import pandas as pd
+        from deepseek_ocr_rs_spark.operators.skew import (
+            join_explosion_oracle_sql,
+            join_explosion_profile,
+        )
+
+        ks = [(e % 17 if e % 3 else 42) for e in range(500)]
+        path = str(tmp_path / "ks.parquet")
+        self._ev(spark, ks).write.parquet(path)
+        df = spark.read.parquet(path)
+        a = (
+            join_explosion_profile(df, df, "k", top_k=5).toPandas()
+            .reset_index(drop=True)
+        )
+        assert a.loc[0, "k"] == 42  # the planted hot key leads
+        assert (a["contribution"].diff().dropna() <= 0).all()
+        b = (
+            join_explosion_profile(
+                df.repartition(13), df.repartition(7), "k", top_k=5
+            ).toPandas().reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW je_ks AS SELECT * FROM parquet_scan('{path}/*.parquet')"
+        )
+        want = (
+            con.execute(
+                join_explosion_oracle_sql("je_ks", "je_ks", "k", top_k=5)
+            ).df().reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, want.astype("int64"))
