@@ -6150,6 +6150,97 @@ def diag_join_explosion(spark, sf_dir):
     return join_explosion_profile(ev, ev, "k")
 
 
+def w_funnel_latency(spark, sf_dir):
+    """Conversion-latency percentiles over the w_funnel_stages funnel:
+    exact p50/p90/p99 seconds from first signup to first qualifying
+    click, and click to purchase (same strictly-after + 3-day-window
+    predicates), via the histogram-scale exact-quantile operator — so
+    the percentiles are integer-exact, never an approx sketch, and
+    computed without sorting raw events (the doc_length_quantiles
+    discipline applied to time deltas).  The product question this
+    answers: is the funnel slowing down, and for which edge
+    (operators/quantiles.py group_disc_quantiles)."""
+    from deepseek_ocr_rs_spark.operators.quantiles import (
+        group_disc_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    day3 = F.expr("INTERVAL 3 DAYS")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day3))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day3))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    e1 = s2.join(s1, "user_id").select(
+        F.lit("signup->click").alias("edge"),
+        (F.unix_timestamp("t2") - F.unix_timestamp("t1"))
+        .cast("long")
+        .alias("secs"),
+    )
+    e2 = s3.join(s2, "user_id").select(
+        F.lit("click->purchase").alias("edge"),
+        (F.unix_timestamp("t3") - F.unix_timestamp("t2"))
+        .cast("long")
+        .alias("secs"),
+    )
+    return group_disc_quantiles(e1.unionByName(e2), "edge", "secs")
+
+
+def train_split_leakage(spark, sf_dir):
+    """Cross-split contamination audit: exact-dup digests straddling
+    the train/eval boundary under a NAIVE per-doc 80/10/10 split —
+    the damage report that motivates the cluster-aware
+    train_split_assignment.  The corpus is doubled into exact twins
+    (2d / 2d+1 share text when d % 4 == 0), the naive split routes
+    each doc independently by seeded md5 of its OWN id, so ~2*0.8*0.2
+    of the planted twin digests leak — dozens of rows at sf0.01, each
+    with train/val/test counts and example ids.  ONE md5-keyed
+    conditional-count aggregate, no self-join
+    (operators/splits.py split_leakage)."""
+    from deepseek_ocr_rs_spark.operators.splits import split_leakage
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = d.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "text"
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(4)) == 0, F.col("text")
+            )
+            .otherwise(F.concat(F.lit("variant "), F.col("text")))
+            .alias("text"),
+        )
+    )
+    u = F.expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':71')),"
+        " 1, 15), 16, 10) as bigint) % 100"
+    )
+    assigned = twins.select(
+        "doc_id",
+        "text",
+        F.when(u < 80, "train").when(u < 90, "val").otherwise("test")
+        .alias("split"),
+    )
+    return split_leakage(assigned)
+
+
 def diag_key_skew(spark, sf_dir):
     """Join-key skew profile over events: log2-bucketed key-frequency
     histogram with NULLs as their own bucket (-1) — the diagnostic that
@@ -6331,6 +6422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_secret_scrub": doc_secret_scrub,
         "train_unimax_quotas": train_unimax_quotas,
         "diag_join_explosion": diag_join_explosion,
+        "w_funnel_latency": w_funnel_latency,
+        "train_split_leakage": train_split_leakage,
         "conv_prefix_dedup": conv_prefix_dedup,
         "conv_retry_collapse": conv_retry_collapse,
         "conv_preference_pairs": conv_preference_pairs,
@@ -6525,7 +6618,31 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.spancorrupt import (
         corrupt_spans_oracle_sql,
     )
-    from deepseek_ocr_rs_spark.operators.splits import splits_oracle_sql
+    from deepseek_ocr_rs_spark.operators.splits import (
+        split_leakage_oracle_sql,
+        splits_oracle_sql,
+    )
+
+    sl_assigned = """(
+        WITH sl_tw AS (
+          SELECT doc_id * 2 AS doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id * 2 + 1,
+                 CASE WHEN doc_id % 4 = 0 THEN text
+                      ELSE 'variant ' || text END
+          FROM documents
+        )
+        SELECT doc_id, text,
+               CASE WHEN u < 80 THEN 'train'
+                    WHEN u < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT *,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':71'),
+                      1, 15) AS BIGINT) % 100 AS u
+          FROM sl_tw
+        )
+    )"""
     from deepseek_ocr_rs_spark.operators.agentstats import (
         context_fit_oracle_sql,
         tool_runs_oracle_sql,
@@ -6621,6 +6738,32 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.skew import (
         join_explosion_oracle_sql,
     )
+    from deepseek_ocr_rs_spark.operators.quantiles import (
+        disc_quantiles_oracle_sql,
+    )
+
+    fl_edges = """
+        WITH fle AS (SELECT user_id, event_type, ts FROM events),
+        fl1 AS (SELECT user_id, MIN(ts) AS t1 FROM fle
+                WHERE event_type = 'signup' GROUP BY user_id),
+        fl2 AS (SELECT fle.user_id, MIN(fle.ts) AS t2
+                FROM fle JOIN fl1 USING (user_id)
+                WHERE fle.event_type = 'click' AND fle.ts > fl1.t1
+                  AND fle.ts <= fl1.t1 + INTERVAL 3 DAY
+                GROUP BY fle.user_id),
+        fl3 AS (SELECT fle.user_id, MIN(fle.ts) AS t3
+                FROM fle JOIN fl2 USING (user_id)
+                WHERE fle.event_type = 'purchase' AND fle.ts > fl2.t2
+                  AND fle.ts <= fl2.t2 + INTERVAL 3 DAY
+                GROUP BY fle.user_id)
+        SELECT 'signup->click' AS edge,
+               date_diff('second', fl1.t1, fl2.t2) AS secs
+        FROM fl2 JOIN fl1 USING (user_id)
+        UNION ALL
+        SELECT 'click->purchase',
+               date_diff('second', fl2.t2, fl3.t3)
+        FROM fl3 JOIN fl2 USING (user_id)
+    """
 
     je_ev = """(
         SELECT CASE WHEN event_id % 31 = 0 THEN NULL
@@ -8302,6 +8445,10 @@ FROM cs_planted
             um_sizes, um_budget, max_epochs=4
         ),
         "diag_join_explosion": join_explosion_oracle_sql(je_ev, je_ev, "k"),
+        "w_funnel_latency": disc_quantiles_oracle_sql(
+            fl_edges, "edge", "secs"
+        ),
+        "train_split_leakage": split_leakage_oracle_sql(sl_assigned),
         "doc_secret_scrub": ss_plant
         + "SELECT doc_id, "
         + ", ".join(ss_counts)

@@ -333,6 +333,10 @@ def main() -> None:
         "train_unimax_quotas",
         # exact pre-join cardinality guard (count-table product)
         "diag_join_explosion",
+        # funnel-edge latency percentiles (histogram-scale exact)
+        "w_funnel_latency",
+        # cross-split exact-dup contamination audit
+        "train_split_leakage",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -87,3 +87,93 @@ def splits_oracle_sql(
           FROM reps
         )
     """
+
+
+def split_leakage(
+    assigned: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-split contamination report: every exact-duplicate content
+    digest that appears in train AND in an eval split (val/test) — the
+    audit that catches what per-doc (non-cluster-aware) splitting
+    leaks, and the check every eval suite should run BEFORE trusting
+    its numbers (the published decontamination discipline applied to
+    the split boundary itself).
+
+    Output per leaked digest:
+      (text_md5, n_train, n_val, n_test,
+       example_train_id, example_eval_id)
+
+    100 TB plan shape: ONE md5-keyed map-side-combinable hash
+    aggregate with conditional counts — no self-join, no window; the
+    leak report is |leaked digests|-sized.  Compose with
+    ``assign_splits`` (cluster-aware) to verify it reports ZERO, or
+    with a naive per-doc split to quantify the damage.
+    """
+    md5 = F.md5(F.col(text_col)).alias("text_md5")
+    s = F.col(split_col)
+    agg = (
+        assigned.select(
+            md5, s.alias("_s"), F.col(id_col).cast("long").alias("_id")
+        )
+        .groupBy("text_md5")
+        .agg(
+            F.sum(F.when(F.col("_s") == "train", 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(F.col("_s") == "val", 1).otherwise(0))
+            .cast("long")
+            .alias("n_val"),
+            F.sum(F.when(F.col("_s") == "test", 1).otherwise(0))
+            .cast("long")
+            .alias("n_test"),
+            F.min(F.when(F.col("_s") == "train", F.col("_id"))).alias(
+                "example_train_id"
+            ),
+            F.min(F.when(F.col("_s") != "train", F.col("_id"))).alias(
+                "example_eval_id"
+            ),
+        )
+        .where(
+            (F.col("n_train") > 0)
+            & ((F.col("n_val") > 0) | (F.col("n_test") > 0))
+        )
+    )
+    return agg
+
+
+def split_leakage_oracle_sql(
+    assigned_sql: str,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SQL replicating ``split_leakage`` exactly."""
+    return f"""
+        WITH sl_rows AS (
+          SELECT md5({text_col}) AS text_md5,
+                 {split_col} AS s,
+                 CAST({id_col} AS BIGINT) AS id
+          FROM {assigned_sql}
+        ),
+        sl_agg AS (
+          SELECT text_md5,
+                 sum(CASE WHEN s = 'train' THEN 1 ELSE 0 END) AS n_train,
+                 sum(CASE WHEN s = 'val' THEN 1 ELSE 0 END) AS n_val,
+                 sum(CASE WHEN s = 'test' THEN 1 ELSE 0 END) AS n_test,
+                 min(CASE WHEN s = 'train' THEN id END)
+                   AS example_train_id,
+                 min(CASE WHEN s <> 'train' THEN id END)
+                   AS example_eval_id
+          FROM sl_rows GROUP BY 1
+        )
+        SELECT text_md5,
+               CAST(n_train AS BIGINT) AS n_train,
+               CAST(n_val AS BIGINT) AS n_val,
+               CAST(n_test AS BIGINT) AS n_test,
+               example_train_id, example_eval_id
+        FROM sl_agg
+        WHERE n_train > 0 AND (n_val > 0 OR n_test > 0)
+    """

@@ -805,6 +805,20 @@ AUDITS = {
         ("topk no full sort", "TakeOrderedAndProject"),
         ("no Python stage", "!ArrowEvalPython"),
     ],
+    "w_funnel_latency": [
+        # stage mins + latency histogram all partial-aggregate; the
+        # quantile window runs over the tiny (edge, secs) histogram
+        ("partial agg", "HashAggregate"),
+        ("window over histogram only", "Window"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "train_split_leakage": [
+        # ONE md5-keyed conditional-count agg — no self-join
+        ("partial agg before shuffle", "HashAggregate"),
+        ("no self-join", "!SortMergeJoin"),
+        ("no Python stage", "!ArrowEvalPython"),
+        ("no window", "!WindowExec"),
+    ],
     "dedup_containment_pairs": [
         # corpus semi-join-pruned to pair ids BEFORE gram explosion; the
         # containment math itself is JVM (the only Python is the cached
