@@ -6241,6 +6241,62 @@ def train_split_leakage(spark, sf_dir):
     return split_leakage(assigned)
 
 
+_SB_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def diag_scan_balance(spark, sf_dir):
+    """Per-file scan-balance profile over the whole table inventory,
+    attributed by the engine's own input_file_name() — the
+    small-files / hot-file diagnostic that decides compaction and
+    maxPartitionBytes at 100 TB, and the "what am I holding" dataset
+    inventory row.  The ten tables span 5 rows (region) to 60k
+    (lineitem), so tiny/ok/heavy verdicts all fire.  ONE count per
+    file + a 1-row broadcast total
+    (operators/scanbalance.py scan_balance)."""
+    from deepseek_ocr_rs_spark.operators.scanbalance import scan_balance
+
+    return scan_balance([_t(spark, sf_dir, t) for t in _SB_TABLES])
+
+
+_USP_PLANTS = {
+    1: "привет мир "
+       "как дела",          # Cyrillic
+    2: "你好世界 テスト",          # Han+kana
+    3: "مرحبا "
+       "بالعالم",            # Arabic
+    4: "γεια σου "
+       "κοσμε",                        # Greek
+}
+
+
+def doc_script_profile(spark, sf_dir):
+    """Unicode script mix per document (public Unicode block ranges,
+    no model): Latin/Cyrillic/CJK/Arabic/Greek codepoint counts,
+    other-letter mass, majority script with fixed-priority tie-break,
+    majority share in floor bp.  The ASCII corpus is planted with one
+    non-Latin phrase per doc_id % 5 residue (r=0 stays pure Latin),
+    so every script bucket and the mixed-majority path all fire —
+    the router for per-script tokenizer branches and the
+    mojibake/transliteration cross-check for doc_lang_id.  Pure
+    per-row projection, BMP-bounded by contract
+    (operators/unicodescript.py script_profile)."""
+    from deepseek_ocr_rs_spark.operators.unicodescript import (
+        script_profile,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    r = F.pmod(F.col("doc_id"), F.lit(5))
+    text = F.col("text")
+    for res, phrase in _USP_PLANTS.items():
+        text = F.when(
+            r == res, F.concat(F.col("text"), F.lit(" " + phrase))
+        ).otherwise(text)
+    return script_profile(d.select("doc_id", text.alias("text")))
+
+
 def diag_key_skew(spark, sf_dir):
     """Join-key skew profile over events: log2-bucketed key-frequency
     histogram with NULLs as their own bucket (-1) — the diagnostic that
@@ -6424,6 +6480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_join_explosion": diag_join_explosion,
         "w_funnel_latency": w_funnel_latency,
         "train_split_leakage": train_split_leakage,
+        "diag_scan_balance": diag_scan_balance,
+        "doc_script_profile": doc_script_profile,
         "conv_prefix_dedup": conv_prefix_dedup,
         "conv_retry_collapse": conv_retry_collapse,
         "conv_preference_pairs": conv_preference_pairs,
@@ -6741,6 +6799,22 @@ def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_rs_spark.operators.quantiles import (
         disc_quantiles_oracle_sql,
     )
+    from deepseek_ocr_rs_spark.operators.scanbalance import (
+        scan_balance_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.unicodescript import (
+        script_profile_oracle_sql,
+    )
+
+    usp_cases = " ".join(
+        f"WHEN {res} THEN text || ' {phrase}'"
+        for res, phrase in _USP_PLANTS.items()
+    )
+    usp_docs = f"""(
+        SELECT doc_id,
+               CASE doc_id % 5 {usp_cases} ELSE text END AS text
+        FROM documents
+    )"""
 
     fl_edges = """
         WITH fle AS (SELECT user_id, event_type, ts FROM events),
@@ -8449,6 +8523,8 @@ FROM cs_planted
             fl_edges, "edge", "secs"
         ),
         "train_split_leakage": split_leakage_oracle_sql(sl_assigned),
+        "diag_scan_balance": scan_balance_oracle_sql(_SB_TABLES),
+        "doc_script_profile": script_profile_oracle_sql(usp_docs),
         "doc_secret_scrub": ss_plant
         + "SELECT doc_id, "
         + ", ".join(ss_counts)

@@ -337,6 +337,10 @@ def main() -> None:
         "w_funnel_latency",
         # cross-split exact-dup contamination audit
         "train_split_leakage",
+        # per-file scan-balance inventory (small-files / hot-file)
+        "diag_scan_balance",
+        # Unicode script mix per doc (pure codepoint arithmetic)
+        "doc_script_profile",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -819,6 +819,19 @@ AUDITS = {
         ("no Python stage", "!ArrowEvalPython"),
         ("no window", "!WindowExec"),
     ],
+    "diag_scan_balance": [
+        # one count per file + 1-row broadcast total; attribution by
+        # input_file_name stays in the scan projection
+        ("partial agg", "HashAggregate"),
+        ("1-row total broadcast", "BroadcastNestedLoopJoin"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
+    "doc_script_profile": [
+        # pure per-row projection: regexp counts in codegen
+        ("no wide exchange", "!hashpartitioning"),
+        ("no Python stage", "!ArrowEvalPython"),
+        ("no window", "!WindowExec"),
+    ],
     "dedup_containment_pairs": [
         # corpus semi-join-pruned to pair ids BEFORE gram explosion; the
         # containment math itself is JVM (the only Python is the cached
