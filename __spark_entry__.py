@@ -6297,6 +6297,167 @@ def doc_script_profile(spark, sf_dir):
     return script_profile(d.select("doc_id", text.alias("text")))
 
 
+def diag_lsh_scurve(spark, sf_dir):
+    """Measured LSH S-curve: per exact-Jaccard decile, how many pairs
+    the banded MinHash tier (same k=64/bands=16 as dedup_minhash_pairs,
+    threshold 0, cap off) actually CAPTURES — the empirical
+    capture-probability curve that justifies the (bands, rows) choice,
+    measured on a BOUNDED calibration sample built from 50 base docs:
+    each base yields a twin keeping the first (base%11)/10 of its
+    words plus a unique tail, so the 4,950 sample pairs span the full
+    Jaccard spectrum (cross pairs ~0, q=10 twins exactly 1.0); the
+    all-pairs cost is fixed by construction, never corpus-squared.
+    Exact Jaccard comes from the verify tier over
+    the SAME shingle ids the sketch hashes, so the curve's x-axis is
+    the quantity the S-curve theory is stated in.  Low deciles should
+    read near-zero capture, the top decile near 10000 — exactly the
+    dedup-recall contract the bucketed tier relies on
+    (operators/dedup.py minhash_lsh_pairs + verify_pairs_ngram_jaccard)."""
+    from deepseek_ocr_rs_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        verify_pairs_ngram_jaccard,
+    )
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.expr(
+                "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+            ).alias("_w"),
+        )
+        .select(
+            "doc_id",
+            "_w",
+            F.size("_w").alias("_n"),
+            F.expr("(size(_w) * pmod(doc_id, 11)) div 10").alias("_k"),
+        )
+    )
+    sub = (
+        base.select(
+            (F.col("doc_id") * 2).alias("doc_id"),
+            F.array_join("_w", " ").alias("text"),
+        )
+        .unionByName(
+            base.select(
+                (F.col("doc_id") * 2 + 1).alias("doc_id"),
+                F.expr(
+                    "concat(array_join(slice(_w, 1, _k), ' '), ' ', "
+                    "CASE WHEN _n > _k THEN array_join(transform("
+                    "sequence(1, _n - _k), j -> concat('uq', "
+                    "cast(doc_id as string), 'x', cast(j as string))), ' ')"
+                    " ELSE '' END)"
+                ).alias("text"),
+            )
+        )
+        .where(F.expr("regexp_replace(text, '\\\\s+', '') != ''"))
+    )
+    ids = sub.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .join(
+            ids.select(F.col("doc_id").alias("id_b")),
+            F.col("id_a") < F.col("id_b"),
+        )
+    )
+    jac = verify_pairs_ngram_jaccard(pairs, sub)
+    cand = minhash_lsh_pairs(
+        sub, threshold=0.0, bucket_cap=None
+    ).select("id_a", "id_b", F.lit(1).alias("_c"))
+    scored = jac.join(cand, ["id_a", "id_b"], "left").select(
+        F.least(
+            F.floor(F.col("jaccard") * 10).cast("long"), F.lit(9)
+        ).alias("decile"),
+        F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+    )
+    return scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_c").cast("long").alias("n_captured"),
+        F.expr(
+            "cast((10000 * sum(_c)) div count(1) as bigint)"
+        ).alias("capture_bp"),
+    )
+
+
+def _lsh_scurve_oracle_sql() -> str:
+    """DuckDB replica of diag_lsh_scurve: all 4,950 sample pairs with
+    exact shingle Jaccard, band-collision capture flag, decile rollup
+    — composed from the dedup module's own shingle/signature SQL so
+    the sketch arithmetic is bit-identical."""
+    from deepseek_ocr_rs_spark.operators.dedup import (
+        _MINHASH_SEED,
+        _affine_params,
+        _sql_shingles_cte,
+        P31,
+    )
+
+    k, bands = 64, 16
+    a, b = _affine_params(k, _MINHASH_SEED)
+    params = ", ".join(f"[{int(x)}, {int(y)}]" for x, y in zip(a, b))
+    rpb = k // bands
+    sub = """(
+        WITH ls_base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE doc_id < 50
+        ),
+        ls_kb AS (
+          SELECT doc_id, w, len(w) AS n,
+                 (len(w) * (doc_id % 11)) // 10 AS k
+          FROM ls_base
+        ),
+        ls_sub AS (
+          SELECT doc_id * 2 AS doc_id,
+                 array_to_string(w, ' ') AS text
+          FROM ls_kb
+          UNION ALL
+          SELECT doc_id * 2 + 1,
+                 -- array_to_string of an EMPTY list is NULL in DuckDB
+                 -- (Spark's array_join gives ''): coalesce, or the
+                 -- k=0 variants vanish through the NULL concat
+                 coalesce(array_to_string(list_slice(w, 1, k), ' '), '')
+                 || ' ' ||
+                 CASE WHEN n > k THEN array_to_string(list_transform(
+                        range(1, n - k + 1),
+                        j -> 'uq' || CAST(doc_id AS VARCHAR) || 'x'
+                             || CAST(j AS VARCHAR)), ' ')
+                      ELSE '' END
+          FROM ls_kb
+        )
+        SELECT doc_id, text FROM ls_sub
+        WHERE regexp_replace(text, '\\s+', '', 'g') <> ''
+    )"""
+    return f"""
+        WITH {_sql_shingles_cte(sub, "doc_id", "text", 3)},
+        ls_sigs AS (
+          SELECT s._id, s.sh, list_transform([{params}], p ->
+                 list_min(list_transform(s.sh,
+                          x -> (p[1] * x + p[2]) % {P31}))) AS mh
+          FROM shingles s
+        ),
+        ls_pairs AS (
+          SELECT l._id AS id_a, r._id AS id_b,
+                 round(len(list_intersect(l.sh, r.sh)) * 1.0
+                       / len(list_distinct(l.sh || r.sh)), 6) AS jaccard,
+                 CASE WHEN len(list_filter(range({bands}), b ->
+                        l.mh[CAST(b * {rpb} + 1 AS INT):
+                             CAST(b * {rpb} + {rpb} AS INT)]
+                        = r.mh[CAST(b * {rpb} + 1 AS INT):
+                               CAST(b * {rpb} + {rpb} AS INT)]
+                      )) > 0 THEN 1 ELSE 0 END AS c
+          FROM ls_sigs l JOIN ls_sigs r ON l._id < r._id
+        )
+        SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS decile,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(c) AS BIGINT) AS n_captured,
+               CAST(10000 * sum(c) // count(*) AS BIGINT) AS capture_bp
+        FROM ls_pairs
+        GROUP BY 1
+    """
+
+
 def diag_key_skew(spark, sf_dir):
     """Join-key skew profile over events: log2-bucketed key-frequency
     histogram with NULLs as their own bucket (-1) — the diagnostic that
@@ -6482,6 +6643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split_leakage": train_split_leakage,
         "diag_scan_balance": diag_scan_balance,
         "doc_script_profile": doc_script_profile,
+        "diag_lsh_scurve": diag_lsh_scurve,
         "conv_prefix_dedup": conv_prefix_dedup,
         "conv_retry_collapse": conv_retry_collapse,
         "conv_preference_pairs": conv_preference_pairs,
@@ -8524,6 +8686,7 @@ FROM cs_planted
         ),
         "train_split_leakage": split_leakage_oracle_sql(sl_assigned),
         "diag_scan_balance": scan_balance_oracle_sql(_SB_TABLES),
+        "diag_lsh_scurve": _lsh_scurve_oracle_sql(),
         "doc_script_profile": script_profile_oracle_sql(usp_docs),
         "doc_secret_scrub": ss_plant
         + "SELECT doc_id, "

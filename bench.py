@@ -341,6 +341,8 @@ def main() -> None:
         "diag_scan_balance",
         # Unicode script mix per doc (pure codepoint arithmetic)
         "doc_script_profile",
+        # measured LSH S-curve on the bounded calibration sample
+        "diag_lsh_scurve",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

@@ -832,6 +832,14 @@ AUDITS = {
         ("no Python stage", "!ArrowEvalPython"),
         ("no window", "!WindowExec"),
     ],
+    "diag_lsh_scurve": [
+        # the calibration sample is bounded by construction (100 ids),
+        # so its pair-join sorts are sample-sized, not corpus-sized;
+        # the only Python is the shared shingle/verify kernel
+        ("verify kernel present", "ArrowEvalPython"),
+        ("partial agg rollup", "HashAggregate"),
+        ("no wide window", "!WindowExec"),
+    ],
     "dedup_containment_pairs": [
         # corpus semi-join-pruned to pair ids BEFORE gram explosion; the
         # containment math itself is JVM (the only Python is the cached
