@@ -6458,6 +6458,19 @@ def _lsh_scurve_oracle_sql() -> str:
     """
 
 
+def doc_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: the ingest order split into
+    10 equal slices, each reporting docs/tokens/first-seen-new-words
+    and the running vocabulary size — tokenizer vocab sizing, the
+    100x OOV forecast, and the template-saturation smell test in one
+    10-row panel.  ONE word-keyed min aggregate + token counts; the
+    running total windows over the tiny bin table
+    (operators/vocabgrowth.py vocab_growth)."""
+    from deepseek_ocr_rs_spark.operators.vocabgrowth import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"))
+
+
 def diag_key_skew(spark, sf_dir):
     """Join-key skew profile over events: log2-bucketed key-frequency
     histogram with NULLs as their own bucket (-1) — the diagnostic that
@@ -6644,6 +6657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_scan_balance": diag_scan_balance,
         "doc_script_profile": doc_script_profile,
         "diag_lsh_scurve": diag_lsh_scurve,
+        "doc_vocab_growth": doc_vocab_growth,
         "conv_prefix_dedup": conv_prefix_dedup,
         "conv_retry_collapse": conv_retry_collapse,
         "conv_preference_pairs": conv_preference_pairs,
@@ -6966,6 +6980,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from deepseek_ocr_rs_spark.operators.unicodescript import (
         script_profile_oracle_sql,
+    )
+    from deepseek_ocr_rs_spark.operators.vocabgrowth import (
+        vocab_growth_oracle_sql,
     )
 
     usp_cases = " ".join(
@@ -8687,6 +8704,7 @@ FROM cs_planted
         "train_split_leakage": split_leakage_oracle_sql(sl_assigned),
         "diag_scan_balance": scan_balance_oracle_sql(_SB_TABLES),
         "diag_lsh_scurve": _lsh_scurve_oracle_sql(),
+        "doc_vocab_growth": vocab_growth_oracle_sql("documents"),
         "doc_script_profile": script_profile_oracle_sql(usp_docs),
         "doc_secret_scrub": ss_plant
         + "SELECT doc_id, "

@@ -343,6 +343,8 @@ def main() -> None:
         "doc_script_profile",
         # measured LSH S-curve on the bounded calibration sample
         "diag_lsh_scurve",
+        # Heaps'-law vocabulary growth panel
+        "doc_vocab_growth",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

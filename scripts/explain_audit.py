@@ -840,6 +840,13 @@ AUDITS = {
         ("partial agg rollup", "HashAggregate"),
         ("no wide window", "!WindowExec"),
     ],
+    "doc_vocab_growth": [
+        # word explode + min-agg partial-aggregate before the shuffle;
+        # the running-total window runs over the 10-row bin table
+        ("word explode stays JVM-side", "Generate"),
+        ("partial agg", "HashAggregate"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
     "dedup_containment_pairs": [
         # corpus semi-join-pruned to pair ids BEFORE gram explosion; the
         # containment math itself is JVM (the only Python is the cached
