@@ -6471,6 +6471,83 @@ def doc_vocab_growth(spark, sf_dir):
     return vocab_growth(_t(spark, sf_dir, "documents"))
 
 
+def pipeline_curation_funnel(spark, sf_dir):
+    """The curation chain as a FUNNEL REPORT: one row per stage
+    (input with planted dups -> exact dedup -> quality filter ->
+    deterministic sample, the exact pipeline_curation stages) with
+    document counts and keep-rates in floor bp against both the input
+    and the previous stage — the dataset-card headline every curation
+    run publishes.  ONE pass: each doc carries cumulative stage FLAGS
+    (dedup-survivor AND quality AND sample-draw), a single aggregate
+    row sums them, and the 4-row funnel explodes from that row — no
+    per-stage rescan, which at 100 TB is the difference between one
+    job and four."""
+    from deepseek_ocr_rs_spark.operators.sampling import _BUCKETS, _u_col
+    from deepseek_ocr_rs_spark.operators.textstats import (
+        quality_cols,
+        with_token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 7, F.lit(("dup " * 40).strip()))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flagged = docs.withColumn("_f1", F.row_number().over(w) == 1)
+    punct, stop, mwl = quality_cols(F.col("text"))
+    scored = with_token_counts(flagged).select(
+        "doc_id", "_f1", "n_ws_tokens", punct, mwl
+    )
+    f2 = (
+        F.col("_f1")
+        & (F.col("n_ws_tokens") >= 30)
+        & (F.col("punct_ratio") <= 0.2)
+        & (F.col("mean_word_len") <= 4.8)
+    )
+    f3 = f2 & (
+        F.pmod(_u_col(F.col("doc_id"), 7), F.lit(_BUCKETS))
+        < F.lit(_BUCKETS // 2)
+    )
+    agg = scored.select(
+        F.col("_f1").cast("int").alias("_i1"),
+        f2.cast("int").alias("_i2"),
+        f3.cast("int").alias("_i3"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("_i1").cast("long").alias("n1"),
+        F.sum("_i2").cast("long").alias("n2"),
+        F.sum("_i3").cast("long").alias("n3"),
+    )
+    bp = "cast((10000 * {a}) div nullif({b}, 0) as bigint)"
+
+    def _row(i, name, n, prev):
+        return (
+            f"struct(cast({i} as bigint) as stage_idx,"
+            f" '{name}' as stage, {n} as n_docs,"
+            f" {bp.format(a=n, b='n0')} as of_input_bp,"
+            f" {bp.format(a=n, b=prev)} as of_prev_bp)"
+        )
+
+    funnel = F.expr(
+        "explode(array("
+        + ", ".join(
+            [
+                "struct(cast(0 as bigint) as stage_idx,"
+                " 'input' as stage, n0 as n_docs,"
+                " cast(10000 as bigint) as of_input_bp,"
+                " cast(10000 as bigint) as of_prev_bp)",
+                _row(1, "exact_dedup", "n1", "n0"),
+                _row(2, "quality_filter", "n2", "n1"),
+                _row(3, "sample", "n3", "n2"),
+            ]
+        )
+        + "))"
+    )
+    return agg.select(funnel.alias("s")).select("s.*")
+
+
 def diag_key_skew(spark, sf_dir):
     """Join-key skew profile over events: log2-bucketed key-frequency
     histogram with NULLs as their own bucket (-1) — the diagnostic that
@@ -6657,6 +6734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_scan_balance": diag_scan_balance,
         "doc_script_profile": doc_script_profile,
         "diag_lsh_scurve": diag_lsh_scurve,
+        "pipeline_curation_funnel": pipeline_curation_funnel,
         "doc_vocab_growth": doc_vocab_growth,
         "conv_prefix_dedup": conv_prefix_dedup,
         "conv_retry_collapse": conv_retry_collapse,
@@ -8705,6 +8783,71 @@ FROM cs_planted
         "diag_scan_balance": scan_balance_oracle_sql(_SB_TABLES),
         "diag_lsh_scurve": _lsh_scurve_oracle_sql(),
         "doc_vocab_growth": vocab_growth_oracle_sql("documents"),
+        "pipeline_curation_funnel": f"""
+            WITH cf_planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 7
+                          THEN trim(repeat('dup ', 40))
+                          ELSE text END AS text
+              FROM documents
+            ), cf_flagged AS (
+              SELECT doc_id, text,
+                     (row_number() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) = 1) AS f1
+              FROM cf_planted
+            ), cf_scored AS (
+              SELECT doc_id, f1,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_ws_tokens,
+                     round((length(trim(text)) -
+                            length(regexp_replace(trim(text), '[^\\w\\s]',
+                                                  '', 'g')))
+                           / greatest(CAST(length(trim(text)) AS DOUBLE),
+                                      1.0), 6) AS punct_ratio,
+                     round(length(regexp_replace(trim(text), '\\s+', '',
+                                                 'g'))
+                           / greatest(CAST(CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text),
+                                                               '\\s+'))
+                                END AS DOUBLE), 1.0), 6) AS mean_word_len
+              FROM cf_flagged
+            ), cf_fl AS (
+              SELECT f1,
+                     f1 AND n_ws_tokens >= 30 AND punct_ratio <= 0.2
+                        AND mean_word_len <= 4.8 AS f2,
+                     f1 AND n_ws_tokens >= 30 AND punct_ratio <= 0.2
+                        AND mean_word_len <= 4.8
+                        AND (CAST('0x' || substr(md5(
+                               CAST(doc_id AS VARCHAR) || ':7'), 1, 15)
+                             AS BIGINT) % 1000000) < 500000 AS f3
+              FROM cf_scored
+            ), cf_c AS (
+              SELECT CAST(count(*) AS BIGINT) AS n0,
+                     CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n1,
+                     CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n2,
+                     CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n3
+              FROM cf_fl
+            )
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+                   n0 AS n_docs, CAST(10000 AS BIGINT) AS of_input_bp,
+                   CAST(10000 AS BIGINT) AS of_prev_bp FROM cf_c
+            UNION ALL
+            SELECT 1, 'exact_dedup', n1,
+                   CAST(10000 * n1 // nullif(n0, 0) AS BIGINT),
+                   CAST(10000 * n1 // nullif(n0, 0) AS BIGINT) FROM cf_c
+            UNION ALL
+            SELECT 2, 'quality_filter', n2,
+                   CAST(10000 * n2 // nullif(n0, 0) AS BIGINT),
+                   CAST(10000 * n2 // nullif(n1, 0) AS BIGINT) FROM cf_c
+            UNION ALL
+            SELECT 3, 'sample', n3,
+                   CAST(10000 * n3 // nullif(n0, 0) AS BIGINT),
+                   CAST(10000 * n3 // nullif(n2, 0) AS BIGINT) FROM cf_c
+        """,
         "doc_script_profile": script_profile_oracle_sql(usp_docs),
         "doc_secret_scrub": ss_plant
         + "SELECT doc_id, "

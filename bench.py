@@ -345,6 +345,8 @@ def main() -> None:
         "diag_lsh_scurve",
         # Heaps'-law vocabulary growth panel
         "doc_vocab_growth",
+        # one-pass curation funnel report (cumulative stage flags)
+        "pipeline_curation_funnel",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

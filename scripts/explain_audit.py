@@ -847,6 +847,15 @@ AUDITS = {
         ("partial agg", "HashAggregate"),
         ("no Python stage", "!ArrowEvalPython"),
     ],
+    "pipeline_curation_funnel": [
+        # ONE pass: cumulative stage flags -> one aggregate row -> the
+        # 4-row funnel explodes from it (no per-stage rescan); the only
+        # shuffle is the dedup window's digest partitioning
+        ("digest-keyed dedup window", "hashpartitioning(_w"),
+        ("single aggregate row", "HashAggregate"),
+        ("funnel explode", "Generate"),
+        ("no Python stage", "!ArrowEvalPython"),
+    ],
     "dedup_containment_pairs": [
         # corpus semi-join-pruned to pair ids BEFORE gram explosion; the
         # containment math itself is JVM (the only Python is the cached
