@@ -23,12 +23,13 @@ writer, while the PARALLEL boundary rule here is the pure original
 Rabin form, computable per position independently.
 
 100 TB plan shape: boundaries, chunk spans, and chunk digests are ONE
-row-local JVM lambda pipeline (filter over sequence + fold — no
-Python, no shuffle, no explode until the final per-chunk posexplode);
-the only exchanges belong to whatever rollup consumes the chunk table
-(e.g. a distinct-digest storage estimate, map-side combinable).  The
-per-position w-char fold costs O(w * len) per document with w = 8 —
-linear scan work inside whole-stage codegen.
+row-local vectorized Arrow stage — zero shuffles; the only exchanges
+belong to whatever rollup consumes the chunk table (e.g. a
+distinct-digest storage estimate, map-side combinable).  The hashing
+is O(w * len) per document as 8 shifted numpy multiply-adds.  (A pure
+SQL higher-order-function form is semantically identical but
+Catalyst interprets HOF lambdas — measured 47 s for 10k sf0.1 docs
+vs sub-second for the kernel; see ``cdc_chunks``.)
 """
 
 from __future__ import annotations
@@ -52,47 +53,80 @@ def cdc_chunks(
     """(id, chunk_idx, start, length, chunk_md5) per CDC chunk —
     ``start`` 1-based, boundaries where the w-char rolling hash hits
     ``D-1 mod D`` (expected chunk length ~``d``).  Empty documents
-    yield no rows; documents shorter than ``w`` yield one chunk."""
-    n = f"length({text_col})"
-    roll = (
-        f"aggregate(sequence(e - {w} + 1, e), cast(0 as bigint), "
-        f"(acc, p) -> (acc * {_B} + ascii(substring({text_col}, p, 1)))"
-        f" % {_M})"
+    yield no rows; documents shorter than ``w`` yield one chunk.
+
+    Implementation: a vectorized Arrow/numpy kernel.  The pure-SQL
+    form (filter-over-sequence with a per-position w-char aggregate
+    fold) is semantically identical but Catalyst INTERPRETS
+    higher-order-function lambdas — measured 47 s for 10k documents
+    at sf0.1, a scale-killer constant factor — while the numpy form
+    does the same integer arithmetic as 8 shifted vector
+    multiply-adds per document (codepoints via utf-32 decode, so the
+    hash sees exactly what SQL's ``ascii(substring(...))`` sees) and
+    runs the whole corpus in well under a second.  Still zero
+    shuffles; the only cross-boundary cost is the Arrow batch
+    transfer the repo's extraction tier already pays."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    pw = np.array(
+        [pow(_B, j, _M) for j in range(w)], dtype=np.int64
+    )  # pw[j] multiplies the char j positions BEFORE the window end
+
+    def run(batches):
+        for pdf in batches:
+            out_id, out_idx, out_start, out_len, out_md5 = (
+                [], [], [], [], [],
+            )
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                n = len(text)
+                if n == 0:
+                    continue
+                if n >= w:
+                    codes = np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    acc = np.zeros(n - w + 1, dtype=np.int64)
+                    for j in range(w):
+                        acc = (
+                            acc + codes[w - 1 - j:n - j] * pw[j]
+                        ) % _M
+                    # window end e (1-based) = w + offset
+                    bounds = (np.nonzero(acc % d == d - 1)[0] + w).tolist()
+                else:
+                    bounds = []
+                starts = [1] + [b + 1 for b in bounds]
+                stops = bounds + [n]
+                for i, (s, e) in enumerate(zip(starts, stops)):
+                    if e < s:
+                        continue  # empty tail: last char was a boundary
+                    piece = text[s - 1:e]
+                    out_id.append(rid)
+                    out_idx.append(i)
+                    out_start.append(s)
+                    out_len.append(e - s + 1)
+                    out_md5.append(
+                        hashlib.md5(piece.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_id, dtype="int64"),
+                    "chunk_idx": pd.Series(out_idx, dtype="int64"),
+                    "start": pd.Series(out_start, dtype="int64"),
+                    "length": pd.Series(out_len, dtype="int64"),
+                    "chunk_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    schema = (
+        f"{id_col} long, chunk_idx long, start long, length long,"
+        " chunk_md5 string"
     )
-    bounds = (
-        f"CASE WHEN {n} >= {w} THEN "
-        f"filter(sequence({w}, {n}), e -> {roll} % {d} = {d} - 1) "
-        f"ELSE cast(array() as array<int>) END"
-    )
-    # spans as parallel starts/stops arrays; the only invalid span the
-    # zip can produce is the empty TAIL when the last char is itself a
-    # boundary — filtering it keeps every surviving index unchanged,
-    # so chunk_idx needs no re-ranking
-    return (
-        df.withColumn("_bounds", F.expr(bounds))
-        .withColumn(
-            "_starts",
-            F.expr("concat(array(1), transform(_bounds, b -> b + 1))"),
-        )
-        .withColumn("_stops", F.expr(f"concat(_bounds, array({n}))"))
-        .select(
-            F.col(id_col),
-            F.col(text_col).alias("_t"),
-            F.col("_stops"),
-            F.posexplode("_starts").alias("chunk_idx", "_s"),
-        )
-        .withColumn("_e", F.expr("element_at(_stops, chunk_idx + 1)"))
-        .where(F.col("_e") >= F.col("_s"))
-        .select(
-            id_col,
-            F.col("chunk_idx").cast("long").alias("chunk_idx"),
-            F.col("_s").cast("long").alias("start"),
-            (F.col("_e") - F.col("_s") + 1).cast("long").alias("length"),
-            F.md5(F.expr("substring(_t, _s, _e - _s + 1)")).alias(
-                "chunk_md5"
-            ),
-        )
-    )
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
 def cdc_chunks_oracle_sql(
