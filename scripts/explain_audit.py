@@ -602,12 +602,13 @@ AUDITS = {
         ("no Python stage", "!ArrowEvalPython"),
     ],
     "conv_prefix_dedup": [
-        # chain signatures in one conv_id window pass; prefix match is an
-        # equi-join on the 32-char digest (broadcast at this SF, shuffle
-        # hash at scale) — never all-pairs
-        ("chain window on conv_id", "hashpartitioning(conv_id"),
+        # chain signatures run as ONE grouped O(L) Arrow kernel on the
+        # conv_id shuffle (the O(L^2) window form measured 14.6 s at
+        # sf0.1); prefix match stays an equi-join on the 32-char digest
+        # over the persisted signature table — never all-pairs
+        ("grouped chain kernel", "FlatMapGroupsInPandas"),
+        ("signatures computed once (persisted)", "InMemoryTableScan"),
         ("digest equi-join", "HashJoin"),
-        ("no Python stage", "!ArrowEvalPython"),
     ],
     "conv_retry_collapse": [
         # lag-filter and survivor re-index share ONE (conv_id, turn_idx)
@@ -617,11 +618,10 @@ AUDITS = {
         ("no Python stage", "!ArrowEvalPython"),
     ],
     "conv_branch_points": [
-        # conversation-trie divergence: the chain pass is the only
-        # conv-keyed shuffle; the node rollup groups on (depth, chain)
-        ("chain window on conv_id", "hashpartitioning(conv_id"),
+        # conversation-trie divergence: the grouped chain kernel is the
+        # only conv-keyed stage; the node rollup groups on (depth, chain)
+        ("grouped chain kernel", "FlatMapGroupsInPandas"),
         ("node rollup hash agg", "HashAggregate"),
-        ("no Python stage", "!ArrowEvalPython"),
     ],
     "ann_sign_hamming": [
         # 1-bit sign codes: encode is a pure projection, distance is
@@ -643,7 +643,6 @@ AUDITS = {
         # keys on the prompt digest over capped sides only
         ("group cap via WindowGroupLimit", "WindowGroupLimit"),
         ("pair join on prompt digest", "HashJoin"),
-        ("no Python stage", "!ArrowEvalPython"),
     ],
     "graph_host_kcore": [
         # iterative peel: per round ONE degree hash agg + two alive-set
