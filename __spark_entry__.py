@@ -6548,6 +6548,53 @@ def pipeline_curation_funnel(spark, sf_dir):
     return agg.select(funnel.alias("s")).select("s.*")
 
 
+def doc_dataset_card(spark, sf_dir):
+    """The dataset card's headline table: a (source x lang) CUBE over
+    documents with docs, whitespace tokens, distinct contents, and the
+    within-cell exact-dup rate in floor bp — every rollup level
+    (cell / per-source / per-lang / corpus total) in ONE pass via
+    grouping sets, the A6-cube discipline applied to the corpus
+    itself.  grouping_id disambiguates levels (NULL source at level
+    2/3 is a rollup, not a null value).  Docs with doc_id % 10 == 7
+    carry the pipeline_curation planted-dup text so the dup_bp column
+    is non-vacuous at every rollup level.  Map-side-combinable count
+    + sum plus one count-distinct expansion — the standard cube
+    plan."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 10 == 7, F.lit(("dup " * 40).strip())
+            ).otherwise(F.col("text"))
+        ).alias("_md5"),
+        F.size(
+            F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+        ).alias("_nt"),
+    )
+    return (
+        d.cube("source", "lang")
+        .agg(
+            F.grouping_id().cast("long").alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.countDistinct("_md5").cast("long").alias("n_distinct_texts"),
+        )
+        .select(
+            "source",
+            "lang",
+            "level",
+            "n_docs",
+            "n_tokens",
+            "n_distinct_texts",
+            F.expr(
+                "cast((10000 * (n_docs - n_distinct_texts))"
+                " div nullif(n_docs, 0) as bigint)"
+            ).alias("dup_bp"),
+        )
+    )
+
+
 def diag_key_skew(spark, sf_dir):
     """Join-key skew profile over events: log2-bucketed key-frequency
     histogram with NULLs as their own bucket (-1) — the diagnostic that
@@ -6735,6 +6782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_script_profile": doc_script_profile,
         "diag_lsh_scurve": diag_lsh_scurve,
         "pipeline_curation_funnel": pipeline_curation_funnel,
+        "doc_dataset_card": doc_dataset_card,
         "doc_vocab_growth": doc_vocab_growth,
         "conv_prefix_dedup": conv_prefix_dedup,
         "conv_retry_collapse": conv_retry_collapse,
@@ -8783,6 +8831,24 @@ FROM cs_planted
         "diag_scan_balance": scan_balance_oracle_sql(_SB_TABLES),
         "diag_lsh_scurve": _lsh_scurve_oracle_sql(),
         "doc_vocab_growth": vocab_growth_oracle_sql("documents"),
+        "doc_dataset_card": """
+            SELECT source, lang,
+                   CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT)
+                     AS level,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(string_split_regex(
+                        lower(text), '\\s+'), x -> x <> ''))) AS BIGINT)
+                     AS n_tokens,
+                   CAST(count(DISTINCT md5(CASE WHEN doc_id % 10 = 7
+                        THEN trim(repeat('dup ', 40)) ELSE text END))
+                        AS BIGINT) AS n_distinct_texts,
+                   CAST(10000 * (count(*)
+                        - count(DISTINCT md5(CASE WHEN doc_id % 10 = 7
+                          THEN trim(repeat('dup ', 40)) ELSE text END)))
+                        // nullif(count(*), 0) AS BIGINT) AS dup_bp
+            FROM documents
+            GROUP BY CUBE (source, lang)
+        """,
         "pipeline_curation_funnel": f"""
             WITH cf_planted AS (
               SELECT doc_id,

@@ -347,6 +347,8 @@ def main() -> None:
         "doc_vocab_growth",
         # one-pass curation funnel report (cumulative stage flags)
         "pipeline_curation_funnel",
+        # dataset-card cube (source x lang grouping sets + dup rate)
+        "doc_dataset_card",
     ]
     # best-of-2 per query, same insurance as the headline: on this shared VM
     # hypervisor steal swings identical work 4-15x (BENCH/BASELINE.md); the

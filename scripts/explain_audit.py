@@ -854,6 +854,14 @@ AUDITS = {
         ("funnel explode", "Generate"),
         ("no Python stage", "!ArrowEvalPython"),
     ],
+    "doc_dataset_card": [
+        # one grouping-sets pass: Expand feeds a partial hash agg; the
+        # count-distinct runs as the standard two-phase expansion
+        ("grouping-sets expand", "Expand"),
+        ("partial agg", "HashAggregate"),
+        ("no Python stage", "!ArrowEvalPython"),
+        ("no window", "!WindowExec"),
+    ],
     "dedup_containment_pairs": [
         # corpus semi-join-pruned to pair ids BEFORE gram explosion; the
         # containment math itself is JVM (the only Python is the cached
