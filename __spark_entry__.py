@@ -6595,6 +6595,85 @@ def doc_dataset_card(spark, sf_dir):
     )
 
 
+def doc_stopword_learn(spark, sf_dir):
+    """Corpus-derived stopword candidates: the top-50 words by
+    document frequency with df/cf counts and df in floor bp — the
+    per-corpus (per-language, per-domain) replacement for a fixed
+    English stopword list that quality scoring and BM25 both lean on
+    (Luhn's classic frequency cut, public).  Total order (df DESC,
+    cf DESC, word) makes the LIMIT deterministic under ties; ONE
+    word-keyed agg + TakeOrderedAndProject, no full sort."""
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+            ).alias("w"),
+        )
+    )
+    total = _t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        words.groupBy("w")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("cf"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("w").alias("word"),
+            "df",
+            "cf",
+            F.expr("cast((10000 * df) div _n as bigint)").alias("df_bp"),
+        )
+        .orderBy(F.col("df").desc(), F.col("cf").desc(), "word")
+        .limit(50)
+    )
+
+
+def a_event_anomaly(spark, sf_dir):
+    """Integer-exact rate-spike detection: per (event_type, day)
+    counts flagged when the day sits more than 3 sigmas above the
+    type's own daily distribution — the crawl/ingest monitoring alarm
+    (bot storms, replay floods) with NO floats: the z > 3 test is the
+    cross-multiplied comparison (x*H - S)^2 > 9*(H*SS - S^2) carried
+    in DECIMAL(38,0), exact in both engines.  The gate plants the
+    spike by keeping only event_id % 10 < 3 on ordinary days but ALL
+    events on day 15, so each type's day-15 rate reads ~3.3x and
+    flags while ordinary days stay quiet.  Two map-side-combinable
+    aggs + a broadcast of the tiny per-type moment table."""
+    ev = _t(spark, sf_dir, "events").where(
+        (F.pmod(F.col("event_id"), F.lit(10)) < 3)
+        | (F.dayofmonth("ts") == 15)
+    )
+    daily = ev.groupBy(
+        "event_type", F.dayofmonth("ts").cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("h"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    )
+    d = F.col("n") * F.col("h") - F.col("s")
+    var_h2 = F.col("h") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        daily.join(F.broadcast(mom), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.expr("cast((100 * s) div h as bigint)").alias("mean_cn"),
+            (
+                (d.cast("decimal(38,0)") * d.cast("decimal(38,0)"))
+                > (F.lit(9).cast("decimal(38,0)")
+                   * var_h2.cast("decimal(38,0)"))
+            ).alias("spike"),
+        )
+    )
+
+
 def diag_key_skew(spark, sf_dir):
     """Join-key skew profile over events: log2-bucketed key-frequency
     histogram with NULLs as their own bucket (-1) — the diagnostic that
@@ -6783,6 +6862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_lsh_scurve": diag_lsh_scurve,
         "pipeline_curation_funnel": pipeline_curation_funnel,
         "doc_dataset_card": doc_dataset_card,
+        "doc_stopword_learn": doc_stopword_learn,
+        "a_event_anomaly": a_event_anomaly,
         "doc_vocab_growth": doc_vocab_growth,
         "conv_prefix_dedup": conv_prefix_dedup,
         "conv_retry_collapse": conv_retry_collapse,
@@ -8831,6 +8912,49 @@ FROM cs_planted
         "diag_scan_balance": scan_balance_oracle_sql(_SB_TABLES),
         "diag_lsh_scurve": _lsh_scurve_oracle_sql(),
         "doc_vocab_growth": vocab_growth_oracle_sql("documents"),
+        "doc_stopword_learn": """
+            WITH sw_w AS (
+              SELECT doc_id, u.w
+              FROM documents,
+                   UNNEST(list_filter(string_split_regex(lower(text),
+                     '\\s+'), x -> x <> '')) AS u(w)
+            ),
+            sw_n AS (SELECT count(*) AS n FROM documents)
+            SELECT w AS word,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS cf,
+                   CAST(10000 * count(DISTINCT doc_id)
+                        // (SELECT n FROM sw_n) AS BIGINT) AS df_bp
+            FROM sw_w GROUP BY w
+            ORDER BY df DESC, cf DESC, word
+            LIMIT 50
+        """,
+        "a_event_anomaly": """
+            WITH ea_ev AS (
+              SELECT event_type, CAST(day(ts) AS BIGINT) AS day
+              FROM events
+              WHERE event_id % 10 < 3 OR day(ts) = 15
+            ),
+            ea_daily AS (
+              SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+              FROM ea_ev GROUP BY 1, 2
+            ),
+            ea_mom AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS h,
+                     CAST(sum(n) AS BIGINT) AS s,
+                     CAST(sum(n * n) AS BIGINT) AS ss
+              FROM ea_daily GROUP BY 1
+            )
+            SELECT d.event_type, d.day, d.n,
+                   CAST(100 * m.s // m.h AS BIGINT) AS mean_cn,
+                   (CAST(d.n * m.h - m.s AS DECIMAL(38,0))
+                    * CAST(d.n * m.h - m.s AS DECIMAL(38,0)))
+                   > (CAST(9 AS DECIMAL(38,0))
+                      * CAST(m.h * m.ss - m.s * m.s AS DECIMAL(38,0)))
+                     AS spike
+            FROM ea_daily d JOIN ea_mom m USING (event_type)
+        """,
         "doc_dataset_card": """
             SELECT source, lang,
                    CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT)
