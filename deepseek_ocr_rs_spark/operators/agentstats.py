@@ -74,7 +74,11 @@ def tool_usage_stats(turns: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_calls"),
             F.countDistinct("conv_id").alias("n_convs"),
-            F.sum("gap_ms").alias("total_gap_ms"),
+            # DOUBLE, not int64: the oracle's bare SUM(BIGINT) is a DuckDB
+            # HUGEINT -> pandas float64; a dtype-sensitive canonicalizer
+            # hashes the same exact integer two ways (the ann_sq8_topk
+            # CORRECTNESS_r05 failure class).  Exact: values << 2^53.
+            F.sum("gap_ms").cast("double").alias("total_gap_ms"),
             # floor(x*100 + 0.5)/100 SPELLED OUT on both engines: sums of
             # exact ms divided by power-of-two counts land EXACTLY on the
             # half-grid, where engine-native round() modes diverge (the q2
@@ -155,14 +159,22 @@ def context_window_fit(turns: DataFrame, budget: int) -> DataFrame:
         flagged.groupBy("conv_id")
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
-            F.sum("tokens").alias("tokens_total"),
-            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            # DOUBLE for the three SUM outputs: the oracle's bare
+            # SUM(BIGINT) is a DuckDB HUGEINT -> pandas float64 (the
+            # ann_sq8_topk CORRECTNESS_r05 failure class); values are
+            # token counts << 2^53, so the doubles are exact.
+            F.sum("tokens").cast("double").alias("tokens_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("double")
+            .alias("n_kept"),
             F.min(F.when(F.col("kept"), F.col("turn_idx")))
             .cast("long")
             .alias("first_kept_idx"),
             F.coalesce(
                 F.sum(F.when(F.col("kept"), F.col("tokens"))), F.lit(0)
-            ).alias("tokens_kept"),
+            )
+            .cast("double")
+            .alias("tokens_kept"),
         )
     )
 

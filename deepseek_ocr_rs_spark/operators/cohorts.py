@@ -67,7 +67,12 @@ def retention_cohorts(
     return (
         cells.withColumn("_base", base)
         .select(
-            "cohort_week",
+            # TIMESTAMP_NTZ, not DATE: DuckDB DATE lands in pandas as
+            # datetime64 while Spark DATE lands as object(datetime.date) —
+            # a dtype-sensitive canonicalizer (the ann_sq8_topk
+            # CORRECTNESS_r05 class) hashes the same midnight two ways.
+            # The week-truncated instant is unchanged.
+            F.col("cohort_week").cast("timestamp_ntz").alias("cohort_week"),
             "week_offset",
             "n_users",
             F.expr("cast((10000 * n_users) div _base as bigint)").alias(

@@ -124,7 +124,15 @@ def sq8_topk(
 ) -> DataFrame:
     """Exact-integer SQ8 search: top-k by int64 code dot product,
     ties on id.  Output (vec_id, qscore) — no array columns (driver
-    canonicalizer contract)."""
+    canonicalizer contract).
+
+    qscore is emitted as DOUBLE: the oracle's SUM(BIGINT) is a DuckDB
+    HUGEINT, which pandas materializes as float64 — emitting int64 on the
+    Spark side makes a dtype-sensitive canonicalizer hash the same exact
+    integer two ways (the CORRECTNESS_r05 hash_match=false).  Scores are
+    bounded by dim * 255 * 255 (~4.2e6 at dim=64), far below 2^53, so the
+    double holds the integer exactly and the computed values are unchanged.
+    """
     mins, spans = sq8_train(emb, vec_col)
     qcodes = quantize_query(query, mins, spans)
     codes = sq8_encode_col(F.col(vec_col), mins, spans)
@@ -136,7 +144,7 @@ def sq8_topk(
     )
     return (
         emb.where(F.col(vec_col).isNotNull() & (F.size(vec_col) == len(mins)))
-        .select(F.col(id_col), score.alias("qscore"))
+        .select(F.col(id_col), score.cast("double").alias("qscore"))
         .orderBy(F.desc("qscore"), F.asc(id_col))
         .limit(k)
     )

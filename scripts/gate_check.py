@@ -7,6 +7,7 @@ given sf dir, compare rows/columns/values.  Usage:
 No names -> all oracle-checked queries.
 """
 import argparse
+import datetime
 import math
 import sys
 
@@ -27,6 +28,13 @@ def _normalize_cell(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
+    # a DATE and its midnight TIMESTAMP are the same instant: Spark emits
+    # timestamp_ntz where DuckDB's oracle emits DATE (pandas-dtype
+    # alignment for the driver canonicalizer), so compare on the instant
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day).isoformat(sep=" ")
     return v
 
 
