@@ -61,75 +61,71 @@ def semantic_dedup(
     partner with cosine >= threshold sits FARTHER from the centroid
     (rounded-6dp distance; ties by lower id win the keep).
 
-    Plan: kmeans_assign's bounded Lloyd rounds, one cluster-keyed
-    self-join for the pair stage (vectors travel only into their own
-    cell), one semi-join for the dominance verdict.  No collect, no UDF.
+    Plan: kmeans_assign's bounded Lloyd rounds, then ONE grouped Arrow
+    stage per cluster computing the pairwise-cosine adjacency and the
+    dominance verdict together.
+
+    r06 kernel note: the pair stage used to be a cluster-keyed self-join
+    whose 64-dim cosine ran as an interpreted Catalyst higher-order fold
+    per candidate pair (~sum over cells of |cell|^2 * dim lambda
+    invocations — 77.9 s at sf1.0), followed by a union + distinct +
+    left-join verdict chain.  Pairs never leave their cell, so the whole
+    pair+verdict computation collapses into applyInPandas on the cluster
+    key: one numpy gram matrix per cell, the same round-half-up 6dp
+    threshold test, the same (dist DESC, id ASC) dominance rule — and
+    the union/distinct/join shuffles disappear with it (guide §4.2 /
+    §2.4).  Cells stay bounded at scale because k grows with the corpus
+    (the SemDeDup posture above), so the per-group gram matrix is
+    bounded too.  The float64 gram entries differ from the old
+    sequential fold only in the last bits (summation order), absorbed by
+    the 6dp round except on measure-zero boundaries.
     """
+    import numpy as np
+
     base = df.where(
         F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
     )
     base = _nonzero_norm(base, vec_col)
     assign = kmeans_assign(base, k=k, iters=iters,
                            id_col=id_col, vec_col=vec_col)
-    # the assignment fans out three ways below (pair left, pair right,
-    # verdict join); without a persist each reference re-runs the whole
-    # Lloyd chain — measured 6x the single-assignment cost at sf0.1.
-    # The persisted table is (id, cluster, dist): narrow by construction.
-    assign = assign.persist()
-    # per-row norm computed ONCE here instead of once per pair member:
-    # sqrt of the identical double is bit-identical wherever evaluated,
-    # so the oracle's inline-norm formulation is unaffected
-    nrm = F.sqrt(
-        F.aggregate(
-            F.col(vec_col), F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
-    m = assign.join(
-        base.select(id_col, vec_col, nrm.alias("_nrm")), id_col
-    )
+    m = assign.join(base.select(id_col, vec_col), id_col)
+    id_type = dict(df.dtypes)[id_col]
+    scale = float(10 ** round_to)
+    thr = float(threshold)
 
-    l, r = m.alias("l"), m.alias("r")
-    dot = F.aggregate(
-        F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
-                   lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round(dot / (F.col("l._nrm") * F.col("r._nrm")), round_to)
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.cluster") == F.col("r.cluster"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    def verdict(pdf):
+        ids = pdf[id_col].to_numpy()
+        dist = pdf["dist"].to_numpy(dtype=np.float64)
+        out = pdf[[id_col, "cluster", "dist"]].copy()
+        n = len(pdf)
+        if n <= 1:
+            out["pruned"] = np.zeros(n, dtype=np.int32)
+            return out
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((X * X).sum(axis=1))
+        S = X @ X.T
+        S /= nrm[:, None]
+        S /= nrm[None, :]
+        # round-half-up to 6dp, the JVM/DuckDB round() mode (cosines are
+        # in [-1, 1]; negatives round away from zero there too)
+        adj = (
+            np.sign(S) * np.floor(np.abs(S) * scale + 0.5) / scale
+        ) >= thr
+        np.fill_diagonal(adj, False)
+        better = (dist[None, :] > dist[:, None]) | (
+            (dist[None, :] == dist[:, None]) & (ids[None, :] < ids[:, None])
         )
-        .where(cos >= threshold)
-        .select(
-            F.col(f"l.{id_col}").alias("ia"), F.col("l.dist").alias("da"),
-            F.col(f"r.{id_col}").alias("ib"), F.col("r.dist").alias("db"),
-        )
-    )
-    nb = pairs.select(
-        F.col("ia").alias("me"), F.col("da").alias("md"),
-        F.col("ib").alias("pid"), F.col("db").alias("pd"),
-    ).unionByName(
-        pairs.select(
-            F.col("ib").alias("me"), F.col("db").alias("md"),
-            F.col("ia").alias("pid"), F.col("da").alias("pd"),
-        )
-    )
-    dominated = nb.where(
-        (F.col("pd") > F.col("md"))
-        | ((F.col("pd") == F.col("md")) & (F.col("pid") < F.col("me")))
-    ).select(F.col("me").alias(id_col)).distinct()
+        out["pruned"] = (adj & better).any(axis=1).astype(np.int32)
+        return out
+
     return (
-        assign.join(
-            dominated.withColumn("_pr", F.lit(1)), id_col, "left"
+        m.groupBy("cluster")
+        .applyInPandas(
+            verdict,
+            schema=f"{id_col} {id_type}, cluster int, dist double, "
+                   f"pruned int",
         )
-        .select(
-            id_col, "cluster", "dist",
-            F.coalesce("_pr", F.lit(0)).cast("int").alias("pruned"),
-        )
+        .select(id_col, "cluster", "dist", "pruned")
     )
 
 

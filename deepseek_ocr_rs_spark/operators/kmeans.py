@@ -90,7 +90,8 @@ def seed_centroids(
 
 def _assign(df, centroids, id_col, vec_col):
     """(id, vec, cid, dist): nearest centroid per vector, ties to the
-    lowest cid."""
+    lowest cid.  Kept as the all-JVM reference shape; the hot path is
+    :func:`_assign_np` below (same argmin semantics, vectorized)."""
     scored = df.select(id_col, vec_col).join(
         F.broadcast(centroids),
         F.lit(True),
@@ -103,6 +104,59 @@ def _assign(df, centroids, id_col, vec_col):
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select(id_col, vec_col, "cid", "dist")
+    )
+
+
+def _collect_centroids(centroids: DataFrame):
+    """Materialize the k-row centroid table driver-side (cid-sorted) —
+    a bounded collect of k rows x dim doubles, the PQ-codebook posture."""
+    import numpy as np
+
+    rows = sorted(
+        centroids.select("cid", "centroid").collect(), key=lambda r: r[0]
+    )
+    cids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    C = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    return cids, C
+
+
+def _assign_np(df, cids, C, id_col, vec_col):
+    """Vectorized nearest-centroid assignment (guide §4.2): one numpy
+    distance matrix per Arrow batch instead of an n x k broadcast
+    crossJoin + interpreted zip_with fold + row_number window (which was
+    the bulk of the old 4.5 s emb_kmeans_assign wall at sf1.0).
+
+    Semantics match `_assign`: squared-L2 in float64, argmin with ties
+    to the lowest cid (np.argmin returns the FIRST minimum and C is
+    cid-sorted; exact duplicate centroids produce bit-equal distances in
+    both formulations, so the tie-break agrees).  Summation order within
+    a distance differs from the sequential fold only in the last bits,
+    which the 6dp rounding of the emitted dist absorbs.
+    """
+    import numpy as np
+
+    id_type = dict(df.dtypes)[id_col]
+    vec_type = dict(df.dtypes)[vec_col]
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # ||x-c||^2 expanded pairwise would lose the exact-duplicate
+            # bit-equality guarantee; compute the difference directly
+            # (B x k x dim is bounded by the Arrow batch size)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            j = d2.argmin(axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cid"] = cids[j].astype(np.int32)
+            out["dist"] = d2[np.arange(len(j)), j]
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run,
+        schema=f"{id_col} {id_type}, {vec_col} {vec_type}, "
+               f"cid int, dist double",
     )
 
 
@@ -143,10 +197,17 @@ def kmeans_assign(
     # exclude both, mirrored in the oracle's WHERE
     df = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     centroids = seed_centroids(df, k, id_col, vec_col)
+    # Driver-side Lloyd loop over a k-row centroid collect per round (the
+    # BPE one-row-per-round discipline): each round's assignment runs
+    # vectorized in _assign_np against the materialized centroid matrix,
+    # while the member-mean update keeps the exact vec_id-ordered JVM
+    # fold so centroids stay bit-identical across engines/partitionings.
     for _ in range(iters):
-        assigned = _assign(df, centroids, id_col, vec_col)
+        cids, C = _collect_centroids(centroids)
+        assigned = _assign_np(df, cids, C, id_col, vec_col)
         centroids = _update(assigned, id_col, vec_col, exact)
-    final = _assign(df, centroids, id_col, vec_col)
+    cids, C = _collect_centroids(centroids)
+    final = _assign_np(df, cids, C, id_col, vec_col)
     return final.select(
         id_col,
         F.col("cid").alias("cluster"),

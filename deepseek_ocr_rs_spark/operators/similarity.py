@@ -768,50 +768,64 @@ def benchmark_decontam(
     Zero-norm vectors are excluded on both sides (cosine undefined).
     An empty benchmark yields max = -1.0 / contaminated = false for
     every corpus row.
+
+    r06 kernel note: the corpus x bench cosine matrix used to run as a
+    Catalyst higher-order fold (zip_with dot inside an aggregate-max per
+    row) — interpreted lambdas, ~|corpus| * |bench| * dim invocations,
+    72.7 s at sf1.0 (guide §4.2: hand whole batches to vectorized native
+    code instead).  It is now ONE numpy matmul per Arrow batch inside
+    mapInPandas; the bench matrix is a bounded collect (eval sets are
+    small — the same bounded-broadcast posture the previous one-row
+    collect_list aggregate had, just materialized driver-side like the
+    PQ codebooks).  The 6dp rounding and the tau compare stay in the JVM
+    so the emitted value goes through the identical F.round; the raw
+    float64 max differs from the old sequential fold only in the last
+    bits (summation order), absorbed by the 6dp round.
     """
-    b_arr = _nonzero_norm(bench, vec_col).agg(
-        F.sort_array(
-            F.collect_list(
-                F.transform(F.col(vec_col), lambda x: x.cast("double"))
-            )
-        ).alias("_bvecs")
-    )
-    vnorm = F.sqrt(
-        F.aggregate(
-            F.col(vec_col),
-            F.lit(0.0),
-            lambda a, x: a + x.cast("double") * x.cast("double"),
+    import numpy as np
+
+    bvecs = [
+        r[0]
+        for r in _nonzero_norm(bench, vec_col).select(vec_col).collect()
+    ]
+    if bvecs:
+        B = np.asarray(
+            [[float(x) for x in v] for v in bvecs], dtype=np.float64
         )
-    )
-    mx = F.aggregate(
-        F.col("_bvecs"),
-        F.lit(-1.0),
-        lambda acc, bv: F.greatest(
-            acc,
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), bv, lambda x, y: x.cast("double") * y
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            / (
-                F.col("_vnorm")
-                * F.sqrt(
-                    F.aggregate(bv, F.lit(0.0), lambda a, y: a + y * y)
-                )
-            ),
-        ),
-    )
-    return (
+        bnorm = np.sqrt((B * B).sum(axis=1))
+    else:
+        B, bnorm = None, None
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((B, bnorm))
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def run(batches):
+        Bv, Bn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[[id_col]].copy()
+            if Bv is None:
+                out["_mx"] = -1.0
+                yield out
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xnorm = np.sqrt((X * X).sum(axis=1))
+            S = X @ Bv.T
+            S /= xnorm[:, None]
+            S /= Bn[None, :]
+            out["_mx"] = S.max(axis=1)
+            yield out
+
+    raw = (
         _nonzero_norm(corpus, vec_col)
-        .withColumn("_vnorm", vnorm)
-        .crossJoin(F.broadcast(b_arr))
-        .select(
-            F.col(id_col),
-            F.round(mx, 6).alias("max_benchmark_cos"),
-            (F.round(mx, 6) >= F.lit(tau)).alias("contaminated"),
-        )
+        .select(id_col, vec_col)
+        .mapInPandas(run, schema=f"{id_col} {id_type}, _mx double")
+    )
+    return raw.select(
+        F.col(id_col),
+        F.round("_mx", 6).alias("max_benchmark_cos"),
+        (F.round("_mx", 6) >= F.lit(tau)).alias("contaminated"),
     )
 
 
