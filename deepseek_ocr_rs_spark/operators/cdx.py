@@ -137,26 +137,48 @@ def latest_captures(
     ~70 input-expression copies for exactly that).  Pinned by
     tests/test_plan_guard.py.
     """
-    canon = (
-        df.where(canonical_ok_col(F.col(url_col)))
-        .select(
-            canonical_url_col(F.col(url_col)).alias("_url"),
-            F.col(ts_col).alias("_ts"),
-            F.col(digest_col).alias("_dg"),
-        )
+    # r06 kernel: even with the round-5 hoist (canonicalize once into a
+    # bound `_url` attribute), the Column canonicalizer costs ~450 us
+    # core-time/row — its tracking-param higher-order filter drops the
+    # whole projection out of codegen into interpreted eval.  Measured
+    # decomposition at sf1.0 (1M captures): scan 0.7 s, +ok-filter
+    # 2.9 s, +canonicalize 16.8 s, +surt 17.9 s, full query 20.2 s.
+    # The canonicalize+surt step now runs as ONE Arrow batch pass over
+    # precompiled Python regexes (guide §4.2); rejected URLs drop
+    # inside the same pass.  Three-way parity for the Python replica is
+    # pinned in tests/test_urls.py.
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.operators.urls import (
+        canonicalize_url_py,
+        surt_from_canonical_py,
     )
-    parts = canon.select(
-        "_url",
-        "_ts",
-        "_dg",
-        F.regexp_extract("_url", r"^https?://([^/]*)", 1).alias("_hp"),
+
+    ts_type = dict(df.dtypes)[ts_col]
+
+    def keyer(batches):
+        for pdf in batches:
+            canon = [canonicalize_url_py(u) for u in pdf[url_col]]
+            keep = [i for i, c in enumerate(canon) if c is not None]
+            kept = [canon[i] for i in keep]
+            yield pd.DataFrame(
+                {
+                    "surt": [surt_from_canonical_py(c) for c in kept],
+                    "_ts": pdf[ts_col].iloc[keep].to_numpy(),
+                    "_dg": pdf[digest_col].iloc[keep].to_numpy(),
+                    "_url": kept,
+                }
+            )
+
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
     )
-    # canonical_ok_col == canonical non-NULL, so surt is never NULL here
-    keyed = parts.select(
-        _surt_from_parts(F.col("_url"), F.col("_hp")).alias("surt"),
-        "_ts",
-        "_dg",
-        "_url",
+
+    keyed = rebalance_for_arrow(
+        df.select(url_col, ts_col, digest_col)
+    ).mapInPandas(
+        keyer,
+        schema=f"surt string, _ts {ts_type}, _dg string, _url string",
     )
     latest = F.max(F.struct("_ts", "_dg", "_url")).alias("_last")
     return (

@@ -63,37 +63,91 @@ def ngram_novelty(
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """(id, n_grams, n_new, novelty_bp) per input row — see module doc."""
-    grams = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.expr(_grams_expr(text_col, n))).alias("gram"),
-        )
-        .distinct()
+    """(id, n_grams, n_new, novelty_bp) per input row — see module doc.
+
+    r06 kernel note (guide §2.3/§2.4): the old pipeline exploded grams
+    via interpreted slice+array_join, shuffled the distinct (id, gram)
+    pairs, aggregated first-occurrence, then JOINED the pair table back
+    on the gram to count n_new per doc — four exchanges and a big-big
+    string join (32.3 s at sf1.0).  Two structural facts remove most of
+    it: per-doc distinct gram sets (and so n_grams) are map-local, and
+    each distinct gram contributes exactly ONE n_new — to its first_id
+    doc — so n_new per doc is a groupBy(first_id) count over the
+    first-occurrence table; the attribution join disappears.  One
+    mapInPandas gram pass (identical ASCII \\s+ / lower tokenization),
+    one map-side-combinable min aggregate, one tiny count — the only
+    remaining exchanges carry (gram, partial-min) once and then one row
+    per distinct gram.
+    """
+    import re
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+    id_type = dict(df.dtypes)[id_col]
+
+    def gram_rows(batches):
+        for pdf in batches:
+            ids, grams = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((text or "").lower()) if t]
+                gset = (
+                    {" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)}
+                    if len(toks) >= n else set()
+                )
+                ids.extend([did] * len(gset))
+                grams.extend(gset)
+            yield pd.DataFrame({id_col: ids, "gram": grams})
+
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
     )
-    first = grams.groupBy("gram").agg(F.min(id_col).alias("first_id"))
-    scored = (
-        grams.join(first, "gram")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_id") == F.col(id_col), 1).otherwise(0)
-            ).alias("n_new"),
-        )
+
+    pairs = rebalance_for_arrow(df.select(id_col, text_col)).mapInPandas(
+        gram_rows, schema=f"{id_col} {id_type}, gram string"
+    )
+    # per-gram first occurrence; each gram adds 1 to its first doc only
+    n_new = (
+        pairs.groupBy("gram")
+        .agg(F.min(id_col).alias("first_id"))
+        .groupBy(F.col("first_id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+
+    def gram_counts(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((text or "").lower()) if t]
+                cnt = (
+                    len({" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1)})
+                    if len(toks) >= n else 0
+                )
+                rows.append((did, cnt))
+            yield pd.DataFrame(rows, columns=[id_col, "n_grams"])
+
+    per_doc = rebalance_for_arrow(df.select(id_col, text_col)).mapInPandas(
+        gram_counts, schema=f"{id_col} {id_type}, n_grams long"
     )
     return (
-        df.select(id_col)
-        .join(scored, id_col, "left")
+        per_doc.join(n_new, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.col("n_grams"),
             F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
             # integer floor division (the pagerank DIV discipline) so the
-            # basis points are cross-engine exact; NULL for gram-less docs
-            F.expr("cast((10000 * n_new) div n_grams as bigint)").alias(
-                "novelty_bp"
-            ),
+            # basis points are cross-engine exact; NULL for gram-less docs.
+            # coalesce INSIDE the expr: docs whose grams are all seen
+            # earlier have no row in the first-occurrence rollup
+            # NULL numerator when n_grams = 0 so the ANSI integral divide
+            # propagates NULL instead of erroring (the old pre-coalesce
+            # n_new was NULL there for the same effect)
+            F.expr(
+                "cast((10000 * (CASE WHEN n_grams > 0 THEN "
+                "coalesce(n_new, 0) END)) div n_grams as bigint)"
+            ).alias("novelty_bp"),
         )
     )
 

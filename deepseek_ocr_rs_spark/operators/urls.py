@@ -92,6 +92,93 @@ _AUTH_RE = "(?i)^https?://([^/?#]*)"
 _PATH_RE = "(?i)^https?://[^/?#]*([^?#]*)"
 _HOST_OK_RE = "^[a-z0-9.-]+$"
 
+# ---------------------------------------------------------------------
+# Vectorized Python canonicalizer (r06).  The Column chain below costs
+# ~450 us core-time per row once a higher-order function (the tracking-
+# param filter) drops the projection out of whole-stage codegen into
+# interpreted eval — 14 of web_surt_latest's 19 s at sf1.0 were the
+# canonicalizer alone (plans/r06, OPTIMIZATION_r06.md).  This is the
+# same contract with precompiled Python regexes for use inside Arrow
+# batch stages; tests/test_urls.py pins three-way parity
+# (Column == Python == DuckDB) over the hostile corpus.  Java-semantics
+# notes: F.trim strips ASCII space only (str.strip(" ")); Spark split
+# keeps trailing empties (Python str.split ditto); array_sort on UTF8
+# == Python sorted() on str for any text (UTF-8 byte order is
+# code-point order).
+
+import re as _re
+
+_PY_ABS_HTTP = _re.compile(r"^https?://", _re.I)
+_PY_SCHEME = _re.compile(r"^(https?)://", _re.I)
+_PY_AUTH = _re.compile(r"^https?://([^/?#]*)", _re.I)
+_PY_PATH = _re.compile(r"^https?://[^/?#]*([^?#]*)", _re.I)
+_PY_HOST_OK = _re.compile(r"^[a-z0-9.-]+$")
+_PY_TRACKING = _re.compile(
+    r"^(utm_[^=]*|fbclid|gclid|gbraid|wbraid|msclkid"
+    r"|mc_eid|igshid|yclid|spm|_ga)(=.*)?$",
+    _re.I,
+)
+_PY_HOST_HEAD = _re.compile(r"^([^:]*)")
+_PY_PORT = _re.compile(r":([0-9]+)$")
+_PY_QUERY = _re.compile(r"\?(.*)$")
+_PY_FRAG = _re.compile(r"#.*$")
+_PY_SURT_HOSTPORT = _re.compile(r"^https?://([^/]*)")
+
+
+def canonicalize_url_py(url):
+    """Python replica of :func:`canonical_url_col` (None for rejects)."""
+    if url is None:
+        return None
+    u = url.strip(" ")
+    base = _PY_FRAG.sub("", u)
+    m = _PY_SCHEME.search(base)
+    scheme = m.group(1).lower() if m else ""
+    m = _PY_AUTH.search(base)
+    auth = (m.group(1) if m else "").split("@")[-1]
+    host = _PY_HOST_HEAD.match(auth).group(1).lower()
+    if host.endswith("."):
+        host = host[:-1]
+    if host.startswith("www."):
+        host = host[4:]
+    m = _PY_PORT.search(auth)
+    port = m.group(1) if m else ""
+    if not (_PY_ABS_HTTP.search(u) and _PY_HOST_OK.search(host)):
+        return None
+    default_port = (scheme == "http" and port == "80") or (
+        scheme == "https" and port == "443"
+    )
+    port_part = ":" + port if (port and not default_port) else ""
+    m = _PY_PATH.search(base)
+    path = m.group(1) if m else ""
+    if path == "":
+        path = "/"
+    m = _PY_QUERY.search(base)
+    query = m.group(1) if m else ""
+    params = [
+        p for p in query.split("&") if p != "" and not _PY_TRACKING.search(p)
+    ]
+    q = "&".join(sorted(params))
+    q_part = "?" + q if q else ""
+    return f"{scheme}://{host}{port_part}{path}{q_part}"
+
+
+def surt_from_canonical_py(c):
+    """Python replica of :func:`~.cdx.surt_key_from_canonical_col`."""
+    if c is None:
+        return None
+    m = _PY_SURT_HOSTPORT.search(c)
+    hostport = m.group(1) if m else ""
+    host = hostport.split(":")[0]
+    m = _PY_PORT.search(hostport)
+    port = m.group(1) if m else ""
+    rest = _PY_SURT_HOSTPORT.sub("", c)
+    return (
+        ",".join(reversed(host.split(".")))
+        + (":" + port if port else "")
+        + ")"
+        + rest
+    )
+
 
 def _canon_parts(url: Column):
     """Shared sub-expressions for url/host canonicalization."""

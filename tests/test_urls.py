@@ -96,6 +96,51 @@ def test_canonical_url_pins(spark, raw, canon):
     assert df.select(canonical_url_col(F.col("url"))).first()[0] == canon
 
 
+def test_canonicalizer_python_replica_parity(spark):
+    """The r06 vectorized Python canonicalizer (the Arrow-batch kernel
+    behind latest_captures) must agree with the Column chain on every
+    hostile URL, and the Python SURT with the Column SURT."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_rs_spark.operators.cdx import (
+        surt_key_from_canonical_col,
+    )
+    from deepseek_ocr_rs_spark.operators.urls import (
+        canonicalize_url_py,
+        surt_from_canonical_py,
+    )
+
+    extra = [
+        "http://trailing.dot./x",
+        "HTTPS://ONLY.HOST.",
+        "http://a@b@c.com/x",          # multiple @ keeps last segment
+        "http://:8080/x",              # empty host
+        "http://h.com:008/x",          # zero-padded port is non-default
+        "  http://pad.com  ",
+        "http://q.com/?&&a=1&",        # empty params collapse
+        "http://s.com/p?UTM_SOURCE=x", # tracking match is case-insensitive
+        "http://multi.frag.com/x#a#b",
+        "http://x.com/%7Euser?b=%20&a=+",
+    ]
+    urls = HOSTILE_URLS + extra
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    jvm = [
+        (r[0], r[1])
+        for r in df.select(
+            canonical_url_col(F.col("url")).alias("c"),
+            surt_key_from_canonical_col(
+                canonical_url_col(F.col("url"))
+            ).alias("s"),
+        ).collect()
+    ]
+    py = [
+        (canonicalize_url_py(u),
+         surt_from_canonical_py(canonicalize_url_py(u)))
+        for u in urls
+    ]
+    assert jvm == py
+
+
 HTML = (
     "<p>intro <a href='/rel'>r</a> "
     "<a href=\"http://A.com/x?utm_source=1&amp;b=2\">kept0</a></p>"
