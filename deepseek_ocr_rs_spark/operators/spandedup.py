@@ -60,44 +60,85 @@ def span_dedup(
 
     Deterministic and partitioning-invariant: the banned set is a pure
     function of corpus content, and reassembly sorts surviving spans by
-    their original position."""
-    spans = df.select(
-        F.col(id_col),
-        F.explode(F.expr(_spans_expr(text_col, span_words))).alias("_s"),
-    ).select(id_col, F.col("_s.pos").alias("pos"), F.col("_s.span").alias("span"))
+    their original position.
 
-    banned = (
-        spans.groupBy("span")
-        .agg(F.countDistinct(id_col).alias("_d"))
+    r06 kernel (guide §2.4/§4.2): the old pipeline exploded the
+    interpreted span chunker THREE times (banned / kept / totals each
+    re-ran the lineage) and shuffled every span row twice more for the
+    per-doc reassembly — 12.3 s at sf1.0.  Now ONE Arrow pass emits the
+    per-doc DISTINCT spans for the frequency count (the only shuffle
+    left), the threshold tail collapses to a driver-side set (exactly
+    the bytes the old F.broadcast hash relation shipped), and a second
+    Arrow pass re-chunks each doc and reassembles map-side — counts and
+    strings all exact.
+    """
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
+    k = span_words
+    id_type = dict(df.dtypes)[id_col]
+
+    def chunks_of(text):
+        toks = [t for t in (text or "").split(" ") if t]
+        return [
+            " ".join(toks[i:i + k]) for i in range(0, len(toks), k)
+        ]
+
+    def distinct_spans(batches):
+        for pdf in batches:
+            ids, spans_out = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                s = set(chunks_of(text))
+                ids.extend([did] * len(s))
+                spans_out.extend(s)
+            yield pd.DataFrame({id_col: ids, "span": spans_out})
+
+    pruned = rebalance_for_arrow(df.select(id_col, text_col))
+    # one row per (doc, span) by construction -> count(*) IS the
+    # distinct-doc count; map-side partial agg absorbs the Zipf head
+    banned_rows = (
+        pruned.mapInPandas(
+            distinct_spans, schema=f"{id_col} {id_type}, span string"
+        )
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("_d"))
         .where(F.col("_d") >= min_docs)
         .select("span")
+        .collect()
     )
+    banned_set = {r[0] for r in banned_rows}
+    bc = df.sparkSession.sparkContext.broadcast(banned_set)
 
-    kept = (
-        spans.join(F.broadcast(banned), "span", "left_anti")
-        .groupBy(id_col)
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list("
-                "struct(pos, span))), x -> x.span), ' ')"
-            ).alias("clean_text"),
-            F.count(F.lit(1)).alias("_n_kept"),
-        )
-    )
-    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    def reassemble(batches):
+        bs = bc.value
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                spans = chunks_of(text)
+                kept = [s for s in spans if s not in bs]
+                rows.append(
+                    (did, " ".join(kept), len(spans),
+                     len(spans) - len(kept))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "clean_text", "n_spans", "n_removed"],
+            )
 
     return (
-        df.select(id_col)
-        .join(totals, id_col, "left")
-        .join(kept, id_col, "left")
+        pruned.mapInPandas(
+            reassemble,
+            schema=f"{id_col} {id_type}, clean_text string, "
+                   f"n_spans long, n_removed long",
+        )
         .select(
             id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            (
-                F.coalesce("n_spans", F.lit(0))
-                - F.coalesce("_n_kept", F.lit(0))
-            )
+            "clean_text",
+            "n_spans",
+            F.col("n_removed")
             .cast("long")
             .alias("n_removed"),
         )

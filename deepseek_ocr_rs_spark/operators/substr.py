@@ -74,14 +74,40 @@ def duplicate_substring_spans(
     partitioning-invariant — the marked set is a pure function of
     corpus content and island merging is per-doc.
     """
-    toked = df.select(
-        F.col(id_col),
-        F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("_toks"),
+    # r06 kernel: the interpreted sliding-window chunker (named_struct +
+    # slice + array_join per position) ran TWICE (freq and the mark join
+    # both re-ran the lineage) — 12.1 s at sf1.0 for ~2.4M windows.  One
+    # Arrow pass emits (id, pos, gram) and is persisted for its two
+    # consumers; the corpus-frequency shuffle and the island merge are
+    # unchanged.
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
     )
-    grams = toked.select(
-        F.col(id_col),
-        F.explode(F.expr(_grams_expr("_toks", k))).alias("_g"),
-    ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.gram").alias("gram"))
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def windows(batches):
+        for pdf in batches:
+            ids, poss, grams_out = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in (text or "").split(" ") if t]
+                for i in range(len(toks) - k + 1):
+                    ids.append(did)
+                    poss.append(i)
+                    grams_out.append(" ".join(toks[i:i + k]))
+            yield pd.DataFrame(
+                {id_col: ids, "pos": poss, "gram": grams_out}
+            )
+
+    grams = (
+        rebalance_for_arrow(df.select(id_col, text_col))
+        .mapInPandas(
+            windows, schema=f"{id_col} {id_type}, pos int, gram string"
+        )
+        .persist()
+    )
 
     freq = grams.groupBy("gram").agg(F.count("*").alias("_c"))
     marked = (

@@ -154,7 +154,16 @@ def parse_warc(
                     out["payload"].append(payload)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, bin_col).mapInPandas(_batches, WARC_SCHEMA)
+    # scale-adaptive: a local scan can pack the blobs into fewer splits
+    # than cores, starving this CPU-bound parse (guide §2) — no-op when
+    # the input already has enough partitions
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
+    return rebalance_for_arrow(df.select(id_col, bin_col)).mapInPandas(
+        _batches, WARC_SCHEMA
+    )
 
 
 def split_gzip_members(blob: bytes):
@@ -222,4 +231,13 @@ def parse_warc_gz(
                         out["payload"].append(payload)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, bin_col).mapInPandas(_batches, WARC_SCHEMA)
+    # scale-adaptive: a local scan can pack the blobs into fewer splits
+    # than cores, starving this CPU-bound parse (guide §2) — no-op when
+    # the input already has enough partitions
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
+    return rebalance_for_arrow(df.select(id_col, bin_col)).mapInPandas(
+        _batches, WARC_SCHEMA
+    )
