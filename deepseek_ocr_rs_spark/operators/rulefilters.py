@@ -102,37 +102,56 @@ def gopher_quality_filters(
     length window > hash ratio > ellipsis ratio > bullet lines >
     stop words.
     """
-    words = _words(F.col(text_col))
-    n_words = F.size(words)
-    sum_chars = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    # r06 kernel: the per-doc counters ran as interpreted HOFs (word
+    # fold, line transform/filter, stop-word probes) — 8.4 s at sf1.0.
+    # One Arrow pass emits the exact integer counters; the rule/reason
+    # chain below is unchanged JVM logic over those ints.
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
     )
-    low = F.lower(F.col(text_col))
-    n_hash = (
-        F.length(F.col(text_col))
-        - F.length(F.regexp_replace(F.col(text_col), "#", ""))
-    ).cast("int")
-    # count non-overlapping '...' occurrences via length delta div 3
-    n_ellipsis = (
-        (
-            F.length(F.col(text_col))
-            - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
-        )
-        / 3
-    ).cast("int")
-    lines = F.transform(F.split(F.col(text_col), "\n"), F.trim)
-    n_lines = F.size(lines)
-    n_bullet = F.size(
-        F.filter(
-            lines,
-            lambda l: l.startswith("-") | l.startswith("*")
-            | l.startswith("•"),
-        )
+
+    id_type = dict(df.dtypes)[id_col]
+    stops = list(_GOPHER_STOPS)
+
+    def counters(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = text or ""
+                words_l = [w for w in t.split(" ") if w != ""]
+                wset = set(words_l)
+                lines_l = [ln.strip(" ") for ln in t.split("\n")]
+                rows.append((
+                    did,
+                    len(words_l),
+                    sum(len(w) for w in words_l),
+                    t.count("#"),
+                    t.count("..."),
+                    len(lines_l),
+                    sum(1 for ln in lines_l
+                        if ln.startswith(("-", "*", "\u2022"))),
+                    sum(1 for s_ in stops if s_ in wset),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "_nw", "_sc", "_nh", "_ne", "_nl",
+                         "_nb", "_ns"],
+            )
+
+    df = rebalance_for_arrow(df.select(id_col, text_col)).mapInPandas(
+        counters,
+        schema=f"{id_col} {id_type}, _nw int, _sc long, _nh int, "
+               f"_ne int, _nl int, _nb int, _ns int",
     )
-    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
-    n_stops = F.size(
-        F.filter(stop_arr, lambda s: F.array_contains(words, s))
-    )
+    n_words = F.col("_nw")
+    sum_chars = F.col("_sc")
+    n_hash = F.col("_nh")
+    n_ellipsis = F.col("_ne")
+    n_lines = F.col("_nl")
+    n_bullet = F.col("_nb")
+    n_stops = F.col("_ns")
     # mean word length window, cross-multiplied:
     #   min <= sum_chars / n_words <= max
     mean_low = sum_chars >= F.lit(min_mean_word_len) * n_words

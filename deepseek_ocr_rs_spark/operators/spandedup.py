@@ -222,14 +222,36 @@ def host_template_spans(
     naturally balanced; per-host page totals are a tiny second aggregate
     broadcast back.  No Python, no window, two exchanges total.
     """
-    spans = df.select(
-        F.col(id_col),
-        F.col(host_col).alias("host"),
-        F.explode(F.expr(_spans_expr(text_col, span_words))).alias("_s"),
-    ).select(id_col, "host", F.col("_s.span").alias("span"))
+    # r06 kernel: chunking moves to the same Arrow chunker span_dedup
+    # uses (interpreted slice+array_join was the 8.7 s wall at sf1.0);
+    # one row per (doc, host, span) by per-doc set construction, so
+    # count(*) IS the distinct-doc count.
+    import pandas as pd
 
-    per_span = spans.groupBy("host", "span").agg(
-        F.countDistinct(id_col).alias("n_docs")
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
+    k = span_words
+
+    def distinct_spans(batches):
+        for pdf in batches:
+            hosts, spans_out = [], []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                toks = [t for t in (text or "").split(" ") if t]
+                s = {
+                    " ".join(toks[i:i + k])
+                    for i in range(0, len(toks), k)
+                }
+                hosts.extend([host] * len(s))
+                spans_out.extend(s)
+            yield pd.DataFrame({"host": hosts, "span": spans_out})
+
+    per_span = (
+        rebalance_for_arrow(df.select(host_col, text_col))
+        .mapInPandas(distinct_spans, schema="host string, span string")
+        .groupBy("host", "span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     per_host = df.groupBy(F.col(host_col).alias("host")).agg(
         F.countDistinct(id_col).alias("n_docs_host")

@@ -53,41 +53,58 @@ def url_param_stats(
     lo_bp: int = 5000,
 ) -> DataFrame:
     """(host, param, n_urls, n_groups, n_invariant, invariant_bp,
-    verdict) per (host, param) observed with a query string."""
-    parsed = df.select(
-        F.expr(f"split_part(split_part({url_col}, '/', 3), ':', 1)").alias(
-            "host"
-        ),
-        F.expr(f"split_part({url_col}, '?', 1)").alias("_path"),
-        F.expr(
-            f"filter(split(split_part({url_col}, '?', 2), '&'),"
-            " x -> x != '')"
-        ).alias("_params"),
-        F.col(url_col).alias("_url"),
-        F.col(digest_col).alias("_digest"),
-    ).where(F.size("_params") > 0)
-    occ = parsed.select(
-        "host",
-        "_path",
-        "_params",
-        "_url",
-        "_digest",
-        F.posexplode("_params").alias("_i", "_p"),
-    ).select(
-        "host",
-        F.expr("split_part(_p, '=', 1)").alias("param"),
-        F.concat(
-            F.col("_path"),
-            F.lit("?"),
-            F.array_join(
-                F.array_sort(
-                    F.expr("filter(_params, (x, j) -> j != _i)")
-                ),
-                "&",
-            ),
-        ).alias("_residual"),
-        "_url",
-        "_digest",
+    verdict) per (host, param) observed with a query string.
+
+    r06 kernel: the per-occurrence residual construction (filter-by-
+    index + array_sort + array_join HOFs on the exploded param array)
+    ran interpreted per element — 8.4 s at sf1.0.  One Arrow pass now
+    parses the URL and emits every (host, param, residual) occurrence
+    row with plain Python string ops (identical split_part semantics);
+    the two hash aggregates are unchanged.
+    """
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            hosts, params_o, resid, urls_o, digs = [], [], [], [], []
+            for url, dig in zip(pdf[url_col], pdf[digest_col]):
+                u = url or ""
+                slash = u.split("/")
+                host = (slash[2] if len(slash) > 2 else "").split(":")[0]
+                qsplit = u.split("?")
+                path = qsplit[0]
+                params = [
+                    p for p in
+                    (qsplit[1] if len(qsplit) > 1 else "").split("&")
+                    if p != ""
+                ]
+                if not params:
+                    continue
+                for i, p in enumerate(params):
+                    rest = params[:i] + params[i + 1:]
+                    hosts.append(host)
+                    params_o.append(p.split("=")[0])
+                    resid.append(path + "?" + "&".join(sorted(rest)))
+                    urls_o.append(u)
+                    digs.append(dig)
+            yield pd.DataFrame(
+                {
+                    "host": hosts,
+                    "param": params_o,
+                    "_residual": resid,
+                    "_url": urls_o,
+                    "_digest": digs,
+                }
+            )
+
+    occ = rebalance_for_arrow(df.select(url_col, digest_col)).mapInPandas(
+        parse,
+        schema="host string, param string, _residual string, "
+               "_url string, _digest string",
     )
     groups = occ.groupBy("host", "param", "_residual").agg(
         F.countDistinct("_url").alias("_nu"),

@@ -162,6 +162,91 @@ def canonicalize_url_py(url):
     return f"{scheme}://{host}{port_part}{path}{q_part}"
 
 
+_PY_DOTDOT_SEG = _re.compile(r"/(\.\.[^/]+|\.[^/.][^/]*|[^/.][^/]*)/\.\./")
+_PY_LEADING_DOTDOT = _re.compile(r"^(/\.\.)+/")
+_PY_Q_STRIP = _re.compile(r"\?.*$")
+_PY_Q_KEEP = _re.compile(r"(\?.*)$")
+_PY_TRAIL_SLASH = _re.compile(r"/$")
+_PY_OTHER_SCHEME = _re.compile(r"^[a-z][a-z0-9+.-]*:", _re.I)
+_PY_ORIGIN = _re.compile(r"^(https?://[^/]*)")
+_PY_SCHEME_ONLY = _re.compile(r"^(https?)://")
+_PY_HOSTSTRIP = _re.compile(r"^https?://[^/]*")
+_PY_LASTSEG = _re.compile(r"[^/]*$")
+_PY_HOST_OF_CANON = _re.compile(r"^https?://([^/:?#]*)")
+
+
+def remove_dot_segments_py(pq):
+    """Python replica of :func:`_remove_dot_segments_col` (same bounded
+    passes, same sentinel-slash and trailing-slash rules)."""
+    if pq is None:
+        return None
+    p = _PY_Q_STRIP.sub("", pq)
+    m = _PY_Q_KEEP.search(pq)
+    q = m.group(1) if m else ""
+    had_slash = p.endswith("/") or p.endswith("/.") or p.endswith("/..")
+    w = p if p.endswith("/") else p + "/"
+    for _ in range(_DOT_PASSES):
+        w = w.replace("/./", "/")
+    for _ in range(_DOT_PASSES):
+        w = _PY_DOTDOT_SEG.sub("/", w)
+    w = _PY_LEADING_DOTDOT.sub("/", w)
+    if "/./" in w or "/../" in w:
+        return None
+    if not (had_slash or w == "/"):
+        w = _PY_TRAIL_SLASH.sub("", w)
+    return w + q
+
+
+def base_parts_py(base):
+    """Python replica of :func:`_base_parts` (canonical base or None)."""
+    if base is None:
+        return None, None, None, None
+    m = _PY_ORIGIN.search(base)
+    origin = m.group(1) if m else ""
+    m = _PY_SCHEME_ONLY.search(base)
+    scheme = m.group(1) if m else ""
+    bpath = _PY_Q_STRIP.sub("", _PY_HOSTSTRIP.sub("", base))
+    bdir = _PY_LASTSEG.sub("", bpath)
+    return origin, scheme, bpath, bdir
+
+
+def resolve_raw_py(origin, scheme, bpath, bdir, href):
+    """Python replica of :func:`_resolve_raw_from_parts` (NULL base
+    parts propagate to None exactly like the Column concat)."""
+    if href is None:
+        return None
+    h = _PY_FRAG.sub("", href.strip(" "))
+    if _PY_ABS_HTTP.search(h):
+        return h
+    if _PY_OTHER_SCHEME.search(h):
+        return None
+    if h.startswith("//"):
+        return None if scheme is None else scheme + ":" + h
+    if h.startswith("/"):
+        if origin is None:
+            return None
+        r = remove_dot_segments_py(h)
+        return None if r is None else origin + r
+    if h.startswith("?"):
+        if origin is None or bpath is None:
+            return None
+        return origin + bpath + h
+    if h != "":
+        if origin is None or bdir is None:
+            return None
+        r = remove_dot_segments_py(bdir + h)
+        return None if r is None else origin + r
+    return None
+
+
+def host_of_canonical_py(c):
+    """Python replica of :func:`host_of_canonical_col`."""
+    if c is None:
+        return None
+    m = _PY_HOST_OF_CANON.search(c)
+    return m.group(1) if m else ""
+
+
 def surt_from_canonical_py(c):
     """Python replica of :func:`~.cdx.surt_key_from_canonical_col`."""
     if c is None:
@@ -697,43 +782,68 @@ def resolved_outlinks(
     ``host`` derives from the kept canonical scalar with the one-regexp
     :func:`host_of_canonical_col`.
     """
-    withb = extract_hrefs(
-        df.select(id_col, base_col, text_col), text_col=text_col
-    ).withColumn("_base", canonical_url_col(F.col(base_col)))
-    origin, scheme, bpath, bdir = _base_parts(F.col("_base"))
-    withp = withb.select(
-        id_col,
-        "hrefs",
-        origin.alias("_origin"),
-        scheme.alias("_scheme"),
-        bpath.alias("_bpath"),
-        bdir.alias("_bdir"),
+    # r06 kernel: tokenize + resolve + canonicalize now run in ONE Arrow
+    # pass (guide §4.2) — the hrefs already came out of Python (the
+    # tokenizer), so resolving there costs no new boundary, while the
+    # old JVM path paid interpreted per-element dot-segment chains plus
+    # the interpreted canonicalizer transform (8.9 s at sf1.0).  The
+    # Python resolution/canonicalization replicas are parity-pinned in
+    # tests/test_urls.py (and the 72-case urljoin corpus in
+    # tests/test_resolve_href.py drives resolve_href_py directly).
+    from deepseek_ocr_rs_spark.functions.tokenizer import (
+        decode_entities,
+        tokenize_html_fast,
     )
-    raw = withp.select(
-        id_col,
-        F.transform(
-            "hrefs",
-            lambda h: _resolve_raw_from_parts(
-                F.col("_origin"),
-                F.col("_scheme"),
-                F.col("_bpath"),
-                F.col("_bdir"),
-                h,
-            ),
-        ).alias("_raw"),
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
     )
-    withh = raw.select(
-        id_col,
-        F.filter(
-            F.transform("_raw", lambda r: canonical_url_col(r)),
-            lambda c: c.isNotNull(),
-        ).alias("kept"),
-    )
-    return (
-        withh.select(
-            id_col,
-            F.posexplode_outer("kept").alias("link_pos", "url_canon"),
-        )
-        .where(F.col("url_canon").isNotNull())
-        .withColumn("host", host_of_canonical_col(F.col("url_canon")))
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(batches):
+        for pdf in batches:
+            ids, poss, canons, hosts = [], [], [], []
+            for did, burl, payload in zip(
+                pdf[id_col], pdf[base_col], pdf[text_col]
+            ):
+                base = canonicalize_url_py(burl)
+                origin, scheme, bpath, bdir = base_parts_py(base)
+                if base is None:
+                    # NULL base: the Column regexp_extract over NULL
+                    # yields NULL parts; absolute hrefs still resolve
+                    origin = scheme = bpath = bdir = None
+                pos = 0
+                if payload:
+                    for ev in tokenize_html_fast(payload):
+                        if ev[0] == "open" and ev[1] == "a":
+                            href = ev[2].get("href")
+                            if not href:
+                                continue
+                            raw = resolve_raw_py(
+                                origin, scheme, bpath, bdir,
+                                decode_entities(href),
+                            )
+                            c = canonicalize_url_py(raw)
+                            if c is None:
+                                continue
+                            ids.append(did)
+                            poss.append(pos)
+                            canons.append(c)
+                            hosts.append(host_of_canonical_py(c))
+                            pos += 1
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "link_pos": poss,
+                    "url_canon": canons,
+                    "host": hosts,
+                }
+            )
+
+    return rebalance_for_arrow(
+        df.select(id_col, base_col, text_col)
+    ).mapInPandas(
+        run,
+        schema=f"{id_col} {id_type}, link_pos int, url_canon string, "
+               f"host string",
     )

@@ -103,6 +103,34 @@ def test_beyond_bound_is_null_never_wrong(spark):
         assert duck is None
 
 
+def test_python_replica_matches_column_resolver(spark):
+    """The r06 Arrow-pass resolver (resolve_raw_py + canonicalize) must
+    agree with the Column chain on the full hostile corpus."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_rs_spark.operators.urls import (
+        base_parts_py,
+        canonicalize_url_py,
+        resolve_raw_py,
+    )
+
+    cases = [(b, h) for b in BASES for h in HREFS]
+    df = spark.createDataFrame(cases, "base string, href string")
+    jvm = [
+        r[0]
+        for r in df.select(
+            resolve_href_col(F.col("base"), F.col("href")).alias("out")
+        ).collect()
+    ]
+    py = [
+        canonicalize_url_py(
+            resolve_raw_py(*base_parts_py(b), h)
+        )
+        for b, h in cases
+    ]
+    assert jvm == py
+
+
 def test_null_inputs(spark):
     from pyspark.sql import functions as F
 
@@ -144,8 +172,11 @@ def test_resolved_outlinks_operator(spark):
     ]
     # a page whose own URL fails canonicalization contributes no edges
     assert not [r for r in out if r[0] == 2]
+    # single-Python-pass discipline: tokenize+resolve+canonicalize run in
+    # ONE MapInPandas (r06); no stray ArrowEvalPython re-evaluation
     plan = resolved_outlinks(df)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan
 
 
 def test_resolved_outlinks_partitioning_invariance(spark):
