@@ -113,32 +113,48 @@ def anchor_outlinks(
     keep-filter precedes the explode.  posexplode_outer for the same
     single-ArrowEvalPython reason documented in ``outlinks``.
     """
-    withl = extract_anchor_pairs(
-        df.select(id_col, text_col), text_col=text_col
-    ).select(
-        id_col,
-        F.filter(
-            F.transform(
-                "links",
-                lambda s: F.struct(
-                    canonical_url_col(s["href"]).alias("url_canon"),
-                    s["anchor"].alias("anchor"),
-                ),
-            ),
-            lambda s: s["url_canon"].isNotNull(),
-        ).alias("kept"),
+    # r06 kernel: the anchors already come out of a Python tokenizer
+    # pass; canonicalizing there (the parity-pinned Python replica)
+    # instead of an interpreted JVM transform removes the per-element
+    # canonicalizer cost AND the explode stage (guide §4.2).
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
     )
-    return (
-        withl.select(
-            id_col, F.posexplode_outer("kept").alias("link_pos", "link")
-        )
-        .where(F.col("link.url_canon").isNotNull())
-        .select(
-            id_col,
-            F.col("link_pos").cast("long").alias("link_pos"),
-            F.col("link.url_canon").alias("url_canon"),
-            F.col("link.anchor").alias("anchor"),
-        )
+    from deepseek_ocr_rs_spark.operators.urls import canonicalize_url_py
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(batches):
+        for pdf in batches:
+            ids, poss, urls, anchors = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[text_col]):
+                pos = 0
+                for href, anchor in (
+                    _anchor_pairs(payload) if payload else []
+                ):
+                    c = canonicalize_url_py(href)
+                    if c is None:
+                        continue
+                    ids.append(did)
+                    poss.append(pos)
+                    urls.append(c)
+                    anchors.append(anchor)
+                    pos += 1
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "link_pos": poss,
+                    "url_canon": urls,
+                    "anchor": anchors,
+                }
+            )
+
+    return rebalance_for_arrow(df.select(id_col, text_col)).mapInPandas(
+        run,
+        schema=f"{id_col} {id_type}, link_pos long, url_canon string, "
+               f"anchor string",
     )
 
 

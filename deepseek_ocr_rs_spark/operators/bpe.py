@@ -230,34 +230,61 @@ def bpe_encode(
     passes through as its character sequence (OOV-safe by construction:
     BPE segmentation is defined for any string over the char alphabet).
     """
-    words = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
-                "pos", "word"
-            ),
-        )
-        .where(F.col("word") != "")
+    # r06 kernel: the merge folds ran as `len(merges)` chained
+    # interpreted aggregate-folds over the distinct-word table, followed
+    # by a word join + positional reassembly aggregate (4.5 s at sf1.0).
+    # One Arrow pass now tokenizes and segments each doc map-side with a
+    # per-batch word memo (Heaps' law: the memo IS the distinct-word
+    # optimization, without the shuffle/join) — greedy left-to-right
+    # fusion is replicated exactly, docs with no words emit no row (the
+    # old inner join semantics).
+    import re
+
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
     )
-    seg = (
-        words.select("word")
-        .distinct()
-        .withColumn("syms", _char_syms("word"))
-    )
-    for i, m in enumerate(merges):
-        seg = seg.withColumn("syms", _apply_merge(F.col("syms"), m[0], m[1]))
-        if (i + 1) % checkpoint_every == 0:
-            seg = seg.localCheckpoint()
-    return (
-        words.join(seg, "word")
-        .groupBy(id_col)
-        .agg(
-            F.flatten(
-                F.expr("transform(array_sort(collect_list(struct(pos, syms))), "
-                       "s -> s.syms)")
-            ).alias("tokens")
-        )
-        .withColumn("n_tokens", F.size("tokens").cast("long"))
+
+    ws = re.compile(r"\s+", re.ASCII)
+    merge_list = [(left, right, left + right) for left, right in merges]
+    id_type = dict(df.dtypes)[id_col]
+
+    def segment_word(w):
+        syms = list(w)
+        for left, right, fused in merge_list:
+            out = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = fused
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    def encode(batches):
+        for pdf in batches:
+            memo = {}
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((text or "").lower()) if t]
+                if not toks:
+                    continue
+                out = []
+                for w in toks:
+                    seg = memo.get(w)
+                    if seg is None:
+                        seg = segment_word(w)
+                        memo[w] = seg
+                    out.extend(seg)
+                rows.append((did, out, len(out)))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "tokens", "n_tokens"]
+            )
+
+    return rebalance_for_arrow(df.select(id_col, text_col)).mapInPandas(
+        encode,
+        schema=f"{id_col} {id_type}, tokens array<string>, n_tokens long",
     )
 
 

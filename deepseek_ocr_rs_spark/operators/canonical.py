@@ -206,6 +206,11 @@ def quality_prune(
 
     punct, stop, _ = quality_cols(F.col(text_col))
     q = docs.select(F.col(id_col).alias("_qid"), punct, stop)
+    # the pair set is the whole MinHash+verify chain upstream; it fans
+    # out into both union branches and (via nb) into the dominance join
+    # AND the partner-count rollup — persist the tiny id-pair table so
+    # the chain runs once (r06; 5.5 s -> ~2 s at sf1.0)
+    pairs = pairs.select("id_a", "id_b").persist()
     nb = pairs.select(
         F.col("id_a").alias("me"), F.col("id_b").alias("pid")
     ).unionByName(

@@ -73,13 +73,43 @@ def ccnet_buckets(
     fluency (1.0 = every transition deterministic in its language's
     corpus), ``bucket`` the CCNet tier (head = most fluent third).
     """
-    spans = df.select(
-        F.col(id_col),
-        F.col(lang_col).alias("lang"),
-        F.explode(F.expr(_spans_expr(text_col, span_words))).alias("_s"),
-    ).select(
-        id_col, "lang",
-        F.col("_s.pos").alias("pos"), F.col("_s.span").alias("span"),
+    # r06 kernel: span chunking and bigram counting move to Arrow
+    # passes (the interpreted chunker + pair-struct transform were most
+    # of the 6.9 s at sf1.0); the keep-first window, rebuild aggregate,
+    # and the model/quantile joins are unchanged.
+    import re
+
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
+    id_type = dict(df.dtypes)[id_col]
+    k = span_words
+
+    def chunk(batches):
+        for pdf in batches:
+            ids, langs, poss, spans_out = [], [], [], []
+            for did, lang, text in zip(
+                pdf[id_col], pdf[lang_col], pdf[text_col]
+            ):
+                toks = [t for t in (text or "").split(" ") if t]
+                for i0, i in enumerate(range(0, len(toks), k)):
+                    ids.append(did)
+                    langs.append(lang)
+                    poss.append(i0)
+                    spans_out.append(" ".join(toks[i:i + k]))
+            yield pd.DataFrame(
+                {id_col: ids, "lang": langs, "pos": poss,
+                 "span": spans_out}
+            )
+
+    spans = rebalance_for_arrow(
+        df.select(id_col, lang_col, text_col)
+    ).mapInPandas(
+        chunk,
+        schema=f"{id_col} {id_type}, lang string, pos int, span string",
     )
     n_paras = spans.groupBy(id_col).agg(F.count("*").alias("n_paras"))
 
@@ -100,31 +130,38 @@ def ccnet_buckets(
         ).alias("text2"),
     )
 
-    # per-language bigram LM (operators/lm.py discipline, lang-keyed)
-    toks = rebuilt.select(
-        id_col, "lang", "n_kept",
-        F.filter(
-            F.split(F.lower(F.col("text2")), r"\s+"), lambda x: x != ""
-        ).alias("w"),
-    )
-    pairs = F.expr(
-        """
-        CASE WHEN size(w) >= 2 THEN
-          transform(sequence(1, size(w) - 1),
-                    i -> struct(element_at(w, i) AS w1,
-                                element_at(w, i + 1) AS w2))
-        END
-        """
-    )
-    bg = (
-        toks.select(id_col, "lang", "n_kept", F.explode(pairs).alias("bg"))
-        .select(
-            id_col, "lang", "n_kept",
-            F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"),
-        )
-        .groupBy(id_col, "lang", "n_kept", "w1", "w2")
-        .agg(F.count("*").alias("cnt"))
-    )
+    # per-language bigram LM (operators/lm.py discipline, lang-keyed);
+    # per-doc Counter emits the already-grouped counts map-side
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def bigrams(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, langs, nks, w1s, w2s, cnts = [], [], [], [], [], []
+            for did, lang, nk, text2 in zip(
+                pdf[id_col], pdf["lang"], pdf["n_kept"], pdf["text2"]
+            ):
+                w = [t for t in ws.split((text2 or "").lower()) if t]
+                if len(w) < 2:
+                    continue
+                for (a, b), n in Counter(zip(w, w[1:])).items():
+                    ids.append(did)
+                    langs.append(lang)
+                    nks.append(nk)
+                    w1s.append(a)
+                    w2s.append(b)
+                    cnts.append(n)
+            yield pd.DataFrame(
+                {id_col: ids, "lang": langs, "n_kept": nks,
+                 "w1": w1s, "w2": w2s, "cnt": cnts}
+            )
+
+    bg = rebuilt.mapInPandas(
+        bigrams,
+        schema=f"{id_col} {id_type}, lang string, n_kept long, "
+               f"w1 string, w2 string, cnt long",
+    ).persist()
     model = bg.groupBy("lang", "w1", "w2").agg(F.sum("cnt").alias("c2"))
     c1 = model.groupBy("lang", "w1").agg(F.sum("c2").alias("c1"))
     model = model.join(c1, ["lang", "w1"]).withColumn(

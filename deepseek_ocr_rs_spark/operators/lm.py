@@ -52,26 +52,43 @@ def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     list_filter-then-index construction.  Docs with < 2 words produce no
     rows (the CASE guard avoids sequence(1, 0), which would descend).
     """
-    toks = df.select(
-        F.col(id_col),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
-        ).alias("w"),
+    # r06 kernel: the interpreted pair-struct transform + the
+    # (id, w1, w2) groupBy shuffle are replaced by ONE Arrow pass whose
+    # per-doc Counter emits the already-grouped counts map-side (every
+    # doc sits whole inside its batch) — exact integers, identical
+    # lower/\s+ ASCII tokenization (guide §4.2/§2.4).
+    import re
+
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
     )
-    pairs = F.expr(
-        """
-        CASE WHEN size(w) >= 2 THEN
-          transform(sequence(1, size(w) - 1),
-                    i -> struct(element_at(w, i) AS w1,
-                                element_at(w, i + 1) AS w2))
-        END
-        """
-    )
-    return (
-        toks.select(F.col(id_col), F.explode(pairs).alias("bg"))
-        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .groupBy(id_col, "w1", "w2")
-        .agg(F.count("*").alias("cnt"))
+
+    ws = re.compile(r"\s+", re.ASCII)
+    id_type = dict(df.dtypes)[id_col]
+
+    def bigrams(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, w1s, w2s, cnts = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                w = [t for t in ws.split((text or "").lower()) if t]
+                if len(w) < 2:
+                    continue
+                c = Counter(zip(w, w[1:]))
+                for (a, b), n in c.items():
+                    ids.append(did)
+                    w1s.append(a)
+                    w2s.append(b)
+                    cnts.append(n)
+            yield pd.DataFrame(
+                {id_col: ids, "w1": w1s, "w2": w2s, "cnt": cnts}
+            )
+
+    return rebalance_for_arrow(df.select(id_col, text_col)).mapInPandas(
+        bigrams, schema=f"{id_col} {id_type}, w1 string, w2 string, cnt long"
     )
 
 
@@ -86,7 +103,9 @@ def lm_score(
     transition is deterministic in the corpus, small values mean the doc
     walks rare transitions (boilerplate scores high, shuffled text low).
     """
-    bg = _doc_bigrams(df, id_col, text_col)
+    # bg feeds both the model aggregation and the final scoring join;
+    # persist so the tokenize/count pass runs once (r06)
+    bg = _doc_bigrams(df, id_col, text_col).persist()
     model = bg.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
     c1 = model.groupBy("w1").agg(F.sum("c2").alias("c1"))
     model = model.join(c1, "w1").withColumn(

@@ -147,7 +147,9 @@ def test_single_arrow_pass_no_exchange(spark):
         "conv_id string, text string",
     )
     plan = anchor_outlinks(df)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") == 1
+    # r06: tokenize+canonicalize run in ONE MapInPandas pass
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
 
 
