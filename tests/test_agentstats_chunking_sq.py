@@ -203,7 +203,10 @@ def test_sq8_topk_matches_exact_numpy_reference(spark):
     expected = sorted(ref, key=lambda t: (-t[0], t[1]))[:5]
     out = sq8_topk(emb, vecs[0], k=5).collect()
     assert [(r.qscore, r.vec_id) for r in out] == expected
-    assert all(isinstance(r.qscore, int) for r in out)
+    # qscore is emitted as double so a dtype-sensitive cross-engine
+    # canonicalizer sees the same float64 DuckDB's HUGEINT sum becomes in
+    # pandas; the values themselves stay exact integers.
+    assert all(isinstance(r.qscore, float) and r.qscore.is_integer() for r in out)
 
 
 # --------------------------------------------------- hard-negative mining

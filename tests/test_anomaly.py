@@ -59,16 +59,22 @@ def test_clear_spike_flags_only_the_spike(spark):
 
 
 def test_three_sigma_boundary_is_strict(spark):
-    # 9 days of 10 + one day x: flag iff (x*10 - S)^2 > 9*(10*SS - S^2)
-    # solve numerically for the first flagging x
-    import itertools
-    for x in itertools.count(11):
-        n = [10] * 9 + [x]
-        h, s, ss = 10, sum(n), sum(v * v for v in n)
+    # Baseline needs >= 10 other days AND nonzero variance: with h days a
+    # single included observation's z^2 is capped at h-1, so h=10 sits
+    # exactly ON the 3-sigma boundary for every x (the strict > never
+    # fires), and an all-equal baseline makes any deviation infinite
+    # sigma.  9 days of 10 + one day of 14 + the spike day x (h=11) has a
+    # finite boundary: solve for the first flagging x in a bounded range.
+    base = {**{d: 10 for d in range(1, 10)}, 10: 14}
+    first = None
+    for x in range(15, 10000):
+        n = list(base.values()) + [x]
+        h, s, ss = len(n), sum(n), sum(v * v for v in n)
         if (x * h - s) ** 2 > 9 * (h * ss - s * s):
             first = x
             break
-    got = _daily_flags(spark, {**{d: 10 for d in range(1, 10)}, 10: first})
-    assert got[10] is True
-    got = _daily_flags(spark, {**{d: 10 for d in range(1, 10)}, 10: first - 1})
-    assert got[10] is False
+    assert first is not None
+    got = _daily_flags(spark, {**base, 11: first})
+    assert got[11] is True
+    got = _daily_flags(spark, {**base, 11: first - 1})
+    assert got[11] is False
