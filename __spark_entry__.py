@@ -2637,8 +2637,7 @@ def pipeline_web_curation(spark, sf_dir):
     payload text)."""
     from deepseek_ocr_rs_spark.operators.extract import extract_turns
     from deepseek_ocr_rs_spark.operators.textstats import with_token_counts
-    from deepseek_ocr_rs_spark.sources.http import parse_http_responses
-    from deepseek_ocr_rs_spark.sources.warc import parse_warc
+    from deepseek_ocr_rs_spark.sources.http import parse_warc_http
 
     docs = (
         _t(spark, sf_dir, "documents")
@@ -2685,9 +2684,11 @@ def pipeline_web_curation(spark, sf_dir):
         F.encode(F.lit("\r\n\r\n"), "UTF-8"),
     )
     files = docs.select(i.alias("file_id"), blob.alias("content"))
-    recs = parse_warc(files).where(F.col("warc_type") == "response")
-    pages = parse_http_responses(recs).where(
-        (F.col("http.status") == 200)
+    pages = parse_warc_http(
+        files, fields=("status", "content_type", "body_text")
+    ).where(
+        (F.col("warc_type") == "response")
+        & (F.col("http.status") == 200)
         & (F.col("http.content_type") == "text/html")
     )
     turns = pages.select(
@@ -3879,8 +3880,7 @@ def warc_http_responses(spark, sf_dir):
     The oracle re-derives every field by construction.  Scale shape:
     scan -> mapInPandas -> Arrow struct pass, a single stage with zero
     shuffles; the octets die at the struct projection."""
-    from deepseek_ocr_rs_spark.sources.http import parse_http_responses
-    from deepseek_ocr_rs_spark.sources.warc import parse_warc
+    from deepseek_ocr_rs_spark.sources.http import parse_warc_http
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     i = F.col("doc_id").cast("string")
@@ -3937,8 +3937,7 @@ def warc_http_responses(spark, sf_dir):
         F.encode(warc_head, "UTF-8"), http_payload, F.encode(F.lit("\r\n\r\n"), "UTF-8")
     )
     files = docs.select(i.alias("file_id"), blob.alias("content"))
-    recs = parse_warc(files).where(F.col("warc_type") == "response")
-    out = parse_http_responses(recs)
+    out = parse_warc_http(files).where(F.col("warc_type") == "response")
     return out.select(
         "file_id",
         F.col("http.status").alias("status"),
@@ -4089,8 +4088,7 @@ def web_revalidation_candidates(spark, sf_dir):
     at 100 TB is the difference between re-downloading the web and
     HEAD-checking it.  Scale shape: same zero-shuffle parse stage as
     warc_http_responses + a codegen CASE."""
-    from deepseek_ocr_rs_spark.sources.http import parse_http_responses
-    from deepseek_ocr_rs_spark.sources.warc import parse_warc
+    from deepseek_ocr_rs_spark.sources.http import parse_warc_http
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     i = F.col("doc_id").cast("string")
@@ -4120,8 +4118,10 @@ def web_revalidation_candidates(spark, sf_dir):
     )
     blob = F.concat(F.encode(head, "UTF-8"), http,
                     F.encode(F.lit("\r\n\r\n"), "UTF-8"))
-    recs = parse_warc(docs.select(i.alias("file_id"), blob.alias("content")))
-    out = parse_http_responses(recs.where(F.col("warc_type") == "response"))
+    out = parse_warc_http(
+        docs.select(i.alias("file_id"), blob.alias("content")),
+        fields=("etag", "last_modified"),
+    ).where(F.col("warc_type") == "response")
     kind = (
         F.when(F.col("http.etag").isNotNull(), F.lit("etag"))
         .when(F.col("http.last_modified").isNotNull(), F.lit("last-modified"))
@@ -4357,11 +4357,12 @@ def web_redirect_from_warc(spark, sf_dir):
     recursive CTE over the constructed graph — a hash match proves the
     byte-exact WARC parse, the header extraction, the non-redirect
     filter, and the pointer doubling compose losslessly.  Scale shape:
-    scan -> mapInPandas (WARC) -> Arrow struct pass (HTTP), zero
-    shuffles until the log-round joins."""
+    scan -> ONE fused mapInPandas (WARC + HTTP header fields; the
+    payload octets never re-cross the Python boundary and the body
+    decode is skipped — guide §4.1), zero shuffles until the log-round
+    joins."""
     from deepseek_ocr_rs_spark.operators.redirects import resolve_redirects
-    from deepseek_ocr_rs_spark.sources.http import parse_http_responses
-    from deepseek_ocr_rs_spark.sources.warc import parse_warc
+    from deepseek_ocr_rs_spark.sources.http import parse_warc_http
 
     edges = _redirect_edges(spark, sf_dir)
 
@@ -4405,10 +4406,9 @@ def web_redirect_from_warc(spark, sf_dir):
             _warc_blob(F.col("dst"), ok_http).alias("content"),
         )
     )
-    recs = parse_warc(moved.unionAll(landed)).where(
-        F.col("warc_type") == "response"
-    )
-    http = parse_http_responses(recs)
+    http = parse_warc_http(
+        moved.unionAll(landed), fields=("status", "location")
+    ).where(F.col("warc_type") == "response")
     parsed_edges = http.where(
         F.col("http.status").isin(301, 302, 307, 308)
         & F.col("http.location").isNotNull()

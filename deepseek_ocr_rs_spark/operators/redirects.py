@@ -69,6 +69,13 @@ def resolve_redirects(
         F.col(dst_col).alias("cur"),
         F.lit(1).cast("long").alias("hops"),
     ).where(F.col("src").isNotNull())
+    # materialize the edge projection BEFORE the first self-join: both
+    # join sides (and the final terminal probe) share this lineage, so an
+    # expensive upstream — e.g. the WARC -> HTTP parse feeding
+    # web_redirect_from_warc — would otherwise execute once PER SIDE in
+    # round 1 (guide §1.2: don't compute the same thing twice; §5:
+    # localCheckpoint to cut lineage)
+    rep = rep.localCheckpoint(eager=True)
     rounds = 0
     while (1 << rounds) < max_hops + 1:
         rounds += 1

@@ -88,13 +88,16 @@ def _declared_charset(ct_raw: Optional[bytes], body: bytes):
     return None
 
 
-def _parse_response(payload: bytes):
+def _parse_response(payload: bytes, want_body: bool = True):
     """One (status, version, reason, content_type, charset, n_headers,
     location, body_text, etag, last_modified) tuple per the module
     contract; all-NULL on malformed.  ``location`` is the raw first
     Location header (ascii, stripped) — the redirect tier's edge
     target; ``etag`` / ``last_modified`` are the conditional-GET
-    validators the recrawl tier needs."""
+    validators the recrawl tier needs.  ``want_body=False`` skips the
+    charset sniff and body decode (charset/body_text come back None) for
+    callers that only consume header fields — the sniff+decode is the
+    kernel's dominant per-record cost on body-heavy records."""
     if not payload or not payload.startswith(b"HTTP/"):
         return _NULL_ROW
     split = payload.find(b"\r\n\r\n")
@@ -146,6 +149,11 @@ def _parse_response(payload: bytes):
             ct_raw.split(b";", 1)[0].strip().lower().decode("ascii", "replace")
         )
 
+    if not want_body:
+        return (
+            status, version, reason, content_type, None, n_headers,
+            location, None, etag, last_modified,
+        )
     # BOM beats every declaration (WHATWG sniff rule); it is consumed
     if body.startswith(b"\xef\xbb\xbf"):
         codec, norm, body = "utf-8", "utf-8", body[3:]
@@ -189,3 +197,99 @@ def parse_http_responses(
     """Add ``out_col`` = parsed-response struct (:data:`HTTP_STRUCT`)."""
     udf = F.pandas_udf(_response_batches, HTTP_STRUCT)
     return df.withColumn(out_col, udf(F.col(payload_col)))
+
+
+_HTTP_FIELDS = (
+    ("status", "int"), ("http_version", "string"), ("reason", "string"),
+    ("content_type", "string"), ("charset", "string"),
+    ("n_headers", "int"), ("location", "string"),
+    ("body_text", "string"), ("etag", "string"),
+    ("last_modified", "string"),
+)
+
+
+def parse_warc_http(
+    df: DataFrame,
+    id_col: str = "file_id",
+    bin_col: str = "content",
+    fields: tuple = None,
+) -> DataFrame:
+    """WARC files -> one row per record with the HTTP response parsed, in
+    ONE Python pass.
+
+    Functionally identical to ``parse_warc(df)`` followed by
+    ``parse_http_responses`` (same kernels), but the record payload never
+    re-crosses the JVM/Python boundary: the chained form serializes every
+    payload out of the WARC stage and back into the HTTP stage (two
+    Arrow round trips of the heaviest column — guide §4.1: you control
+    how many columns cross, and how often).  ``fields`` selects which
+    HTTP struct fields to emit (default: all of :data:`HTTP_STRUCT`);
+    when neither ``body_text`` nor ``charset`` is requested the charset
+    sniff + body decode are skipped entirely.  The record payload is NOT
+    in the output — callers that need raw octets downstream want
+    ``parse_warc``.
+
+    Output: ``(file_id, rec_idx, warc_type, target_uri, record_id,
+    content_type, content_length, http struct<...>)``.
+    """
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+    from deepseek_ocr_rs_spark.sources.warc import _parse_blob
+
+    if fields is None:
+        fields = tuple(n for n, _ in _HTTP_FIELDS)
+    else:
+        wanted = set(fields)
+        unknown = wanted - {n for n, _ in _HTTP_FIELDS}
+        if unknown:
+            raise ValueError(f"unknown http fields: {sorted(unknown)}")
+        # canonical struct order regardless of caller order
+        fields = tuple(n for n, _ in _HTTP_FIELDS if n in wanted)
+    want_body = "body_text" in fields or "charset" in fields
+    field_idx = {n: i for i, (n, _) in enumerate(_HTTP_FIELDS)}
+    picks = [(n, field_idx[n]) for n in fields]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            warc_cols = {k: [] for k in (
+                "file_id", "rec_idx", "warc_type", "target_uri",
+                "record_id", "content_type", "content_length",
+            )}
+            http_cols = {n: [] for n, _ in picks}
+            for fid, blob in zip(pdf[id_col], pdf[bin_col]):
+                if blob is None:
+                    continue
+                for i, rec in enumerate(_parse_blob(bytes(blob))):
+                    wt, uri, rid, ct, clen, payload = rec
+                    warc_cols["file_id"].append(fid)
+                    warc_cols["rec_idx"].append(i)
+                    warc_cols["warc_type"].append(wt)
+                    warc_cols["target_uri"].append(uri)
+                    warc_cols["record_id"].append(rid)
+                    warc_cols["content_type"].append(ct)
+                    warc_cols["content_length"].append(clen)
+                    resp = _parse_response(payload, want_body=want_body)
+                    for n, j in picks:
+                        http_cols[n].append(resp[j])
+            warc_cols.update(
+                (f"_h_{n}", v) for n, v in http_cols.items()
+            )
+            yield pd.DataFrame(warc_cols)
+
+    schema = (
+        "file_id string, rec_idx int, warc_type string,"
+        " target_uri string, record_id string, content_type string,"
+        " content_length long, "
+        + ", ".join(f"_h_{n} {t}" for n, t in _HTTP_FIELDS if n in fields)
+    )
+    parsed = rebalance_for_arrow(df.select(id_col, bin_col)).mapInPandas(
+        _batches, schema
+    )
+    return parsed.select(
+        "file_id", "rec_idx", "warc_type", "target_uri", "record_id",
+        "content_type", "content_length",
+        F.struct(
+            *[F.col(f"_h_{n}").alias(n) for n in fields]
+        ).alias("http"),
+    )

@@ -17,8 +17,10 @@ def _events(spark, rows):
 
 def _matrix(spark, rows):
     out = retention_cohorts(_events(spark, rows)).collect()
+    # cohort_week is a midnight timestamp (pandas-dtype alignment with the
+    # DuckDB oracle's DATE); key the matrix on the date part
     return {
-        (str(r.cohort_week), r.week_offset): (r.n_users, r.retention_bp)
+        (str(r.cohort_week)[:10], r.week_offset): (r.n_users, r.retention_bp)
         for r in out
     }
 

@@ -4,6 +4,7 @@ row count + column names + exact values (the driver hashes values after
 sorting columns by name — this test is strictly stronger: full multiset
 equality)."""
 
+import datetime
 import math
 
 import duckdb
@@ -32,6 +33,14 @@ def _normalize_cell(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
+    # a DATE and its midnight TIMESTAMP are the same instant: Spark emits
+    # timestamp_ntz where DuckDB's oracle emits DATE (pandas-dtype
+    # alignment for the driver canonicalizer) — same rule as
+    # scripts/gate_check.py
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day).isoformat(sep=" ")
     return v
 
 

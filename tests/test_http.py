@@ -154,3 +154,60 @@ def test_conditional_get_validators_extracted():
     # absent / empty normalize to NULL
     r2 = _parse_response(b"HTTP/1.1 200 OK\r\nETag:\r\n\r\nx")
     assert r2[8] is None and r2[9] is None
+
+
+# ---------------------------------------- fused WARC+HTTP single pass
+
+
+def test_fused_parse_warc_http_equals_chained(spark):
+    """parse_warc_http must be row-identical to parse_warc ->
+    parse_http_responses on an adversarial corpus: multi-record blob,
+    non-response record, non-HTTP payload, charset declaration, BOM +
+    duplicate/malformed headers, torn tail, NULL blob."""
+    from deepseek_ocr_rs_spark.sources.http import parse_warc_http
+    from deepseek_ocr_rs_spark.sources.warc import make_warc_record, parse_warc
+
+    probes = [
+        make_warc_record(
+            "response", b"HTTP/1.1 301 Moved\r\nLocation: http://x/\r\n\r\n",
+            "<urn:uuid:1>", target_uri="http://a/"),
+        make_warc_record("request", b"GET / HTTP/1.1\r\n\r\n",
+                         "<urn:uuid:2>", target_uri="http://b/"),
+        make_warc_record("response", b"NOT-HTTP garbage", "<urn:uuid:3>"),
+        make_warc_record(
+            "response",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1"
+            b"\r\n\r\n" + "café".encode("iso-8859-1"), "<urn:uuid:4>"),
+        make_warc_record(
+            "response",
+            b"HTTP/1.0 200\r\nETag: \"z\"\r\nEtag: \"dup\"\r\n"
+            b"Bad-Line-No-Colon\r\n\r\n\xef\xbb\xbfbom body", "<urn:uuid:5>"),
+    ]
+    blobs = [b"".join(probes), b"torn garbage no warc header", None]
+    df = spark.createDataFrame(
+        [(str(i), b) for i, b in enumerate(blobs)],
+        "file_id string, content binary")
+    cols = ["file_id", "rec_idx", "warc_type", "target_uri", "record_id",
+            "content_type", "content_length", "http"]
+    old = parse_http_responses(parse_warc(df)).select(*cols).collect()
+    new = parse_warc_http(df).collect()
+    assert sorted(map(tuple, old)) == sorted(map(tuple, new))
+
+
+def test_fused_field_subset_narrows_struct_and_keeps_values(spark):
+    from deepseek_ocr_rs_spark.sources.http import parse_warc_http
+    from deepseek_ocr_rs_spark.sources.warc import make_warc_record
+
+    rec = make_warc_record(
+        "response", b"HTTP/1.1 302 Found\r\nLocation: /next\r\n\r\nignored",
+        "<urn:uuid:9>", target_uri="http://s/")
+    df = spark.createDataFrame([("f", rec)], "file_id string, content binary")
+    # caller order must not matter: struct comes back in canonical order
+    out = parse_warc_http(df, fields=("location", "status"))
+    assert [f.name for f in out.schema["http"].dataType.fields] == [
+        "status", "location"]
+    row = out.collect()[0]
+    assert row.http.status == 302 and row.http.location == "/next"
+    import pytest
+    with pytest.raises(ValueError):
+        parse_warc_http(df, fields=("nope",))

@@ -61,9 +61,17 @@ def test_canonicalizer_not_reinlined(spark, name):
 
 
 def test_resolved_outlinks_single_python_pass(spark):
-    """The href tokenizer (pandas UDF) must run once per row — a
-    non-outer explode or a filter referencing the UDF column doubles it
-    (memory: spark-plan-pitfalls #1)."""
+    """Tokenize+resolve+canonicalize run as ONE Python pass per row — a
+    non-outer explode or a filter referencing a UDF column doubles it
+    (memory: spark-plan-pitfalls #1).  The pass is a MapInPandas since the
+    fused resolve landed; count every Python-eval node kind so a second
+    boundary of ANY flavor trips the guard."""
     df = entry_mod.queries()["web_resolved_outlinks"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") == 1
+    n_python = (
+        plan.count("ArrowEvalPython")
+        + plan.count("BatchEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("MapInArrow")
+    )
+    assert n_python == 1
