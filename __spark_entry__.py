@@ -5260,8 +5260,14 @@ def conv_context_fit(spark, sf_dir):
     turn alone over budget) occurs.  One conv_id window shuffle feeding
     a same-key aggregate; exact int64 arithmetic throughout."""
     from deepseek_ocr_rs_spark.operators.agentstats import context_window_fit
+    from deepseek_ocr_rs_spark.operators.rebalance import rebalance_for_arrow
 
-    turns = _events_as_agent_turns(_t(spark, sf_dir, "events")).withColumn(
+    # the 1..37x text expansion runs in the scan stage; a single-split
+    # local scan would expand 1M turns on one core — rebalance the SHORT
+    # rows first (no-op at cluster scale)
+    turns = rebalance_for_arrow(
+        _events_as_agent_turns(_t(spark, sf_dir, "events"))
+    ).withColumn(
         "text",
         F.repeat(
             F.concat(F.col("text"), F.lit(" ")),

@@ -276,6 +276,11 @@ def scrub_secrets(df: DataFrame, text_col: str = "text") -> DataFrame:
     pattern — same running-text/count-before-replace contract as
     ``redact_pii`` (placeholders match no pattern, so the scrub is
     idempotent).  Pure JVM regexp chain: shuffle-free per-row map."""
+    from deepseek_ocr_rs_spark.operators.rebalance import rebalance_for_arrow
+
+    # the regexp chain is CPU-bound per row; a single-split local scan
+    # would run it on one core (no-op at cluster scale)
+    df = rebalance_for_arrow(df)
     running: Column = F.col(text_col)
     counts = {}
     for name, pat, repl in SECRET_PATTERNS:

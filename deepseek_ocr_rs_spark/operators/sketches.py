@@ -265,6 +265,11 @@ def cm_counters(
     df: DataFrame, key_col: str, d: int = 4, w: int = 256, seed: int = 42
 ) -> DataFrame:
     """(row, bucket, cnt): the d x w exact-integer counter matrix."""
+    from deepseek_ocr_rs_spark.operators.rebalance import rebalance_for_arrow
+
+    # d x rows md5 digests are CPU-bound; spread a single-split local
+    # scan over the session's cores (no-op at cluster scale)
+    df = rebalance_for_arrow(df.select(key_col))
     rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row")
     return (
         df.where(F.col(key_col).isNotNull())

@@ -69,6 +69,11 @@ def corrupt_spans(
         f"CASE WHEN size(_toks) = 0 THEN cast(array() as array<int>) "
         f"ELSE sequence(0, cast((size(_toks) - 1) / {block} as int)) END"
     )
+    from deepseek_ocr_rs_spark.operators.rebalance import rebalance_for_arrow
+
+    # the interpreted slice/transform lambdas are CPU-bound per row;
+    # spread a single-split local scan (no-op at cluster scale)
+    df = rebalance_for_arrow(df)
     toked = df.select(
         F.col(id_col),
         F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias(

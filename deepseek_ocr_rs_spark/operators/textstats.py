@@ -376,6 +376,11 @@ def with_lexical_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
     (basis points, exact integer div; 0 for token-less docs, NULL for
     NULL text).
     """
+    from deepseek_ocr_rs_spark.operators.rebalance import rebalance_for_arrow
+
+    # the sort+fold per row is CPU-bound; spread a single-split local
+    # scan over the session's cores (no-op at cluster scale)
+    df = rebalance_for_arrow(df)
     toks = F.when(
         F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
     ).otherwise(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
@@ -478,6 +483,11 @@ def code_switching(
     (id, lang) counts, then the per-id argmax via min(struct(-n, lang))
     (the t_best_supplier argmin discipline, no window, no self-join).
     """
+    from deepseek_ocr_rs_spark.operators.rebalance import rebalance_for_arrow
+
+    # the classifier batch kernel inherits the scan's split count; a
+    # single-split local scan would starve it (no-op at cluster scale)
+    segments = rebalance_for_arrow(segments)
     seg_langs = segments.select(
         F.col(id_col), lang_id_udf()(F.col(text_col)).alias("lang")
     )

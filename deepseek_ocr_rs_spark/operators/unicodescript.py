@@ -54,6 +54,11 @@ def script_profile(
 ) -> DataFrame:
     """(id, n_latin, n_cyrillic, n_cjk, n_arabic, n_greek,
     n_other_letters, major_script, major_bp) per document."""
+    from deepseek_ocr_rs_spark.operators.rebalance import rebalance_for_arrow
+
+    # per-codepoint regexp counting is CPU-bound; spread a single-split
+    # local scan over the session's cores (no-op at cluster scale)
+    df = rebalance_for_arrow(df)
     t = F.col(text_col)
     counts = {
         f"n_{name}": _range_count(t, cls) for name, cls in SCRIPT_CLASSES

@@ -391,28 +391,56 @@ def outlinks(
     inside a ``transform`` lambda on the href array — JVM-side, before
     the explode, so dropped links never become rows.
     """
-    withh = extract_hrefs(
-        df.select(id_col, text_col), text_col=text_col
-    ).select(
-        id_col,
-        F.filter(
-            F.transform("hrefs", lambda h: canonical_url_col(h)),
-            lambda c: c.isNotNull(),
-        ).alias("kept"),
+    # r06 kernel: tokenize + canonicalize in ONE Arrow pass (guide §4.2)
+    # — the hrefs already come out of the Python tokenizer, so
+    # canonicalizing there costs no new boundary, while the old JVM
+    # ``transform`` lambda ran the ~15-op canonicalizer INTERPRETED per
+    # array element (higher-order lambdas never enter codegen).  The
+    # Python canonicalizer replica is parity-pinned against
+    # canonical_url_col in tests/test_urls.py; same discipline as
+    # :func:`resolved_outlinks` below.
+    from deepseek_ocr_rs_spark.functions.tokenizer import (
+        decode_entities,
+        tokenize_html_fast,
     )
-    # posexplode_outer, NOT posexplode: the non-outer form makes Catalyst
-    # push an implicit `size(kept) > 0` filter BELOW the Generate, and
-    # because `kept` references the pandas UDF output the tokenizer would
-    # be evaluated twice per row (one ArrowEvalPython for the filter, one
-    # for the projection).  Outer explode keeps a single UDF pass; the
-    # empty-array placeholder rows drop in a JVM-side null filter above.
-    return (
-        withh.select(
-            id_col,
-            F.posexplode_outer("kept").alias("link_pos", "url_canon"),
-        )
-        .where(F.col("url_canon").isNotNull())
-        .withColumn("host", host_of_canonical_col(F.col("url_canon")))
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(batches):
+        for pdf in batches:
+            ids, poss, canons, hosts = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[text_col]):
+                pos = 0
+                if payload:
+                    for ev in tokenize_html_fast(payload):
+                        if ev[0] == "open" and ev[1] == "a":
+                            href = ev[2].get("href")
+                            if not href:
+                                continue
+                            c = canonicalize_url_py(decode_entities(href))
+                            if c is None:
+                                continue
+                            ids.append(did)
+                            poss.append(pos)
+                            canons.append(c)
+                            hosts.append(host_of_canonical_py(c))
+                            pos += 1
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "link_pos": poss,
+                    "url_canon": canons,
+                    "host": hosts,
+                }
+            )
+
+    return rebalance_for_arrow(df.select(id_col, text_col)).mapInPandas(
+        run,
+        schema=f"{id_col} {id_type}, link_pos int, url_canon string, "
+               f"host string",
     )
 
 

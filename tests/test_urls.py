@@ -222,3 +222,48 @@ def test_crawl_trap_templates(spark):
     assert out[("t.com", "/post/alpha")] == (1, False)
     assert out[("t.com", "/post/beta")] == (1, False)
     assert len(out) == 4  # junk rows dropped, no stray templates
+
+
+def test_outlinks_fused_pass_equals_jvm_chain(spark):
+    """The fused tokenize+canonicalize Python pass must be row-identical
+    to the old extract_hrefs -> JVM transform(canonical_url_col) chain on
+    hostile markup (comments, scripts, entities, schemes, NULL/empty)."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_rs_spark.operators.urls import (
+        canonical_url_col,
+        extract_hrefs,
+        host_of_canonical_col,
+        outlinks,
+    )
+
+    hostile = [
+        ("d1", '<a href="https://WWW.Ex.com.:443/a/../b?utm_source=x&z=1&a=2#f">k</a>'
+               '<a href="/rel">drop</a><a href="mailto:x@y">drop</a>'
+               '<!-- <a href="http://c.com/x">hidden</a> --><a>no-href</a>'
+               '<a href="HTTP://UPPER.COM/P">keep</a>'),
+        ("d2", '<a href="https://a&amp;b.com/q?b=2&amp;a=1">ent</a>'),
+        ("d3", ""), ("d4", None),
+        ("d6", '<a href="ftp://files.com/x">drop</a><a href="https://ok.io">k</a>'),
+    ]
+    df = spark.createDataFrame(hostile, "conv_id string, text string")
+    new = sorted(map(tuple, outlinks(df).collect()))
+    withh = extract_hrefs(df.select("conv_id", "text")).select(
+        "conv_id",
+        F.filter(
+            F.transform("hrefs", lambda h: canonical_url_col(h)),
+            lambda c: c.isNotNull(),
+        ).alias("kept"),
+    )
+    old = sorted(map(tuple, (
+        withh.select(
+            "conv_id",
+            F.posexplode_outer("kept").alias("link_pos", "url_canon"),
+        )
+        .where(F.col("url_canon").isNotNull())
+        .withColumn("host", host_of_canonical_col(F.col("url_canon")))
+        .collect()
+    )))
+    # d2's decoded host 'a&b.com' fails the [a-z0-9.-] host check in
+    # BOTH engines, so 3 links survive: d1 x2 + d6 x1
+    assert new == old and len(new) == 3
