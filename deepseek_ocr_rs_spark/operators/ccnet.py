@@ -110,7 +110,7 @@ def ccnet_buckets(
     ).mapInPandas(
         chunk,
         schema=f"{id_col} {id_type}, lang string, pos int, span string",
-    )
+    ).persist()  # branches: n_paras count AND the keep-first window
     n_paras = spans.groupBy(id_col).agg(F.count("*").alias("n_paras"))
 
     w = Window.partitionBy(F.md5("span")).orderBy(id_col, "pos")
@@ -178,6 +178,10 @@ def ccnet_buckets(
             "bin",
             F.expr(f"({BINS}L * _ssum) div (n_bigrams * {SCALE}L)"),
         )
+        # branches: the histogram/quantile cut AND the output join — an
+        # unpersisted scored would re-run the model join + aggregate per
+        # branch (guide §1.2); one row per (doc, lang), tiny
+        .persist()
     )
 
     # bounded per-language histogram -> 1/3 and 2/3 quantile bins

@@ -634,6 +634,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
 
     ``return_rounds=True`` returns (labels_df, n_rounds) for convergence
     tests."""
+    # materialize the caller's pair chain ONCE: both the edge list and
+    # all_nodes (and through it the final label join) branch from it, so
+    # an expensive upstream — e.g. the MinHash+LSH banding that feeds
+    # dedup_components — would otherwise execute once per branch
+    # (guide §1.2; the pair set is ids-only, so this is a tiny
+    # materialization)
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     # directed large -> small, deduplicated; self-loops dropped
     e = (
         pairs.select(

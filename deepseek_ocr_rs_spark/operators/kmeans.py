@@ -196,6 +196,13 @@ def kmeans_assign(
     # DuckDB NULLS LAST) and NULL vectors poison the distance fold —
     # exclude both, mirrored in the oracle's WHERE
     df = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+    from deepseek_ocr_rs_spark.operators.rebalance import rebalance_for_arrow
+
+    # one narrow exchange before the loop: every round's Python assign
+    # pass and the interpreted member-mean fold otherwise inherit the
+    # single local parquet split and run serially (no-op at cluster
+    # scale)
+    df = rebalance_for_arrow(df)
     centroids = seed_centroids(df, k, id_col, vec_col)
     # Driver-side Lloyd loop over a k-row centroid collect per round (the
     # BPE one-row-per-round discipline): each round's assignment runs

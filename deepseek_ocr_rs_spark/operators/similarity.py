@@ -63,7 +63,13 @@ def _nonzero_norm(df: DataFrame, vec_col: str) -> DataFrame:
     similarity participant — the vector analog of dedup's _drop_wordless.
     Map-side predicate, no shuffle; every oracle applies the identical
     filter."""
-    return df.where(
+    from deepseek_ocr_rs_spark.operators.rebalance import rebalance_for_arrow
+
+    # every embeddings-tier plan enters through this filter; the local
+    # embeddings table is one parquet split, which would serialize the
+    # interpreted norm fold AND every downstream signature/cosine stage
+    # (no-op at cluster scale — guide §2)
+    return rebalance_for_arrow(df).where(
         F.aggregate(F.col(vec_col), F.lit(0.0),
                     lambda acc, x: acc + x.cast("double") * x.cast("double"))
         > 0
