@@ -147,7 +147,7 @@ def latest_captures(
     # precompiled Python regexes (guide §4.2); rejected URLs drop
     # inside the same pass.  Three-way parity for the Python replica is
     # pinned in tests/test_urls.py.
-    import pandas as pd
+    import pyarrow as pa
 
     from deepseek_ocr_rs_spark.operators.urls import (
         canonicalize_url_py,
@@ -156,18 +156,31 @@ def latest_captures(
 
     ts_type = dict(df.dtypes)[ts_col]
 
+    # mapInArrow, not mapInPandas: the canonicalize+surt kernel is ~3 us
+    # per row but the pandas round trip (Series object churn, iloc fancy
+    # indexing, DataFrame assembly, timestamp conversion) cost ~20 us per
+    # row on top — Arrow-native take() keeps the ts/digest columns in
+    # their buffers (guide §4.2)
     def keyer(batches):
-        for pdf in batches:
-            canon = [canonicalize_url_py(u) for u in pdf[url_col]]
+        for batch in batches:
+            canon = [
+                canonicalize_url_py(u)
+                for u in batch.column(0).to_pylist()
+            ]
             keep = [i for i, c in enumerate(canon) if c is not None]
             kept = [canon[i] for i in keep]
-            yield pd.DataFrame(
-                {
-                    "surt": [surt_from_canonical_py(c) for c in kept],
-                    "_ts": pdf[ts_col].iloc[keep].to_numpy(),
-                    "_dg": pdf[digest_col].iloc[keep].to_numpy(),
-                    "_url": kept,
-                }
+            idx = pa.array(keep, type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        [surt_from_canonical_py(c) for c in kept],
+                        type=pa.string(),
+                    ),
+                    batch.column(1).take(idx),
+                    batch.column(2).take(idx),
+                    pa.array(kept, type=pa.string()),
+                ],
+                names=["surt", "_ts", "_dg", "_url"],
             )
 
     from deepseek_ocr_rs_spark.operators.rebalance import (
@@ -176,7 +189,7 @@ def latest_captures(
 
     keyed = rebalance_for_arrow(
         df.select(url_col, ts_col, digest_col)
-    ).mapInPandas(
+    ).mapInArrow(
         keyer,
         schema=f"surt string, _ts {ts_type}, _dg string, _url string",
     )

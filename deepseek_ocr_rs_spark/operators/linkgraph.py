@@ -218,6 +218,7 @@ def hits(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()  # referenced twice per round (a_full and h_full)
     )
     e_src = e.repartition("src").persist()
     e_dst = e.repartition("dst").persist()
@@ -231,7 +232,7 @@ def hits(
         )
         a_full = nodes.join(a_raw, nodes.node == a_raw.dst, "left").select(
             "node", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
-        )
+        ).persist()  # max-scalar crossJoin references this subtree twice
         a_max = a_full.agg(
             F.greatest(F.max("raw"), F.lit(1)).alias("mx")
         )
@@ -248,7 +249,7 @@ def hits(
         )
         h_full = nodes.join(h_raw, nodes.node == h_raw.src, "left").select(
             "node", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
-        )
+        ).persist()  # same two-reference shape as a_full
         h_max = h_full.agg(
             F.greatest(F.max("raw"), F.lit(1)).alias("mx")
         )

@@ -170,9 +170,15 @@ def extract_page_metadata(
 ) -> DataFrame:
     """Add ``out_col`` struct<title,description,author,og_title,og_url,
     canonical_href,html_lang> extracted from the HTML payload column."""
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
     schema = ", ".join(f"{f} string" for f in METADATA_FIELDS)
     udf = F.pandas_udf(_metadata_batches, f"struct<{schema}>")
-    return df.withColumn(out_col, udf(F.col(text_col)))
+    # the tokenizer fold is CPU-bound; a single-split local scan would
+    # run it on one core (no-op at cluster scale)
+    return rebalance_for_arrow(df).withColumn(out_col, udf(F.col(text_col)))
 
 
 def robots_noindex_col(robots) -> "F.Column":

@@ -111,16 +111,30 @@ def classify_language_batch(texts) -> list:
     joined = "\x00".join(prefixes)
     langs = [""] * n_docs
     if joined:
-        cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        # trailing sentinel keeps every reduceat index < len(cps)
+        cps = np.frombuffer(
+            (joined + "\x00").encode("utf-32-le"), dtype=np.uint32
+        )
         lens = np.fromiter((len(p) for p in prefixes), dtype=np.int64,
                            count=n_docs)
         bounds = np.concatenate(([0], np.cumsum(lens + 1)[:-1]))
+        # [start0, end0, start1, end1, ...] — segment sums land at the
+        # even reduceat outputs; the odd outputs (separator gaps) drop
+        seg_idx = np.empty(2 * n_docs, dtype=np.int64)
+        seg_idx[0::2] = bounds
+        seg_idx[1::2] = bounds + lens
+        empty = lens == 0
 
         def seg_count(lo: int, hi: int) -> np.ndarray:
-            # prefix-sum trick: count-in-range per segment in O(total)
-            mask = ((cps >= lo) & (cps <= hi)).astype(np.int64)
-            cs = np.concatenate(([0], np.cumsum(mask)))
-            return cs[bounds + lens] - cs[bounds]
+            # one reduceat over the bool mask: same exact counts as the
+            # old astype(int64)+cumsum prefix-sum trick but without the
+            # two full-length int64 temporaries (3x less memory traffic
+            # on a ~100M-char batch).  reduceat at an empty segment
+            # (start == end) returns mask[start], so zero those after.
+            mask = (cps >= lo) & (cps <= hi)
+            c = np.add.reduceat(mask, seg_idx, dtype=np.int64)[0::2]
+            c[empty] = 0
+            return c
 
         cjk = seg_count(*_CJK)
         kana = seg_count(*_KANA)
@@ -147,8 +161,11 @@ def classify_language_batch(texts) -> list:
             continue
         padded = " " + (texts[i] or "")[:4000].lower() + " "
         best, best_n = "und", 0
+        count = padded.count
         for lang in marker_langs:
-            n = sum(padded.count(m) for m in _LANG_MARKERS[lang])
+            n = 0
+            for m in _LANG_MARKERS[lang]:
+                n += count(m)
             if n > best_n:
                 best, best_n = lang, n
         langs[i] = best

@@ -47,6 +47,11 @@ def tfidf_topk(
     Tokenization is lowercase whitespace splitting (the corpus-stats
     convention of operators/textstats.py).
     """
+    from deepseek_ocr_rs_spark.operators.rebalance import rebalance_for_arrow
+
+    # the token explode runs in the scan stage; a single-split local scan
+    # would serialize it (no-op at cluster scale)
+    df = rebalance_for_arrow(df)
     words = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),

@@ -125,40 +125,64 @@ _PY_FRAG = _re.compile(r"#.*$")
 _PY_SURT_HOSTPORT = _re.compile(r"^https?://([^/]*)")
 
 
+_PY_CANON_FULL = _re.compile(r"^(https?)://([^/?#]*)([^?#]*)", _re.I)
+
+
 def canonicalize_url_py(url):
-    """Python replica of :func:`canonical_url_col` (None for rejects)."""
+    """Python replica of :func:`canonical_url_col` (None for rejects).
+
+    r06 kernel: one fused anchored regex yields scheme/authority/path in
+    a single pass (the old shape ran ~8 separate regex ops per URL and
+    dominated the latest_captures Arrow stage); the query still uses the
+    original ``\\?(.*)$`` extraction so newline edge semantics are
+    bit-identical.  Equality with the old shape is pinned in
+    tests/test_urls.py over the hostile corpus + random fuzz.
+    """
     if url is None:
         return None
     u = url.strip(" ")
+    # fragment strip stays the regex: '#.*$' deliberately shares the
+    # no-DOTALL/no-MULTILINE newline semantics of the JVM and DuckDB
+    # replicas (a '#' whose tail contains an interior newline is NOT a
+    # fragment in any of the three engines)
     base = _PY_FRAG.sub("", u)
-    m = _PY_SCHEME.search(base)
-    scheme = m.group(1).lower() if m else ""
-    m = _PY_AUTH.search(base)
-    auth = (m.group(1) if m else "").split("@")[-1]
-    host = _PY_HOST_HEAD.match(auth).group(1).lower()
+    # prefix ^https?:// on the fragment-stripped base is equivalent to
+    # the old ABS_HTTP check on u: '#' cannot occur inside the prefix
+    m = _PY_CANON_FULL.match(base)
+    if m is None:
+        return None
+    auth = m.group(2)
+    at = auth.rfind("@")
+    if at >= 0:
+        auth = auth[at + 1:]
+    c = auth.find(":")
+    host = (auth[:c] if c >= 0 else auth).lower()
     if host.endswith("."):
         host = host[:-1]
     if host.startswith("www."):
         host = host[4:]
-    m = _PY_PORT.search(auth)
-    port = m.group(1) if m else ""
-    if not (_PY_ABS_HTTP.search(u) and _PY_HOST_OK.search(host)):
+    if not _PY_HOST_OK.match(host):
         return None
-    default_port = (scheme == "http" and port == "80") or (
-        scheme == "https" and port == "443"
-    )
-    port_part = ":" + port if (port and not default_port) else ""
-    m = _PY_PATH.search(base)
-    path = m.group(1) if m else ""
-    if path == "":
-        path = "/"
-    m = _PY_QUERY.search(base)
-    query = m.group(1) if m else ""
-    params = [
-        p for p in query.split("&") if p != "" and not _PY_TRACKING.search(p)
-    ]
-    q = "&".join(sorted(params))
-    q_part = "?" + q if q else ""
+    scheme = m.group(1).lower()
+    pm = _PY_PORT.search(auth)
+    port = pm.group(1) if pm else ""
+    if port and not (
+        (scheme == "http" and port == "80")
+        or (scheme == "https" and port == "443")
+    ):
+        port_part = ":" + port
+    else:
+        port_part = ""
+    path = m.group(3) or "/"
+    qm = _PY_QUERY.search(base)
+    if qm:
+        params = sorted(
+            p for p in qm.group(1).split("&")
+            if p != "" and not _PY_TRACKING.search(p)
+        )
+        q_part = "?" + "&".join(params) if params else ""
+    else:
+        q_part = ""
     return f"{scheme}://{host}{port_part}{path}{q_part}"
 
 
@@ -248,15 +272,27 @@ def host_of_canonical_py(c):
 
 
 def surt_from_canonical_py(c):
-    """Python replica of :func:`~.cdx.surt_key_from_canonical_col`."""
+    """Python replica of :func:`~.cdx.surt_key_from_canonical_col`.
+
+    String finds instead of the three regex ops of the old shape — the
+    canonical form always carries ``scheme://host[:port]/path`` so the
+    first ``/`` after the authority splits hostport from rest exactly
+    where ``^https?://([^/]*)`` did; non-canonical input degrades to the
+    same empty-hostport fold the regex produced."""
     if c is None:
         return None
-    m = _PY_SURT_HOSTPORT.search(c)
-    hostport = m.group(1) if m else ""
-    host = hostport.split(":")[0]
-    m = _PY_PORT.search(hostport)
-    port = m.group(1) if m else ""
-    rest = _PY_SURT_HOSTPORT.sub("", c)
+    m = _PY_ABS_HTTP.match(c)
+    if m:
+        a = m.end()
+        sl = c.find("/", a)
+        hostport = c[a:] if sl < 0 else c[a:sl]
+        rest = "" if sl < 0 else c[sl:]
+    else:
+        hostport, rest = "", c
+    cpos = hostport.find(":")
+    host = hostport[:cpos] if cpos >= 0 else hostport
+    pm = _PY_PORT.search(hostport)
+    port = pm.group(1) if pm else ""
     return (
         ",".join(reversed(host.split(".")))
         + (":" + port if port else "")

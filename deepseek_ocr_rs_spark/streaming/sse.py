@@ -63,11 +63,10 @@ def sse_event_frames(
     )
 
     w_seq = Window.partitionBy("conv_id").orderBy("seq")
-    w_all = (
-        Window.partitionBy("conv_id")
-        .orderBy("seq")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
+    # the delta rank is the only per-row window; the conversation's full
+    # text moves into the per-conv aggregate below (the old unbounded
+    # window materialized the whole concatenation ON EVERY ROW, and the
+    # enriched subtree fed four output branches unpersisted — guide §1.2)
     enriched = dedup.select(
         "conv_id",
         "seq",
@@ -76,23 +75,7 @@ def sse_event_frames(
         F.sum(F.when(F.col("delta") != "", 1).otherwise(0))
         .over(w_seq)
         .alias("emit_rank"),
-        F.concat_ws("", F.collect_list("delta").over(w_all)).alias("full_text"),
-    )
-
-    created = (
-        enriched.groupBy("conv_id")
-        .agg(F.lit(1).alias("_one"))
-        .select(
-            "conv_id",
-            F.lit(0).alias("frame_idx"),
-            F.lit("chat.completion.chunk" if is_chat else EVENT_CREATED)
-            .alias("event_type"),
-            (F.lit("assistant") if is_chat else F.lit(None).cast("string"))
-            .alias("role"),
-            F.lit(None).cast("string").alias("payload"),
-            F.lit(None).cast("string").alias("finish_reason"),
-        )
-    )
+    ).persist()  # branches: delta_frames AND the per-conv rollup
 
     delta_frames = enriched.where(F.col("delta") != "").select(
         "conv_id",
@@ -103,10 +86,34 @@ def sse_event_frames(
         F.lit(None).cast("string").alias("finish_reason"),
     )
 
+    # full_text = seq-ordered concat (seq is unique after the dedup
+    # aggregate, so the sort order — and the emitted value — is exactly
+    # the old window concat's); NULL unless the conversation has a final
+    # row, matching max(when(is_final, full_text)) over the old shape
     n_deltas = enriched.groupBy("conv_id").agg(
         F.sum(F.when(F.col("delta") != "", 1).otherwise(0)).alias("n_emitted"),
-        F.max(F.when(F.col("is_final"), F.col("full_text"))).alias("full_text"),
+        F.when(
+            F.max("is_final"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "delta"))),
+                    lambda s: s["delta"],
+                ),
+            ),
+        ).alias("full_text"),
         F.max("is_final").alias("any_final"),
+    ).persist()  # branches: created, completed, done
+
+    created = n_deltas.select(
+        "conv_id",
+        F.lit(0).alias("frame_idx"),
+        F.lit("chat.completion.chunk" if is_chat else EVENT_CREATED)
+        .alias("event_type"),
+        (F.lit("assistant") if is_chat else F.lit(None).cast("string"))
+        .alias("role"),
+        F.lit(None).cast("string").alias("payload"),
+        F.lit(None).cast("string").alias("finish_reason"),
     )
     completed = n_deltas.where("any_final").select(
         "conv_id",

@@ -274,3 +274,71 @@ class TestLexicalDiversity:
             ).fetchall()
         )
         assert got == want
+
+
+def test_classify_language_batch_reduceat_matches_reference():
+    """The reduceat-based script counting must equal the original
+    astype+cumsum prefix-sum shape on empty docs, separators, boundary
+    codepoints and mixed scripts."""
+    import random
+
+    import numpy as np
+
+    from deepseek_ocr_rs_spark.operators import textstats as T
+
+    def ref(texts):
+        n_docs = len(texts)
+        prefixes = [(t or "")[:400] for t in texts]
+        joined = "\x00".join(prefixes)
+        langs = [""] * n_docs
+        if joined:
+            cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+            lens = np.fromiter((len(p) for p in prefixes), dtype=np.int64,
+                               count=n_docs)
+            bounds = np.concatenate(([0], np.cumsum(lens + 1)[:-1]))
+
+            def seg_count(lo, hi):
+                mask = ((cps >= lo) & (cps <= hi)).astype(np.int64)
+                cs = np.concatenate(([0], np.cumsum(mask)))
+                return cs[bounds + lens] - cs[bounds]
+
+            cjk = seg_count(*T._CJK)
+            kana = seg_count(*T._KANA)
+            hangul = seg_count(*T._HANGUL)
+            cyr = seg_count(*T._CYRILLIC)
+            for i in range(n_docs):
+                L = lens[i]
+                if L == 0:
+                    langs[i] = "und"
+                elif cjk[i] > L * 0.2:
+                    langs[i] = "zh"
+                elif kana[i] > 0:
+                    langs[i] = "ja"
+                elif hangul[i] > 0:
+                    langs[i] = "ko"
+                elif cyr[i] > L * 0.2:
+                    langs[i] = "ru"
+        else:
+            langs = ["und"] * n_docs
+        for i in range(n_docs):
+            if langs[i]:
+                continue
+            padded = " " + (texts[i] or "")[:4000].lower() + " "
+            best, best_n = "und", 0
+            for lang in sorted(T._LANG_MARKERS):
+                n = sum(padded.count(m) for m in T._LANG_MARKERS[lang])
+                if n > best_n:
+                    best, best_n = lang, n
+            langs[i] = best
+        return langs
+
+    random.seed(3)
+    cases = ["", None, "a", "中" * 5, "これは", "한국", "русский " * 30,
+             "the and of is", "der und die ist", "mixed 中文 the and",
+             "\x00odd", "x" * 399 + "中", chr(0x4E00), chr(0x9FFF),
+             chr(0x4DFF), chr(0xA000)]
+    cases += ["".join(random.choice("abc 中こ한р")
+                      for _ in range(random.randint(0, 500)))
+              for _ in range(500)]
+    assert T.classify_language_batch(cases) == ref(cases)
+    assert T.classify_language_batch([]) == []

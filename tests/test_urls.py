@@ -267,3 +267,76 @@ def test_outlinks_fused_pass_equals_jvm_chain(spark):
     # d2's decoded host 'a&b.com' fails the [a-z0-9.-] host check in
     # BOTH engines, so 3 links survive: d1 x2 + d6 x1
     assert new == old and len(new) == 3
+
+
+def test_canonicalize_py_fused_regex_matches_reference():
+    """The fused-regex canonicalize_url_py / find-based
+    surt_from_canonical_py must agree with the original multi-regex
+    reference on hostile cases + seeded fuzz (incl. interior newlines,
+    whose no-DOTALL '#.*$' semantics all three engines share)."""
+    import random
+    import re as _re
+
+    from deepseek_ocr_rs_spark.operators import urls as U
+
+    def ref_canon(url):
+        if url is None:
+            return None
+        u = url.strip(" ")
+        base = U._PY_FRAG.sub("", u)
+        m = U._PY_SCHEME.search(base)
+        scheme = m.group(1).lower() if m else ""
+        m = U._PY_AUTH.search(base)
+        auth = (m.group(1) if m else "").split("@")[-1]
+        host = U._PY_HOST_HEAD.match(auth).group(1).lower()
+        if host.endswith("."):
+            host = host[:-1]
+        if host.startswith("www."):
+            host = host[4:]
+        m = U._PY_PORT.search(auth)
+        port = m.group(1) if m else ""
+        if not (U._PY_ABS_HTTP.search(u) and U._PY_HOST_OK.search(host)):
+            return None
+        default_port = (scheme == "http" and port == "80") or (
+            scheme == "https" and port == "443")
+        port_part = ":" + port if (port and not default_port) else ""
+        m = U._PY_PATH.search(base)
+        path = m.group(1) if m else ""
+        if path == "":
+            path = "/"
+        m = U._PY_QUERY.search(base)
+        query = m.group(1) if m else ""
+        params = [p for p in query.split("&")
+                  if p != "" and not U._PY_TRACKING.search(p)]
+        q = "&".join(sorted(params))
+        return f"{scheme}://{host}{port_part}{path}{'?' + q if q else ''}"
+
+    def ref_surt(c):
+        m = U._PY_SURT_HOSTPORT.search(c)
+        hostport = m.group(1) if m else ""
+        host = hostport.split(":")[0]
+        m = U._PY_PORT.search(hostport)
+        port = m.group(1) if m else ""
+        rest = U._PY_SURT_HOSTPORT.sub("", c)
+        return (",".join(reversed(host.split(".")))
+                + (":" + port if port else "") + ")" + rest)
+
+    hostile = [
+        None, "", " ", "https://a.b/", "https://h.com#f?q=1",
+        "HTTP://WWW.EX.COM.:80/p?b=1&a=2&utm_source=x#f",
+        "https://u:p@h.com:8443/x", "https://a@b@c.com/p",
+        "http://h:80:90/x", "https://h.com/a b?x=\n&y=2",
+        "https://h.com/p?a#x\nz", "https://h.com/p#x\nz?later=1",
+        "https://x.com/?&&", "https://пример.рф/x", "https://h.com:/x",
+    ]
+    random.seed(9)
+    alphabet = "hw:/.@?#&=utm_sabc123%\n "
+    fuzz = ["http" + ("s" if random.random() < .5 else "") + "://" +
+            "".join(random.choice(alphabet)
+                    for _ in range(random.randint(0, 40)))
+            for _ in range(20000)]
+    for x in hostile + fuzz:
+        ref = ref_canon(x)
+        assert U.canonicalize_url_py(x) == ref, repr(x)
+        if ref is not None:
+            assert U.surt_from_canonical_py(ref) == ref_surt(ref), repr(ref)
