@@ -910,9 +910,12 @@ def doc_token_counts(spark, sf_dir):
 
 
 def doc_quality(spark, sf_dir):
+    from deepseek_ocr_rs_spark.operators.rebalance import rebalance_for_arrow
     from deepseek_ocr_rs_spark.operators.textstats import quality_cols
 
-    docs = _t(spark, sf_dir, "documents")
+    # the three quality regex chains are CPU-bound per row; spread the
+    # single-split local scan (no-op at cluster scale)
+    docs = rebalance_for_arrow(_t(spark, sf_dir, "documents"))
     punct, stop, mwl = quality_cols(F.col("text"))
     return docs.select("doc_id", punct, stop, mwl)
 

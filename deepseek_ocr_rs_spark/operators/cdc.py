@@ -126,7 +126,13 @@ def cdc_chunks(
         f"{id_col} long, chunk_idx long, start long, length long,"
         " chunk_md5 string"
     )
-    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
+    return rebalance_for_arrow(df.select(id_col, text_col)).mapInPandas(
+        run, schema=schema
+    )
 
 
 def cdc_chunks_oracle_sql(

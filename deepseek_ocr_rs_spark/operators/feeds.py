@@ -184,8 +184,15 @@ def parse_feeds(
     Returns ``id_cols + (feed_type, url, title, published, ordinal)``;
     files with zero kept entries contribute zero rows.
     """
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
     udf = F.pandas_udf(_feed_batches, _ENTRY_DDL)
-    entries = df.select(*id_cols, udf(F.col(xml_col)).alias("_entries"))
+    # single-split local scans starve the parser pass (no-op at scale)
+    entries = rebalance_for_arrow(df.select(*id_cols, xml_col)).select(
+        *id_cols, udf(F.col(xml_col)).alias("_entries")
+    )
     # explode_outer, NOT explode: the non-outer form makes Catalyst push
     # an implicit `size(_entries) > 0` filter below the Generate, and
     # because _entries is the pandas-UDF output the parser would run

@@ -92,8 +92,15 @@ def extract_hreflang(
     of a consistent cluster agree on it — no join needed).  Pages with
     no hreflang links contribute zero rows.
     """
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
     udf = F.pandas_udf(_hreflang_batches, _EDGE_DDL)
-    entries = df.select(*id_cols, udf(F.col(text_col)).alias("_edges"))
+    # single-split local scans starve the parser pass (no-op at scale)
+    entries = rebalance_for_arrow(df.select(*id_cols, text_col)).select(
+        *id_cols, udf(F.col(text_col)).alias("_edges")
+    )
     # explode_outer + null filter: one ArrowEvalPython (see feeds.py)
     e = F.explode_outer("_edges")
     return (

@@ -93,7 +93,13 @@ def parse_robots(
                     out["path_prefix"].append(prefix)
             yield pd.DataFrame(out)
 
-    return df.select(host_col, text_col).mapInPandas(_batches, RULES_SCHEMA)
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
+    return rebalance_for_arrow(df.select(host_col, text_col)).mapInPandas(
+        _batches, RULES_SCHEMA
+    )
 
 
 def robots_allowed(
@@ -126,7 +132,15 @@ def robots_allowed(
         )
         .select("host", "rule", "path_prefix")
     )
-    u = urls.withColumn("__uid", F.monotonically_increasing_id())
+    # materialize the uid ONCE: the verdict branch and the final re-join
+    # both reference u, and monotonically_increasing_id depends on the
+    # runtime partitioning — two independent executions of the subtree
+    # (each separately AQE-coalesced) can assign DIFFERENT ids to the
+    # same row, silently attaching verdicts to the wrong URLs.  The
+    # checkpoint also stops the upstream parse from running twice.
+    u = urls.withColumn(
+        "__uid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     joined = u.join(scoped, u[host_col] == scoped["host"], "left").where(
         scoped["host"].isNull()
         | F.col(path_col).startswith(F.col("path_prefix"))
@@ -190,6 +204,10 @@ def sitemap_directives(
                     n += 1
             yield pd.DataFrame(out)
 
-    return df.select(host_col, text_col).mapInPandas(
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
+    return rebalance_for_arrow(df.select(host_col, text_col)).mapInPandas(
         _batches, "host string, sitemap_url string, ordinal int"
     )

@@ -64,6 +64,11 @@ BM25_B = 0.75
 def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Lowercase whitespace tokens — the corpus-stats convention shared
     with operators/tfidf.py and operators/textstats.py."""
+    from deepseek_ocr_rs_spark.operators.rebalance import rebalance_for_arrow
+
+    # the token explode runs in the scan stage; spread a single-split
+    # local scan (no-op at cluster scale)
+    df = rebalance_for_arrow(df)
     return df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
@@ -290,7 +295,9 @@ def phrase_match(
     ptab = spark.createDataFrame(
         list(enumerate(terms)), "idx int, pterm string"
     )
-    toks = df.select(
+    from deepseek_ocr_rs_spark.operators.rebalance import rebalance_for_arrow
+
+    toks = rebalance_for_arrow(df).select(
         F.col(id_col),
         F.posexplode(
             F.filter(

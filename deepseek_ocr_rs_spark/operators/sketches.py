@@ -147,6 +147,11 @@ def bloom_build(
     """(word_idx, word): the filter's int64 words.  The k bit positions
     per item come from k independent md5 hashes (seed, seed+1, ...);
     result size is ceil(m_bits/64) rows — broadcast-sized."""
+    from deepseek_ocr_rs_spark.operators.rebalance import rebalance_for_arrow
+
+    # k md5 digests per item are CPU-bound; spread a single-split local
+    # scan (no-op at cluster scale)
+    df = rebalance_for_arrow(df.select(key_col))
     hashes = F.explode(
         F.array(*[F.lit(seed + i) for i in range(k)])
     ).alias("hseed")

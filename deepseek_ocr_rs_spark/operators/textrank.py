@@ -70,8 +70,12 @@ def textrank_terms(
 
     Returns (term, rank) with rank rounded to 6dp for display; ordering
     happens on the exact double (desc) with term asc tie-break."""
-    edges = word_adjacency_edges(df, id_col, text_col)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # loop-invariant tables: every iteration's contrib join references
+    # edges AND deg AND the prior ranks chain — unpersisted, the bigram
+    # Arrow pass + two distincts re-execute ~3x per iteration (~27x for
+    # the default 3 iterations; guide §1.2/§5)
+    edges = word_adjacency_edges(df, id_col, text_col).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
     n_nodes = deg.agg(F.count("*").cast("double").alias("n"))
     # rank_0 = 1/N for every vertex
     ranks = deg.crossJoin(F.broadcast(n_nodes)).select(

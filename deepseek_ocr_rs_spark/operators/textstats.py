@@ -40,6 +40,11 @@ def token_count_cols(text: Column):
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    from deepseek_ocr_rs_spark.operators.rebalance import rebalance_for_arrow
+
+    # regex token counting is CPU-bound per row; spread a single-split
+    # local scan (no-op at cluster scale)
+    df = rebalance_for_arrow(df)
     n_ws, n_bpe, n_chars = token_count_cols(F.col(text_col))
     return df.withColumns(
         {"n_ws_tokens": n_ws, "n_bpe_tokens": n_bpe, "n_chars_calc": n_chars}

@@ -71,48 +71,79 @@ def winnow_fingerprints(
     are not fingerprinted (identically on both engines).  Deterministic
     under any partitioning; ties pick the rightmost minimal hash (the
     paper's rule)."""
-    # guard BEFORE the explode: Spark's sequence(1, n) flips to a
-    # DESCENDING [1, 0] when n = 0 (step is inferred from the sign), so a
-    # doc shorter than k chars must never reach the transform
-    grams = (
-        df.where(F.char_length(F.lower(F.col(text_col))) >= k)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, "
-                    f"char_length(lower({text_col})) - {k - 1}), "
-                    f"i -> struct(i AS pos, "
-                    f"pmod(cast(conv(substring(md5(substring("
-                    f"lower({text_col}), i, {k})), 1, {_HEX_DIGITS}), "
-                    f"16, 10) AS bigint), {_H_MOD}L) AS h))"
+    # r06 kernel: the old JVM shape exploded one row per k-gram with an
+    # INTERPRETED per-element md5 transform (higher-order lambdas never
+    # codegen) and ran two windows over the gram table — ~10 us core
+    # time per gram.  The identical selection now runs in ONE Arrow pass
+    # per doc batch (guide §4.2): a per-batch gram -> hash memo (the
+    # synthetic and web corpora repeat grams heavily) bounds the md5
+    # count by DISTINCT grams, the window minimum is a numpy
+    # sliding_window_view reduction, and the per-doc distinct set is an
+    # np.unique — zero shuffles, no gram table ever materialized.
+    # Bit-exactness: hashlib.md5 over the UTF-8 bytes of the k-char
+    # substring == JVM md5(substring(...)); the packed-key arithmetic is
+    # copied verbatim (pinned against the old JVM shape in
+    # tests/test_winnow.py).
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def fingerprint(batches):
+        for pdf in batches:
+            memo: dict = {}
+            ids, poss, hashes = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = (text or "").lower()
+                n = len(t) - (k - 1)
+                if n < 1:
+                    continue
+                n = min(n, _POS_MOD - 1)  # the pos < _POS_MOD guard
+                if n < w:
+                    continue  # no full w-gram window exists
+                hs = np.empty(n, dtype=np.int64)
+                for i in range(n):
+                    g = t[i:i + k]
+                    h = memo.get(g)
+                    if h is None:
+                        h = int(
+                            hashlib.md5(g.encode("utf-8"))
+                            .hexdigest()[:_HEX_DIGITS], 16
+                        ) % _H_MOD
+                        memo[g] = h
+                    hs[i] = h
+                pos = np.arange(1, n + 1, dtype=np.int64)
+                key = hs * _POS_MOD + (_POS_MOD - 1 - pos)
+                sel = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(key, w)
+                    .min(axis=1)
                 )
-            ).alias("g"),
-        )
-        .select(id_col, "g.pos", "g.h")
-        .where(F.col("pos") < _POS_MOD)
-    )
-    key = (F.col("h") * F.lit(_POS_MOD).cast("long")
-           + (F.lit(_POS_MOD - 1) - F.col("pos")))
-    frame = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    whole_doc = Window.partitionBy(id_col)
-    return (
-        grams.withColumn("_key", key)
-        .withColumn("_sel", F.min("_key").over(frame))
-        .withColumn("_n", F.max("pos").over(whole_doc))
-        # full windows only: window start s has rows s..s+w-1 available
-        .where(F.col("pos") + (w - 1) <= F.col("_n"))
-        .select(
-            F.col(id_col),
-            (F.lit(_POS_MOD - 1) - F.col("_sel") % _POS_MOD)
-            .cast("int").alias("fp_pos"),
-            F.expr(f"_sel div {_POS_MOD}L").cast("long").alias("fp_hash"),
-        )
-        .distinct()
+                ids.extend([did] * len(sel))
+                poss.append(_POS_MOD - 1 - (sel % _POS_MOD))
+                hashes.append(sel // _POS_MOD)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "fp_pos": (
+                        np.concatenate(poss).astype(np.int32)
+                        if poss else np.array([], dtype=np.int32)
+                    ),
+                    "fp_hash": (
+                        np.concatenate(hashes)
+                        if hashes else np.array([], dtype=np.int64)
+                    ),
+                }
+            )
+
+    return rebalance_for_arrow(df.select(id_col, text_col)).mapInPandas(
+        fingerprint,
+        schema=f"{id_col} {id_type}, fp_pos int, fp_hash long",
     )
 
 

@@ -106,3 +106,29 @@ def test_duplicate_urls_keep_their_rows(spark):
     )
     out = robots_allowed(u, rules, "somebot").collect()
     assert len(out) == 3 and all(r["allowed"] is False for r in out)
+
+
+def test_robots_allowed_deterministic_under_hostile_partitioning(spark):
+    """The verdict/uid correlation must hold whatever the partitioning:
+    monotonically_increasing_id is partition-dependent, and before the
+    uid table was checkpointed two independent executions of the urls
+    subtree (one per join branch) could disagree — attaching verdicts to
+    the WRONG urls."""
+    from deepseek_ocr_rs_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"u{i}", "h.com", "/d/x" if i % 3 == 0 else "/p/x")
+         for i in range(300)],
+        "url string, host string, path string",
+    ).repartition(7)
+    rules = parse_robots(spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /d/\n")],
+        "host string, robots_txt string",
+    ))
+    for _ in range(3):
+        got = {r.url: r.allowed
+               for r in robots_allowed(urls, rules, "bot").collect()}
+        assert all((not v) == (int(k[1:]) % 3 == 0) for k, v in got.items())

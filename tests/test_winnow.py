@@ -147,3 +147,61 @@ def test_matches_empty_on_disjoint_corpus(spark):
     rows = [(i, f"doc{i}word{i} " * 8) for i in range(1, 6)]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     assert winnow_matches(df, "doc_id", "text", min_shared=2).count() == 0
+
+
+def test_fingerprints_kernel_matches_old_jvm_shape(spark):
+    """The Arrow fingerprint kernel (md5 memo + sliding-window min) must
+    be row-identical to the original explode+window JVM selection on
+    hostile docs: NULL/empty, below-k, no-full-window, uniform, unicode,
+    repetitive."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_rs_spark.operators.winnow import (
+        _H_MOD,
+        _HEX_DIGITS,
+        _POS_MOD,
+        winnow_fingerprints,
+    )
+
+    k, w = 8, 16
+    docs = [
+        (1, None), (2, ""), (3, "short"), (4, "x" * 7), (5, "x" * 8),
+        (6, "x" * 23), (7, "a" * 24), (8, "abcdefgh" * 40),
+        (9, "Mixed CASE with UNICODE café née 中文 to fingerprint"),
+        (10, "the and of is " * 30), (11, "\n\t ws\n doc \n" * 10),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    new = sorted(map(tuple, winnow_fingerprints(df, k=k, w=w).collect()))
+    grams = (
+        df.where(F.char_length(F.lower(F.col("text"))) >= k)
+        .select(F.col("doc_id"), F.explode(F.expr(
+            f"transform(sequence(1, char_length(lower(text)) - {k - 1}),"
+            f" i -> struct(i AS pos, pmod(cast(conv(substring(md5("
+            f"substring(lower(text), i, {k})), 1, {_HEX_DIGITS}), 16, 10)"
+            f" AS bigint), {_H_MOD}L) AS h))")).alias("g"))
+        .select("doc_id", "g.pos", "g.h")
+        .where(F.col("pos") < _POS_MOD)
+    )
+    keyc = (F.col("h") * F.lit(_POS_MOD).cast("long")
+            + (F.lit(_POS_MOD - 1) - F.col("pos")))
+    frame = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.currentRow, w - 1))
+    old = sorted(map(tuple, (
+        grams.withColumn("_key", keyc)
+        .withColumn("_sel", F.min("_key").over(frame))
+        .withColumn("_n", F.max("pos").over(Window.partitionBy("doc_id")))
+        .where(F.col("pos") + (w - 1) <= F.col("_n"))
+        .select(
+            "doc_id",
+            (F.lit(_POS_MOD - 1) - F.col("_sel") % _POS_MOD)
+            .cast("int").alias("fp_pos"),
+            F.expr(f"_sel div {_POS_MOD}L").cast("long").alias("fp_hash"),
+        )
+        .distinct()
+    ).collect()))
+    assert new == old and len(new) > 0
+    rep = sorted(map(tuple,
+                     winnow_fingerprints(df.repartition(5), k=k, w=w)
+                     .collect()))
+    assert rep == new
