@@ -3645,7 +3645,8 @@ def pipeline_discovery_schedule(spark, sf_dir):
         "url",
         F.regexp_extract("url", r"^https://([^/]+)", 1).alias("host"),
         F.regexp_replace("url", r"^https://[^/]+", "").alias("path"),
-    )
+    ).persist()  # branches: robots_bodies AND the frontier urls — the
+    # two XML parse passes would otherwise execute once per branch
 
     robots_bodies = (
         discovered.select("host")

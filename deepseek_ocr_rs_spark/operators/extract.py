@@ -167,7 +167,14 @@ def extract_turns(
                 [(rid or "", pid, conv_min, conv_max, n_turns, "done")]
             )
 
-    pruned = df.select("conv_id", "turn_idx", "text")
+    from deepseek_ocr_rs_spark.operators.rebalance import (
+        rebalance_for_arrow,
+    )
+
+    # no-op for the headline path (already range-partitioned to 2x cores)
+    # and for streaming/multi-split inputs; spreads the doc-fixture gate
+    # queries whose single parquet split would starve the extractor
+    pruned = rebalance_for_arrow(df.select("conv_id", "turn_idx", "text"))
     flat = pruned.mapInArrow(run, schema=flat_spark_schema)
     # lazy JVM-side struct assembly (arrays_zip IS whole-stage-codegen'd —
     # a transform() lambda here would drop to interpreted evaluation, ~3x

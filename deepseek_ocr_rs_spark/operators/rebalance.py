@@ -25,6 +25,8 @@ __all__ = ["rebalance_for_arrow"]
 
 def rebalance_for_arrow(df: DataFrame) -> DataFrame:
     """Round-robin ``df`` up to defaultParallelism iff it is narrower."""
+    if df.isStreaming:  # .rdd is illegal on a streaming plan; leave as-is
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:

@@ -93,13 +93,10 @@ def parse_robots(
                     out["path_prefix"].append(prefix)
             yield pd.DataFrame(out)
 
-    from deepseek_ocr_rs_spark.operators.rebalance import (
-        rebalance_for_arrow,
-    )
-
-    return rebalance_for_arrow(df.select(host_col, text_col)).mapInPandas(
-        _batches, RULES_SCHEMA
-    )
+    # NOT rebalanced: the input is one row per host's robots.txt — a
+    # handful of rows in every fixture (and bounded per host at scale),
+    # so a round-robin exchange costs more than the parse it spreads
+    return df.select(host_col, text_col).mapInPandas(_batches, RULES_SCHEMA)
 
 
 def robots_allowed(
@@ -204,10 +201,7 @@ def sitemap_directives(
                     n += 1
             yield pd.DataFrame(out)
 
-    from deepseek_ocr_rs_spark.operators.rebalance import (
-        rebalance_for_arrow,
-    )
-
-    return rebalance_for_arrow(df.select(host_col, text_col)).mapInPandas(
+    # NOT rebalanced: same tiny-by-construction input as parse_robots
+    return df.select(host_col, text_col).mapInPandas(
         _batches, "host string, sitemap_url string, ordinal int"
     )

@@ -158,8 +158,10 @@ def bm25_topk(
     terms = sorted({t.lower() for t in query_terms if t})
     if not terms:
         raise ValueError("query_terms must contain at least one term")
-    words = _words(df, id_col, text_col)
-    dl = words.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # words feeds dl AND tf_q; dl feeds tok_total AND the score join —
+    # unpersisted, the token explode would execute once per branch
+    words = _words(df, id_col, text_col).persist()
+    dl = words.groupBy(id_col).agg(F.count("*").alias("dl")).persist()
     tf_q = (
         words.where(F.col("term").isin(terms))
         .groupBy(id_col, "term")
