@@ -133,14 +133,18 @@ AUDITS = {
         ("window operator", "Window"),
     ],
     "doc_decontaminate": [
-        # the benchmark gram set must be broadcast, never shuffled onto
-        # the corpus side
-        ("broadcast benchmark grams", "BroadcastHashJoin"),
+        # r06 kernel: the bench gram set ships inside the ONE Arrow pass
+        # (broadcast variable, not a join); per-doc stats emit map-side
+        ("single Arrow stats pass", "MapInPandas"),
+        ("no gram join anywhere", "!BroadcastHashJoin"),
+        ("no gram shuffle", "!hashpartitioning(gram"),
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
     "doc_repetition_signals": [
-        # partial aggregation of (doc, n, gram) counts before the shuffle
-        ("map-side partial agg", "HashAggregate"),
+        # r06 kernel: exact integer counters emit from ONE Arrow pass —
+        # the old groupBy/distinct of ~50M gram strings is gone
+        ("single Arrow stats pass", "MapInPandas"),
+        ("no gram shuffle", "!hashpartitioning(gram"),
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
     "pack_training_sequences": [
@@ -152,11 +156,14 @@ AUDITS = {
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
     "doc_span_dedup": [
-        # the banned-span set is the tiny threshold tail — it must reach
-        # the removal anti-join as a broadcast, so the corpus side never
-        # shuffles for the removal
-        ("broadcast banned-span anti-join", "BroadcastHashJoin"),
-        ("anti-join form", "LeftAnti"),
+        # r06 kernel: the tiny banned tail ships as a driver set into the
+        # re-chunk Arrow pass; the only shuffle is the span-frequency agg
+        # the frequency count + banned-tail collection run at BUILD
+        # time (bounded driver set); the final plan is scan -> rebalance
+        # -> re-chunk pass with no shuffle at all
+        ("Arrow chunk/reassembly passes", "MapInPandas"),
+        ("no key shuffle in the final plan", "!hashpartitioning"),
+        ("no anti-join of the corpus", "!LeftAnti"),
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
     "conv_flatten_parts": [
@@ -194,12 +201,14 @@ AUDITS = {
         ("pruned doc scan", "ReadSchema: struct<doc_id:bigint,text:string"),
     ],
     "doc_winnow_matches": [
-        # winnowed fingerprints leave the per-doc window stage at ~2/(w+1)
+        # r06 kernel: selection runs inside ONE Arrow pass (md5 memo +
+        # numpy sliding-window min) — fingerprints leave it at ~2/(w+1)
         # density BEFORE any cross-document traffic; the pair stage
-        # shuffles on fp_hash only; no Python anywhere
-        ("doc-partitioned selection window", "hashpartitioning(doc_id"),
+        # still shuffles on fp_hash only; no window, no gram table
+        ("Arrow fingerprint pass", "MapInPandas"),
+        ("no selection window", "!WindowExec"),
         ("hash-bucketed pair join", "hashpartitioning(fp_hash"),
-        ("no Python in the plan", "!BatchEvalPython"),
+        ("fingerprint set computed once", "InMemoryTableScan"),
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
     "train_bpe_pairs": [
@@ -240,13 +249,13 @@ AUDITS = {
         ("no Python anywhere (row)", "!BatchEvalPython"),
     ],
     "web_resolved_outlinks": [
-        # round-5 fix: raw-resolve inside the transform, canonicalize
-        # the scalar once — the whole query is ONE Arrow pass plus JVM
-        # projections with ZERO exchanges (edge rows stay where their
-        # page was scanned)
-        ("single tokenizer pass", "ArrowEvalPython"),
-        ("zero exchanges (pure map)", "!Exchange"),
-        ("outer explode (no UDF double-run)", "Generate"),
+        # r06 kernel: tokenize+resolve+canonicalize fused into ONE
+        # MapInPandas; the only exchange is the scale-adaptive
+        # round-robin rebalance (a no-op on multi-split inputs)
+        ("single fused Python pass", "MapInPandas"),
+        ("no second Python boundary", "!ArrowEvalPython"),
+        ("no explode (rows emitted in-pass)", "!Generate"),
+        ("no key shuffle", "!hashpartitioning"),
     ],
     "media_decode_resample": [
         # PNG encode fixture -> decode+resize: two chained Arrow map
@@ -314,9 +323,11 @@ AUDITS = {
     "pipeline_ccnet_buckets": [
         # keep-first paragraph dedup shuffles on the md5 digest, never
         # the paragraph text; the quantile cut's threshold row joins
-        # back as a broadcast — no per-doc global sort anywhere
-        ("dedup window keyed on the span digest", ".span as binary)"),
+        # back as a broadcast; the span and score tables are cached at
+        # their branch points (r06: the chunk pass re-ran per branch)
+        ("dedup window keyed on the span digest", "md5(cast"),
         ("broadcast threshold join", "BroadcastHashJoin"),
+        ("branch points cached", "InMemoryTableScan"),
         ("partial aggs throughout", "HashAggregate"),
     ],
     "pipeline_web_curation": [
@@ -329,12 +340,12 @@ AUDITS = {
         ("map-side quality filter", "* Filter"),
     ],
     "train_bpe_encode": [
-        # merge folds touch the DISTINCT-word vocab only; the corpus
-        # join is left to AQE — broadcast at gate scale (seen here),
-        # shuffle join when a web-scale vocab outgrows the threshold
-        ("vocab-sized distinct", "HashAggregate"),
-        ("AQE-chosen corpus join", "BroadcastHashJoin"),
-        ("no Python anywhere", "!ArrowEvalPython"),
+        # r06 kernel: tokenize+segment per doc in ONE Arrow pass with a
+        # per-batch word memo — the distinct-word table, its merge-fold
+        # join, and the re-join to the corpus are gone
+        ("single Arrow encode pass", "MapInPandas"),
+        ("no vocab join", "!BroadcastHashJoin"),
+        ("no key shuffle", "!hashpartitioning"),
     ],
     "web_warcgz_roundtrip": [
         # ONE file-id aggregation (the write's natural partitioning);
@@ -345,12 +356,12 @@ AUDITS = {
     ],
     "doc_textrank_terms": [
         # the corpus is scanned once for the bigram graph; iterations
-        # touch only vocabulary-sized tables; final top-k needs no
-        # global sort.  Catalyst prunes the scan all the way to text
-        # alone: the per-doc grouping collapses under the pair distinct
+        # touch only vocabulary-sized tables read from cache (r06: the
+        # edge/degree tables re-ran the bigram pass ~3x per iteration
+        # before they were persisted); final top-k needs no global sort
         ("top-k without global sort", "TakeOrderedAndProject"),
-        ("no Python in the plan", "!BatchEvalPython"),
-        ("pruned scan (text only)", "ReadSchema: struct<text:string>"),
+        ("no row-Python in the plan", "!BatchEvalPython"),
+        ("loop-invariant tables cached", "InMemoryTableScan"),
     ],
     "sketch_bloom_recent_buyers": [
         # the filter words broadcast to the probe; the probe side's only
@@ -361,12 +372,13 @@ AUDITS = {
         ("no Python in the plan", "!BatchEvalPython"),
     ],
     "emb_semantic_dedup": [
-        # SemDeDup: centroids broadcast (k rows vs corpus), the pair
-        # stage shuffles on the CLUSTER id only, verdict all JVM-side
-        ("broadcast centroid join", "BroadcastNestedLoopJoin"),
-        ("cell-keyed pair exchange", "hashpartitioning(cluster"),
-        ("no Python in the plan", "!BatchEvalPython"),
-        ("no Python (Arrow) either", "!ArrowEvalPython"),
+        # r06 kernel: nearest-centroid assignment is a numpy Arrow pass
+        # against the k-row collected codebook; the pair+verdict stage is
+        # ONE grouped Arrow stage per cell (gram-matrix applyInPandas) —
+        # pairs never leave their cell
+        ("numpy assign pass", "MapInPandas"),
+        ("grouped per-cell verdict", "FlatMapGroupsInPandas"),
+        ("cell-keyed exchange", "hashpartitioning(cluster"),
         ("never corpus-squared", "!CartesianProduct"),
     ],
     "dedup_quality_keep_best": [
@@ -385,11 +397,12 @@ AUDITS = {
         ("pruned scan", "ReadSchema: struct<user_id:bigint>"),
     ],
     "emb_kmeans_assign": [
-        # centroids ride a k-row broadcast; per-vector argmin partitions
-        # on vec_id; no Python anywhere in the iteration
-        ("broadcast centroid join", "BroadcastNestedLoopJoin"),
-        ("argmin keyed on vec_id", "hashpartitioning(vec_id"),
-        ("no Python in the plan", "!BatchEvalPython"),
+        # r06 kernel: assignment runs vectorized against the k-row
+        # collected centroid matrix (the codebook posture) — no n x k
+        # crossJoin, no window; the exact member-mean fold stays JVM
+        ("numpy assign pass", "MapInPandas"),
+        ("no centroid crossJoin", "!BroadcastNestedLoopJoin"),
+        ("no per-vector window", "!WindowExec"),
     ],
     "train_mixture_sample": [
         # per-lang rate table attaches by broadcast; inclusion is a
@@ -461,8 +474,10 @@ AUDITS = {
     ],
     "train_span_corruption": [
         # deterministic denoising collation is a pure expression chain
-        # over a once-projected token array
-        ("zero exchanges (pure map)", "!Exchange"),
+        # over a once-projected token array; the one exchange is the
+        # scale-adaptive round-robin rebalance (no-op on real inputs)
+        ("no key shuffle", "!hashpartitioning"),
+        ("round-robin spread only", "RoundRobinPartitioning"),
         ("no Python in the plan", "!ArrowEvalPython"),
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
@@ -474,8 +489,10 @@ AUDITS = {
         ("codegen", "codegen id"),
     ],
     "doc_gopher_quality": [
-        ("zero exchanges (pure map)", "!Exchange"),
-        ("no Python in the plan", "!ArrowEvalPython"),
+        # r06 kernel: integer counters from ONE Arrow pass; keep/reason
+        # rules stay JVM; the one exchange is the adaptive rebalance
+        ("single Arrow counter pass", "MapInPandas"),
+        ("no key shuffle", "!hashpartitioning"),
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
     "sft_loss_mask_spans": [
@@ -582,11 +599,12 @@ AUDITS = {
         ("no Python stage", "!ArrowEvalPython"),
     ],
     "emb_benchmark_decontam": [
-        # bench side collapses to ONE row and broadcasts; the corpus
-        # streams map-side — its only join is the 1-row crossJoin
-        ("bench broadcast crossJoin", "BroadcastNestedLoopJoin"),
+        # r06 kernel: one matmul per Arrow batch against the bounded
+        # collected bench matrix — no join of any kind; the corpus
+        # streams map-side
+        ("single Arrow matmul pass", "MapInPandas"),
+        ("no join anywhere", "!Join"),
         ("corpus never hash-exchanges", "!hashpartitioning(vec_id"),
-        ("no Python stage", "!ArrowEvalPython"),
     ],
     "graph_host_triangles": [
         # degree-ordered wedge build + close: equi-joins and hash aggs
@@ -663,11 +681,12 @@ AUDITS = {
         ("no Python stage", "!ArrowEvalPython"),
     ],
     "doc_template_spans": [
-        # chunking is the lambda chunker (engine-side Generate); the tiny
-        # per-host page totals broadcast back onto the span counts
-        ("span chunker stays JVM-side", "Generate"),
+        # r06 kernel: the span chunker is the shared Arrow pass (the
+        # interpreted lambda chunker was the 8.7 s wall); the tiny
+        # per-host page totals still broadcast back
+        ("Arrow chunk pass", "MapInPandas"),
         ("per-host totals broadcast", "BroadcastHashJoin"),
-        ("no Python stage", "!ArrowEvalPython"),
+        ("no interpreted explode", "!Generate"),
     ],
     "doc_host_mirrors": [
         # pair candidates come from a DIGEST-keyed self-join (never host
@@ -678,12 +697,12 @@ AUDITS = {
         ("no Python stage", "!ArrowEvalPython"),
     ],
     "doc_ngram_novelty": [
-        # sliding grams are a lambda transform (engine-side Generate);
-        # first-occurrence min and the attribution join both key on the
-        # gram (high-cardinality, hash-balanced)
-        ("gram explode stays JVM-side", "Generate"),
+        # r06 kernel: per-doc gram sets build map-side in the Arrow pass;
+        # first-occurrence attribution is a gram-keyed aggregate — the
+        # big-big attribution join is gone
+        ("Arrow gram pass", "MapInPandas"),
         ("gram-keyed exchange", "hashpartitioning(gram"),
-        ("no Python stage", "!ArrowEvalPython"),
+        ("no interpreted explode", "!Generate"),
     ],
     "sketch_hll_daily_users": [
         # registers computed map-side in one pass; per-(win, bucket) max
@@ -702,11 +721,11 @@ AUDITS = {
         ("partial agg", "HashAggregate"),
     ],
     "doc_crawl_overlap": [
-        # ref collapses to ONE distinct gram set (hash agg); membership
-        # is a gram-keyed left join; grams stay engine-side
-        ("gram explode stays JVM-side", "Generate"),
+        # r06 kernel: both snapshots' gram tables build in Arrow passes;
+        # membership stays a gram-keyed join
+        ("Arrow gram passes", "MapInPandas"),
         ("gram-keyed membership join", "hashpartitioning(gram"),
-        ("no Python stage", "!ArrowEvalPython"),
+        ("no interpreted explode", "!Generate"),
     ],
     "diag_key_skew": [
         # per-key count is the one (map-side-combinable) shuffle; the
@@ -745,12 +764,12 @@ AUDITS = {
         ("no Python stage", "!ArrowEvalPython"),
     ],
     "web_url_param_learn": [
-        # param explode is a JVM Generate; the (host,param,residual)
-        # distinct-count agg partial-aggregates before its shuffle and
-        # the (host,param) rollup re-aggregates the small groups table
-        ("param explode stays JVM-side", "Generate"),
+        # r06 kernel: URL parse + per-occurrence residual construction
+        # run in ONE Arrow pass (the filter-by-index/array_sort HOFs ran
+        # interpreted); the two hash aggregates are unchanged
+        ("Arrow parse pass", "MapInPandas"),
         ("partial agg before shuffle", "HashAggregate"),
-        ("no Python stage", "!ArrowEvalPython"),
+        ("no interpreted explode", "!Generate"),
         ("no window", "!WindowExec"),
     ],
     "graph_label_communities": [
